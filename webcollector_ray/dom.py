@@ -1,0 +1,536 @@
+"""Minimal HTML DOM with Jsoup-compatible semantics.
+
+The reference relies on Jsoup (model/Page.java:403-416 `doc()`,
+model/Links.java link extraction, contentextractor/ContentExtractor.java
+CEPF scoring) — none of the Python HTML parser libraries are available
+in this environment, so this module implements the needed subset on top
+of html.parser:
+
+- html/head/body normalization, void elements, basic auto-closing
+  (p/li/tr/td/dt/dd/option), entity decoding;
+- Jsoup-style whitespace-normalized `text()` (block-tag and <br>
+  spacing, StringUtil.normaliseWhitespace semantics) — the byte-identical
+  extracted-text invariant is defined against THIS text();
+- a CSS selector subset: tag, *, #id, .class, [attr], [attr=v],
+  [attr^=v], [attr$=v], [attr*=v], descendant and child combinators,
+  selector groups — covering every selector the reference uses
+  (ContentExtractor.java:70,326; Links.java:93-148; Page.java:274-285);
+- `abs:` attribute resolution against the document base URI
+  (Jsoup absUrl; model/Links.java:99-101);
+- compact `outer_html()` (no pretty-print; the reference's use is regex
+  scanning for timestamps, ContentExtractor.java:216).
+
+Comments and doctypes are dropped (Jsoup keeps comment nodes but the
+reference never reads them).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from html import escape
+from typing import Callable, Iterator, List, Optional
+
+from .urls import abs_url
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input keygen link meta param source track wbr".split()
+)
+
+# Jsoup Tag.isBlock set (subset: the tags that matter for text() spacing)
+BLOCK_TAGS = frozenset(
+    (
+        "html head body frameset script noscript style meta link title frame "
+        "noframes section nav aside hgroup header footer p h1 h2 h3 h4 h5 h6 "
+        "ul ol pre div blockquote hr address figure figcaption form fieldset "
+        "ins del dl dt dd li table caption thead tfoot tbody colgroup col tr "
+        "th td video audio canvas details menu plaintext template article "
+        "main center output dir applet marquee listing"
+    ).split()
+)
+
+_WS_RUN = re.compile(r"[ \t\n\f\r]+")
+# tags whose start implicitly closes an open <p> (HTML5 spec subset)
+_P_CLOSERS = frozenset(
+    (
+        "address article aside blockquote details div dl fieldset figcaption "
+        "figure footer form h1 h2 h3 h4 h5 h6 header hr main menu nav ol p "
+        "pre section table ul"
+    ).split()
+)
+_SELF_CLOSERS = {
+    "li": ("li",),
+    "tr": ("tr",),
+    "td": ("td", "th"),
+    "th": ("td", "th"),
+    "dd": ("dd", "dt"),
+    "dt": ("dd", "dt"),
+    "option": ("option",),
+}
+_HEAD_TAGS = frozenset("title meta link base style".split())
+
+
+def normalise_whitespace(s: str) -> str:
+    """Jsoup StringUtil.normaliseWhitespace: collapse whitespace runs to a
+    single space (leading/trailing runs become a single space, NOT trimmed)."""
+    return _WS_RUN.sub(" ", s)
+
+
+class Node:
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: Optional[Element] = None
+
+
+class TextNode(Node):
+    __slots__ = ("raw",)
+
+    def __init__(self, raw: str):
+        super().__init__()
+        self.raw = raw
+
+    def text(self) -> str:
+        # Jsoup TextNode.text() = normaliseWhitespace(getWholeText())
+        return normalise_whitespace(self.raw)
+
+    def whole_text(self) -> str:
+        return self.raw
+
+    def __repr__(self):
+        return f"TextNode({self.raw!r})"
+
+
+class Element(Node):
+    __slots__ = ("tag", "attrs", "children", "_doc")
+
+    def __init__(self, tag: str, attrs: Optional[dict] = None):
+        super().__init__()
+        self.tag = tag
+        self.attrs: dict = attrs or {}
+        self.children: List[Node] = []
+        self._doc: Optional["Document"] = None
+
+    # --- tree ---
+    def append(self, node: Node) -> None:
+        node.parent = self
+        self.children.append(node)
+
+    def remove(self) -> None:
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+
+    def child_elements(self) -> List["Element"]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+    def descendants(self) -> Iterator[Node]:
+        for c in self.children:
+            yield c
+            if isinstance(c, Element):
+                yield from c.descendants()
+
+    def traverse(self, head: Callable[[Node, int], None], depth: int = 0) -> None:
+        """Head-order node visitor (Jsoup NodeTraversor.head equivalent)."""
+        head(self, depth)
+        for c in list(self.children):
+            if isinstance(c, Element):
+                c.traverse(head, depth + 1)
+            else:
+                head(c, depth + 1)
+
+    def doc(self) -> Optional["Document"]:
+        n: Optional[Node] = self
+        while n is not None:
+            if isinstance(n, Document):
+                return n
+            n = n.parent
+        return self._doc
+
+    # --- attributes ---
+    def attr(self, name: str) -> str:
+        if name.startswith("abs:"):
+            return self.abs_attr(name[4:])
+        return self.attrs.get(name.lower(), "")
+
+    def has_attr(self, name: str) -> bool:
+        return name.lower() in self.attrs
+
+    def abs_attr(self, name: str) -> str:
+        v = self.attrs.get(name.lower(), "")
+        if not v:
+            return ""
+        d = self.doc()
+        base = d.base_uri if d is not None else ""
+        return abs_url(base, v)
+
+    def id(self) -> str:
+        return self.attrs.get("id", "")
+
+    def class_names(self) -> List[str]:
+        return self.attrs.get("class", "").split()
+
+    # --- text (Jsoup Element.text() semantics) ---
+    def text(self) -> str:
+        parts: List[str] = []
+
+        def last_is_space() -> bool:
+            return bool(parts) and parts[-1].endswith(" ")
+
+        def walk(el: Element) -> None:
+            for c in el.children:
+                if isinstance(c, TextNode):
+                    t = normalise_whitespace(c.raw)
+                    if t.startswith(" ") and (not parts or last_is_space()):
+                        t = t[1:]
+                    if t:
+                        parts.append(t)
+                elif isinstance(c, Element):
+                    if parts and (c.tag in BLOCK_TAGS or c.tag == "br") and not last_is_space():
+                        parts.append(" ")
+                    walk(c)
+
+        walk(self)
+        return "".join(parts).strip()
+
+    def own_text(self) -> str:
+        out = normalise_whitespace(
+            "".join(c.raw for c in self.children if isinstance(c, TextNode))
+        )
+        return out.strip()
+
+    # --- serialization ---
+    def outer_html(self) -> str:
+        buf: List[str] = []
+        self._html(buf)
+        return "".join(buf)
+
+    def inner_html(self) -> str:
+        buf: List[str] = []
+        for c in self.children:
+            _node_html(c, buf)
+        return "".join(buf)
+
+    def _html(self, buf: List[str]) -> None:
+        buf.append("<")
+        buf.append(self.tag)
+        for k, v in self.attrs.items():
+            buf.append(f' {k}="{escape(v, quote=True)}"')
+        buf.append(">")
+        if self.tag in VOID_TAGS:
+            return
+        for c in self.children:
+            _node_html(c, buf)
+        buf.append(f"</{self.tag}>")
+
+    # --- select ---
+    def select(self, css: str) -> "Elements":
+        return Elements(_select(self, css))
+
+    def select_first(self, css: str) -> Optional["Element"]:
+        r = _select(self, css)
+        return r[0] if r else None
+
+    def __repr__(self):
+        return f"<{self.tag} {self.attrs}>({len(self.children)} children)"
+
+
+def _node_html(c: Node, buf: List[str]) -> None:
+    if isinstance(c, Element):
+        c._html(buf)
+    elif isinstance(c, TextNode):
+        buf.append(escape(c.raw, quote=False))
+
+
+class Elements(list):
+    """Jsoup Elements subset: each_attr / first / remove / text."""
+
+    def each_attr(self, name: str) -> List[str]:
+        # Jsoup eachAttr collects only non-empty... actually it collects
+        # attr values for elements that HAVE the attribute; abs: resolution
+        # may still yield "".
+        key = name[4:] if name.startswith("abs:") else name
+        return [e.attr(name) for e in self if e.has_attr(key)]
+
+    def first(self) -> Optional[Element]:
+        return self[0] if self else None
+
+    def remove(self) -> None:
+        for e in self:
+            e.remove()
+
+    def text(self) -> str:
+        return " ".join(e.text() for e in self)
+
+    def attr(self, name: str) -> str:
+        for e in self:
+            key = name[4:] if name.startswith("abs:") else name
+            if e.has_attr(key):
+                return e.attr(name)
+        return ""
+
+
+class Document(Element):
+    __slots__ = ("base_uri",)
+
+    def __init__(self, base_uri: str = ""):
+        super().__init__("#document")
+        self.base_uri = base_uri
+
+    def html_el(self) -> Element:
+        for c in self.child_elements():
+            if c.tag == "html":
+                return c
+        raise ValueError("no html element")
+
+    def head(self) -> Element:
+        for c in self.html_el().child_elements():
+            if c.tag == "head":
+                return c
+        raise ValueError("no head")
+
+    def body(self) -> Element:
+        for c in self.html_el().child_elements():
+            if c.tag == "body":
+                return c
+        raise ValueError("no body")
+
+    def title(self) -> str:
+        t = self.select_first("title")
+        return t.text().strip() if t is not None else ""
+
+
+# ---------------------------------------------------------------- parser
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self, base_uri: str = ""):
+        super().__init__(convert_charrefs=True)
+        self.doc = Document(base_uri)
+        self.html = Element("html")
+        self.doc.append(self.html)
+        self.head_el = Element("head")
+        self.html.append(self.head_el)
+        self.body_el = Element("body")
+        self.html.append(self.body_el)
+        self.stack: List[Element] = []  # open elements under head/body
+        self.in_body = False
+
+    def _cur(self) -> Element:
+        if self.stack:
+            return self.stack[-1]
+        return self.body_el if self.in_body else self.head_el
+
+    def _autoclose(self, tag: str) -> None:
+        if not self.stack:
+            return
+        top = self.stack[-1].tag
+        if tag in _P_CLOSERS and top == "p":
+            self.stack.pop()
+        closers = _SELF_CLOSERS.get(tag)
+        if closers and self.stack and self.stack[-1].tag in closers:
+            self.stack.pop()
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag == "html":
+            for k, v in attrs:
+                self.html.attrs.setdefault(k.lower(), v if v is not None else "")
+            return
+        if tag == "head":
+            return
+        if tag == "body":
+            self.in_body = True
+            for k, v in attrs:
+                self.body_el.attrs.setdefault(k.lower(), v if v is not None else "")
+            return
+        if not self.in_body and tag not in _HEAD_TAGS and tag != "title":
+            self.in_body = True
+        attr_dict: dict = {}
+        for k, v in attrs:
+            k = k.lower()
+            if k not in attr_dict:
+                attr_dict[k] = v if v is not None else ""
+        self._autoclose(tag)
+        el = Element(tag, attr_dict)
+        self._cur().append(el)
+        if tag not in VOID_TAGS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        tag_l = tag.lower()
+        self.handle_starttag(tag, attrs)
+        if tag_l not in VOID_TAGS and tag_l not in ("html", "head", "body"):
+            if self.stack and self.stack[-1].tag == tag_l:
+                self.stack.pop()
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in ("html", "body"):
+            return
+        if tag == "head":
+            self.in_body = True
+            return
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched end tag: ignore
+
+    def handle_data(self, data):
+        if not self.stack and not self.in_body:
+            # structural whitespace before/inside head
+            if data.strip():
+                self.in_body = True
+                self.body_el.append(TextNode(data))
+            elif self.head_el.children:
+                pass  # drop whitespace directly in head
+            return
+        cur = self._cur()
+        if cur in (self.body_el, self.head_el) and not data.strip() and not cur.children:
+            return
+        cur.append(TextNode(data))
+
+
+def parse(html: str, base_uri: str = "") -> Document:
+    tb = _TreeBuilder(base_uri)
+    tb.feed(html or "")
+    tb.close()
+    return tb.doc
+
+
+# ---------------------------------------------------------- CSS selector
+
+_SIMPLE_RE = re.compile(
+    r"""
+    (?P<tag>\*|[a-zA-Z][a-zA-Z0-9-]*)
+    | \#(?P<id>[\w-]+)
+    | \.(?P<cls>[\w-]+)
+    | \[(?P<attr>[\w-]+)(?:(?P<op>[\^\$\*]?=)(?P<q>["']?)(?P<val>[^\]"']*)(?P=q))?\]
+    """,
+    re.VERBOSE,
+)
+
+
+class _Compound:
+    __slots__ = ("tag", "ids", "classes", "attrs")
+
+    def __init__(self):
+        self.tag: Optional[str] = None
+        self.ids: List[str] = []
+        self.classes: List[str] = []
+        self.attrs: List[tuple] = []  # (name, op, value) op in {None,'=','^=','$=','*='}
+
+    def matches(self, el: Element) -> bool:
+        if self.tag and self.tag != "*" and el.tag != self.tag:
+            return False
+        for i in self.ids:
+            if el.id() != i:
+                return False
+        for c in self.classes:
+            if c not in el.class_names():
+                return False
+        for name, op, val in self.attrs:
+            if not el.has_attr(name):
+                return False
+            if op is None:
+                continue
+            v = el.attrs.get(name.lower(), "")
+            if op == "=" and v != val:
+                return False
+            if op == "^=" and not v.startswith(val):
+                return False
+            if op == "$=" and not v.endswith(val):
+                return False
+            if op == "*=" and val not in v:
+                return False
+        return True
+
+
+def _parse_compound(s: str) -> _Compound:
+    comp = _Compound()
+    pos = 0
+    while pos < len(s):
+        m = _SIMPLE_RE.match(s, pos)
+        if not m:
+            raise ValueError(f"unsupported css selector fragment: {s[pos:]!r}")
+        if m.group("tag"):
+            comp.tag = m.group("tag").lower()
+        elif m.group("id"):
+            comp.ids.append(m.group("id"))
+        elif m.group("cls"):
+            comp.classes.append(m.group("cls"))
+        elif m.group("attr"):
+            op = m.group("op")
+            comp.attrs.append(
+                (m.group("attr").lower(), op if op else None, m.group("val") or "")
+            )
+        pos = m.end()
+    return comp
+
+
+def _parse_selector(sel: str) -> List[tuple]:
+    """-> list of (combinator, compound); combinator of first is None,
+    then ' ' (descendant) or '>' (child)."""
+    toks = re.split(r"\s*(>)\s*|\s+", sel.strip())
+    out: List[tuple] = []
+    comb: Optional[str] = None
+    for t in toks:
+        if t is None or t == "":
+            if comb is None and out:
+                comb = " "
+            continue
+        if t == ">":
+            comb = ">"
+            continue
+        out.append((comb if out else None, _parse_compound(t)))
+        comb = None
+    return out
+
+
+def _matches_chain(el: Element, chain: List[tuple], root: Element) -> bool:
+    comb, comp = chain[-1]
+    if not comp.matches(el):
+        return False
+    if len(chain) == 1:
+        return True
+    rest = chain[:-1]
+    if comb == ">":
+        p = el.parent
+        return (
+            p is not None
+            and isinstance(p, Element)
+            and _in_scope(p, root)
+            and _matches_chain(p, rest, root)
+        )
+    # descendant
+    p = el.parent
+    while p is not None and isinstance(p, Element) and _in_scope(p, root):
+        if _matches_chain(p, rest, root):
+            return True
+        p = p.parent
+    return False
+
+
+def _in_scope(el: Element, root: Element) -> bool:
+    n: Optional[Node] = el
+    while n is not None:
+        if n is root:
+            return True
+        n = n.parent
+    return False
+
+
+def _select(root: Element, css: str) -> List[Element]:
+    chains = [_parse_selector(part) for part in css.split(",") if part.strip()]
+    out: List[Element] = []
+    candidates: List[Element] = []
+    if isinstance(root, Element) and not isinstance(root, Document):
+        candidates.append(root)
+    candidates.extend(n for n in root.descendants() if isinstance(n, Element))
+    for el in candidates:
+        for chain in chains:
+            if _matches_chain(el, chain, root):
+                out.append(el)
+                break
+    return out

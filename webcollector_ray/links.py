@@ -1,0 +1,90 @@
+"""Links — extracted URL collection.
+
+Reference: model/Links.java. Extraction semantics:
+- add_from_element: all `a[href]` absolute hrefs, plus `img[src]`
+  absolute srcs when parse_img (:93-104);
+- add_by_selector: hrefs (and optionally srcs) of elements matching a
+  CSS selector (:114-132);
+- add_by_regex: `a[href]` absolute hrefs satisfying a RegexRule, and
+  when parse_src all `*[src]` absolute srcs too (:134-148) — this is
+  the autoParse path (fetcher/VisitorMethodDispatcher.java:240-250);
+- filter_by_regex (:76-91).
+
+Kept as a thin list-like; the Ray parse stage consumes the resulting
+lists and explodes them into link-segment rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Optional, Union
+
+from .dom import Element
+from .regex_rule import RegexRule
+
+
+class Links:
+    def __init__(self, links: Optional[Iterable[str]] = None):
+        self._list: List[str] = []
+        if links is not None:
+            self.add(links)
+
+    def add(self, item: Union[str, Iterable[str]]) -> "Links":
+        if isinstance(item, str):
+            self._list.append(item)
+        else:
+            self._list.extend(item)
+        return self
+
+    def filter_by_regex(self, rule: Union[RegexRule, str]) -> "Links":
+        if isinstance(rule, str):
+            rule = RegexRule([rule])
+        self._list = [u for u in self._list if rule.satisfy(u)]
+        return self
+
+    def add_from_element(self, ele: Element, parse_img: bool = False) -> "Links":
+        self.add(ele.select("a[href]").each_attr("abs:href"))
+        if parse_img:
+            self.add(ele.select("img[src]").each_attr("abs:src"))
+        return self
+
+    def add_by_selector(
+        self, ele: Element, css_selector: str, parse_src: bool = False
+    ) -> "Links":
+        for a in ele.select(css_selector):
+            if a.has_attr("href"):
+                self.add(a.attr("abs:href"))
+            if parse_src and a.has_attr("src"):
+                self.add(a.attr("abs:src"))
+        return self
+
+    def add_by_regex(
+        self,
+        ele: Element,
+        rule: Union[RegexRule, str],
+        parse_src: bool = False,
+    ) -> "Links":
+        if isinstance(rule, str):
+            rule = RegexRule([rule])
+        for href in ele.select("a[href]").each_attr("abs:href"):
+            if rule.satisfy(href):
+                self.add(href)
+        if parse_src:
+            for src in ele.select("*[src]").each_attr("abs:src"):
+                if rule.satisfy(src):
+                    self.add(src)
+        return self
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._list)
+
+    def __len__(self) -> int:
+        return len(self._list)
+
+    def __getitem__(self, i: int) -> str:
+        return self._list[i]
+
+    def is_empty(self) -> bool:
+        return not self._list
+
+    def __repr__(self) -> str:
+        return f"Links({self._list!r})"
