@@ -1,0 +1,148 @@
+"""Links extraction (model/Links.java) and visitor dispatch precedence
+(fetcher/VisitorMethodDispatcher.java:206-220)."""
+
+from webcollector_ray import dom
+from webcollector_ray.dispatch import (
+    Visitor,
+    VisitorMethodDispatcher,
+    after_parse,
+    before_visit,
+    match_code,
+    match_type,
+    match_url,
+)
+from webcollector_ray.links import Links
+from webcollector_ray.model import CrawlDatum, CrawlDatums
+from webcollector_ray.page import Page
+from webcollector_ray.regex_rule import RegexRule
+
+HTML = """<body>
+<a href="show-1.html">one</a>
+<a href="/abs/show-2.html">two</a>
+<a href="http://other.test/x.html">off-site</a>
+<a href="#frag">frag</a>
+<a href="pic.jpg">jpg</a>
+<img src="img.png">
+<div class="zone"><a href="zoned.html">z</a></div>
+</body>"""
+
+BASE = "http://s.test/dir/page.html"
+
+
+def _doc():
+    return dom.parse(HTML, BASE)
+
+
+def test_add_from_element():
+    links = Links().add_from_element(_doc().body())
+    assert links._list == [
+        "http://s.test/dir/show-1.html",
+        "http://s.test/abs/show-2.html",
+        "http://other.test/x.html",
+        "http://s.test/dir/page.html#frag",
+        "http://s.test/dir/pic.jpg",
+        "http://s.test/dir/zoned.html",
+    ]
+
+
+def test_add_from_element_with_img():
+    links = Links().add_from_element(_doc().body(), parse_img=True)
+    assert "http://s.test/dir/img.png" in links._list
+
+
+def test_add_by_regex_rule():
+    rule = RegexRule([r"+http://s\.test/.*", r"-.*\.jpg"])
+    links = Links().add_by_regex(_doc().body(), rule)
+    assert "http://s.test/dir/pic.jpg" not in links._list
+    assert "http://other.test/x.html" not in links._list
+    assert "http://s.test/dir/show-1.html" in links._list
+
+
+def test_add_by_selector():
+    links = Links().add_by_selector(_doc().body(), "div.zone a")
+    assert links._list == ["http://s.test/dir/zoned.html"]
+
+
+def test_filter_by_regex():
+    links = Links(["http://a.test/1.html", "http://a.test/1.jpg"])
+    links.filter_by_regex(RegexRule([r"+.*\.html"]))
+    assert links._list == ["http://a.test/1.html"]
+
+
+def _page(url="http://s.test/p.html", code=200, type=None, html=b"<body>x</body>"):
+    d = CrawlDatum(url, code=code)
+    if type:
+        d.set_type(type)
+    return Page(d, content_type="text/html", content=html)
+
+
+class _V(Visitor):
+    def __init__(self):
+        self.calls = []
+
+    @before_visit
+    def pre(self, page, next):
+        self.calls.append("pre")
+
+    @match_code(404)
+    def on_404(self, page, next):
+        self.calls.append("404")
+
+    @match_type("list")
+    def on_list(self, page, next):
+        self.calls.append("type")
+
+    @match_url(".*show.*")
+    def on_show(self, page, next):
+        self.calls.append("urlregex")
+
+    def visit(self, page, next):
+        self.calls.append("visit")
+
+    @after_parse
+    def post(self, page, next):
+        self.calls.append("post")
+
+
+def _dispatch(page):
+    v = _V()
+    VisitorMethodDispatcher(v, auto_parse=False, regex_rule=None).dispatch(
+        page, CrawlDatums()
+    )
+    return v.calls
+
+
+def test_precedence_code_first():
+    # a 404 list-typed show url -> code wins
+    assert _dispatch(_page(url="http://s.test/show.html", code=404, type="list")) == [
+        "pre", "404", "post",
+    ]
+
+
+def test_precedence_type_then_urlregex_then_default():
+    assert _dispatch(_page(type="list")) == ["pre", "type", "post"]
+    assert _dispatch(_page(url="http://s.test/show-9.html")) == ["pre", "urlregex", "post"]
+    assert _dispatch(_page()) == ["pre", "visit", "post"]
+
+
+def test_auto_parse_appends_links():
+    v = Visitor()
+    rule = RegexRule([r"+http://s\.test/.*\.html"])
+    disp = VisitorMethodDispatcher(v, auto_parse=True, regex_rule=rule)
+    page = _page(html=HTML.encode())
+    page.crawl_datum.url = BASE
+    nxt = CrawlDatums()
+    disp.dispatch(page, nxt)
+    urls = [d.url for d in nxt]
+    assert "http://s.test/dir/show-1.html" in urls
+    assert "http://s.test/dir/pic.jpg" not in urls
+
+
+def test_auto_parse_skips_non_html():
+    rule = RegexRule([".*"])
+    disp = VisitorMethodDispatcher(Visitor(), auto_parse=True, regex_rule=rule)
+    page = _page()
+    page.content_type = "application/json"
+    nxt = CrawlDatums()
+    disp.dispatch(page, nxt)
+    assert len(nxt) == 0

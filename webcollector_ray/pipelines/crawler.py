@@ -1,0 +1,378 @@
+"""Crawler driver loop — BreadthCrawler / RamCrawler equivalents.
+
+Reference lifecycle (crawler/Crawler.java:95-148, SURVEY.md §3.1):
+setup -> inject seeds -> for each depth: merge previous segments into
+crawldb, generate (filters + topN), fetch+visit every generated datum,
+write fetch/link segments; break early when totalGenerate == 0.
+
+Ray mapping: every table is a ray.data.Dataset; each depth is
+
+    crawldb = merge(crawldb, fetch_seg, link_seg)        # ONE shuffle
+    generated = generate(crawldb)                        # streamed filter
+    exec_out = generated.map_batches(ExecuteStage, ...)  # actor pool
+    fetch_seg, link_seg = split(exec_out)                # streamed filter
+
+with the merged crawldb and the segments either checkpointed to
+Parquet (`crawl_path` mode == reference BreadthCrawler with RocksDB,
+plugin/rocks/BreadthCrawler.java:32-48) or pinned in the object store
+(`RamCrawler`, plugin/ram/RamCrawler.java:28-44).
+
+totalGenerate == number of fetch-segment rows (every generated datum
+writes exactly one fetch row, Fetcher.java:267), so the termination
+count is read from Parquet metadata / materialized block counts — no
+extra pass over the frontier.
+
+Divergence note: on depth-exhaustion the reference leaves the last
+segments unmerged until a hypothetical next run's first merge; this
+driver folds them with a final merge so the returned crawldb is the
+fixed point (identical to what the reference would hold after its next
+start()).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Union
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..config import CrawlerConfig
+from ..dispatch import Visitor
+from ..model import (
+    FRONTIER_SCHEMA,
+    STATUS_DB_FAILED,
+    STATUS_DB_SUCCESS,
+    CrawlDatum,
+    datums_to_table,
+)
+from ..regex_rule import RegexRule
+from ..sources.pagestore import BroadcastPageStore, BucketedPageStore
+from ..stages.execute import run_execute
+from ..stages.generate import generate
+from ..stages.merge import dedupe_by_key, merge_segments
+from ..state.frontier import CheckpointStore
+from ..state.seen import ShardedSeenFilter
+from ..urls import host_of
+
+
+@dataclass
+class DepthMetrics:
+    depth: int
+    generated: int = 0
+    fetch_success: int = 0
+    fetch_failed: int = 0
+    links: int = 0
+    crawldb_size: int = 0
+    seconds: float = 0.0
+
+
+@dataclass
+class CrawlResult:
+    depths: List[DepthMetrics] = field(default_factory=list)
+    crawldb = None  # ray.data.Dataset of the final frontier
+    seconds: float = 0.0
+
+    @property
+    def total_fetched(self) -> int:
+        return sum(d.generated for d in self.depths)
+
+    @property
+    def total_links(self) -> int:
+        return sum(d.links for d in self.depths)
+
+
+def _split_seg(exec_out, seg: str):
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = batch.filter(pc.equal(batch["seg"], seg))
+        return out.drop_columns(["seg"])
+
+    return exec_out.map_batches(f, batch_format="pyarrow")
+
+
+class Crawler:
+    """Engine driver. `pages` is the web: a pyarrow Table (broadcast), a
+    BroadcastPageStore / BucketedPageStore, or a path to a bucketed
+    store dir."""
+
+    def __init__(
+        self,
+        pages: Union[pa.Table, BroadcastPageStore, BucketedPageStore, str],
+        *,
+        crawl_path: Optional[str] = None,
+        visitor: Optional[Visitor] = None,
+        executor: Optional[Callable] = None,
+        auto_parse: bool = True,
+        config: Optional[CrawlerConfig] = None,
+        next_filter: Optional[Callable] = None,
+        generator_filter: Optional[Callable] = None,
+        deterministic_time: bool = False,
+    ):
+        self._pages = pages
+        self.crawl_path = crawl_path
+        self.visitor = visitor
+        self.executor = executor
+        self.auto_parse = auto_parse
+        self.config = config or CrawlerConfig()
+        self.next_filter = next_filter
+        self.generator_filter = generator_filter
+        self.deterministic_time = deterministic_time
+        self.regex_rule = RegexRule()
+        self._seeds: List[CrawlDatum] = []
+        self._forced_seeds: List[CrawlDatum] = []
+        self.seen: Optional[ShardedSeenFilter] = None
+
+    # --- seeds (crawler/Crawler.java:169-330 addSeed variants) ---
+    def add_seed(self, seed, force: bool = False, type: Optional[str] = None):
+        target = self._forced_seeds if force else self._seeds
+        if isinstance(seed, CrawlDatum):
+            target.append(seed)
+        elif isinstance(seed, str):
+            d = CrawlDatum(seed)
+            if type is not None:
+                d.set_type(type)
+            target.append(d)
+        else:
+            for s in seed:
+                self.add_seed(s, force=force, type=type)
+        return self
+
+    def add_regex(self, rule: str):
+        self.regex_rule.add_rule(rule)
+        return self
+
+    # --- page store ---
+    def _store_handle(self) -> dict:
+        p = self._pages
+        if isinstance(p, pa.Table):
+            p = BroadcastPageStore(p)
+        elif isinstance(p, str):
+            p = BucketedPageStore(p)
+        self._pages = p
+        return p.handle()
+
+    # --- inject (crawldb/Injector.java; DBManager.inject :49-86):
+    # forced seeds overwrite existing keys, plain seeds insert-if-absent.
+    def _inject(self, crawldb):
+        seed_tbls = []
+        if self._forced_seeds:
+            seed_tbls.append((rd.from_arrow(datums_to_table(self._dedupe_seeds(self._forced_seeds, last_wins=True))), 0))
+        if crawldb is not None:
+            seed_tbls.append((crawldb, 1))
+        if self._seeds:
+            seed_tbls.append((rd.from_arrow(datums_to_table(self._dedupe_seeds(self._seeds, last_wins=False))), 2))
+        if not seed_tbls:
+            raise ValueError("Please add at least one seed")  # Crawler.java:106-109
+        return dedupe_by_key(seed_tbls, self.config.merge_num_buckets)
+
+    @staticmethod
+    def _dedupe_seeds(datums: List[CrawlDatum], last_wins: bool) -> List[CrawlDatum]:
+        seen: dict = {}
+        for d in datums:
+            if last_wins or d.key not in seen:
+                seen[d.key] = d
+        return list(seen.values())
+
+    # --- host-coherent routing for politeness (north_rule F4) ---
+    def _route_by_host(self, generated):
+        def add_host(batch: pa.Table) -> pa.Table:
+            hosts = pa.array(
+                [host_of(u) for u in batch["url"].to_pylist()], pa.string()
+            )
+            return batch.append_column("__host", hosts)
+
+        return (
+            generated.map_batches(add_host, batch_format="pyarrow")
+            .sort(["__host", "key"])
+            .map_batches(
+                lambda b: b.drop_columns(["__host"]), batch_format="pyarrow"
+            )
+        )
+
+    def _filter_links_approx(self, link_seg):
+        """approximate_seen: pre-drop links whose key is (probably)
+        already in the frontier, before they reach the merge shuffle."""
+        seen = self.seen
+        shards = seen.shards
+        num_shards = seen.num_shards
+
+        def f(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            import ray as _ray
+
+            from ..state.seen import hash64_batch
+
+            keys = batch["key"].to_pylist()
+            if not keys:
+                return batch
+            hashes = hash64_batch(keys)
+            shard_ids = (hashes % np.uint64(num_shards)).astype(np.int64)
+            seen_mask = np.zeros(len(keys), dtype=bool)
+            futs = {}
+            for s in range(num_shards):
+                idx = np.nonzero(shard_ids == s)[0]
+                if len(idx):
+                    futs[s] = (idx, shards[s].add_and_check.remote(hashes[idx]))
+            for s, (idx, fut) in futs.items():
+                seen_mask[idx] = _ray.get(fut)
+            return batch.filter(pa.array(~seen_mask))
+
+        return link_seg.map_batches(f, batch_format="pyarrow")
+
+    # --- the depth loop ---
+    def start(self, depth: int) -> CrawlResult:
+        cfg = self.config
+        t0 = time.time()
+        store_handle = self._store_handle()
+        result = CrawlResult()
+
+        ckpt: Optional[CheckpointStore] = (
+            CheckpointStore(self.crawl_path) if self.crawl_path else None
+        )
+        crawldb = fetch_seg = link_seg = None
+        start_depth = 0
+        resumed = False
+        if ckpt is not None:
+            if not cfg.resumable:
+                ckpt.clear()  # Crawler.java:101-110
+            else:
+                last = ckpt.latest_complete_depth()
+                if last is not None:
+                    crawldb = ckpt.read_dataset(last, "crawldb")
+                    fetch_seg = ckpt.read_dataset(last, "fetch") if ckpt.has_table(last, "fetch") else None
+                    link_seg = ckpt.read_dataset(last, "link") if ckpt.has_table(last, "link") else None
+                    start_depth = last + 1
+                    resumed = True
+
+        if cfg.approximate_seen and self.seen is None:
+            self.seen = ShardedSeenFilter(cfg.seen_shards, cfg.seen_bits_per_shard)
+
+        if not resumed:
+            crawldb = self._inject(crawldb)
+            if self.seen is not None:
+                for d in self._seeds + self._forced_seeds:
+                    self.seen.add_and_check([d.key])
+
+        for i in range(start_depth, start_depth + depth):
+            dt0 = time.time()
+            m = DepthMetrics(depth=i)
+
+            # 1. merge previous segments (Fetcher.fetchAll step a)
+            if fetch_seg is not None or link_seg is not None:
+                crawldb = merge_segments(
+                    crawldb, fetch_seg, link_seg, cfg.merge_num_buckets
+                )
+            if ckpt is not None:
+                m.crawldb_size = ckpt.write_table(crawldb, i, "crawldb")
+                crawldb = ckpt.read_dataset(i, "crawldb")
+            else:
+                crawldb = crawldb.materialize()
+                m.crawldb_size = crawldb.count()
+
+            # 2. generate (G1-G4 + topN)
+            generated = generate(crawldb, cfg, self.generator_filter)
+            if cfg.politeness_budget_ms > 0:
+                generated = self._route_by_host(generated)
+
+            # 3. execute: fused fetch + visit actor pool
+            exec_out = run_execute(
+                generated,
+                store_handle,
+                config=cfg,
+                execute_time_ms=(1_000_000 + i) if self.deterministic_time else None,
+                visitor=self.visitor,
+                executor=self.executor,
+                auto_parse=self.auto_parse,
+                regex_rule=self.regex_rule,
+                next_filter=self.next_filter,
+            ).materialize()
+
+            # 4. split + persist segments
+            fetch_seg = _split_seg(exec_out, "fetch")
+            link_seg = _split_seg(exec_out, "link")
+            if self.seen is not None:
+                link_seg = self._filter_links_approx(link_seg)
+            if ckpt is not None:
+                m.generated = ckpt.write_table(fetch_seg, i, "fetch")
+                m.links = ckpt.write_table(link_seg, i, "link")
+                fetch_seg = ckpt.read_dataset(i, "fetch")
+                link_seg = ckpt.read_dataset(i, "link")
+            else:
+                fetch_seg = fetch_seg.materialize()
+                link_seg = link_seg.materialize()
+                m.generated = fetch_seg.count()
+                m.links = link_seg.count()
+
+            # 5. per-depth status tallies (A3) — tiny aggregate
+            if m.generated:
+                import pyarrow.compute as pc
+
+                def _tally(batch: pa.Table) -> pa.Table:
+                    s = batch["status"]
+                    return pa.table(
+                        {
+                            "ok": [int(pc.sum(pc.cast(pc.equal(s, STATUS_DB_SUCCESS), pa.int64())).as_py() or 0)],
+                            "fail": [int(pc.sum(pc.cast(pc.equal(s, STATUS_DB_FAILED), pa.int64())).as_py() or 0)],
+                        }
+                    )
+
+                tal = fetch_seg.map_batches(_tally, batch_format="pyarrow").to_pandas()
+                m.fetch_success = int(tal["ok"].sum())
+                m.fetch_failed = int(tal["fail"].sum())
+
+            m.seconds = time.time() - dt0
+            result.depths.append(m)
+            if ckpt is not None:
+                ckpt.write_manifest(
+                    i,
+                    {
+                        "depth": i,
+                        "generated": m.generated,
+                        "links": m.links,
+                        "fetch_success": m.fetch_success,
+                        "fetch_failed": m.fetch_failed,
+                        "crawldb_size": m.crawldb_size,
+                        "seconds": m.seconds,
+                    },
+                )
+            if m.generated == 0:  # Crawler.java:141-144
+                fetch_seg = link_seg = None
+                break
+
+        # fold trailing segments so the returned crawldb is the fixed point
+        if fetch_seg is not None or link_seg is not None:
+            crawldb = merge_segments(
+                crawldb, fetch_seg, link_seg, cfg.merge_num_buckets
+            )
+            crawldb = crawldb.materialize()
+            if ckpt is not None:
+                final_depth = result.depths[-1].depth if result.depths else 0
+                ckpt.write_table(crawldb, final_depth, "crawldb_final")
+
+        result.crawldb = crawldb
+        result.seconds = time.time() - t0
+        return result
+
+
+class BreadthCrawler(Crawler):
+    """plugin/rocks/BreadthCrawler.java equivalent: checkpointed crawldb
+    + visitor + autoParse."""
+
+    def __init__(self, crawl_path: str, auto_parse: bool, pages, **kw):
+        super().__init__(pages, crawl_path=crawl_path, auto_parse=auto_parse, **kw)
+
+
+class RamCrawler(Crawler):
+    """plugin/ram/RamCrawler.java equivalent: in-memory crawl;
+    start() runs until frontier exhaustion (RamCrawler.java:40-42)."""
+
+    def __init__(self, pages, auto_parse: bool = True, **kw):
+        super().__init__(pages, crawl_path=None, auto_parse=auto_parse, **kw)
+
+    def start(self, depth: Optional[int] = None) -> CrawlResult:
+        return super().start(depth if depth is not None else 2**31 - 1)

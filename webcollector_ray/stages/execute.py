@@ -1,0 +1,198 @@
+"""Execute — the fused fetch + visit actor-pool stage.
+
+The reference's per-record contract is Executor.execute(datum, next)
+= fetch + dispatch-visit + collect next datums, with failure of either
+half marking the record FAILED (fetcher/Executor.java:26-28,
+fetcher/Fetcher.java:244-274, crawler/AutoParseCrawler.java:86-91).
+Fusing fetch and parse into ONE map_batches stage keeps the html bytes
+actor-local: only compact frontier rows cross the object store, never
+page bodies (SURVEY.md §7.4 "avoid carrying html past the parse
+stage").
+
+Stateful actor pool (ST1/ST3): the page-store reader and the visitor
+dispatch table are built once per actor in __init__ and reused across
+batches. Politeness (F4): the reference sleeps EXECUTE_INTERVAL per
+worker after every record (Fetcher.java:275-281) — replicated — plus
+the north_rule per-host token bucket (politeness_budget_ms) which the
+reference lacks.
+
+Fetch semantics (plugin/net/OkHttpRequester.java):
+- url missing from the page store == connection error -> FAILED
+- success codes {200, 301, 302, 404} (:48-55); anything else throws ->
+  FAILED (:107-112)
+- datum.code / datum.location always set from the response (:104-105)
+- body bytes capped at max_receive_size (Config.java:28)
+
+Output: FRONTIER_SCHEMA + `seg` column: one 'fetch' row per input datum
+(status SUCCESS/FAILED, execute_count+1, execute_time), plus 'link'
+rows for every next-datum when the record succeeded and next is
+non-empty (Fetcher.java:267-274).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import pyarrow as pa
+
+from ..config import CrawlerConfig
+from ..dispatch import Visitor, VisitorMethodDispatcher
+from ..model import (
+    CODE_NOT_SET,
+    FRONTIER_SCHEMA,
+    STATUS_DB_FAILED,
+    STATUS_DB_SUCCESS,
+    CrawlDatum,
+    CrawlDatums,
+    meta_to_text,
+)
+from ..page import Page
+from ..regex_rule import RegexRule
+from ..sources.pagestore import PageStoreReader
+from ..urls import host_of
+
+SUCCESS_CODES = frozenset({200, 301, 302, 404})
+
+EXECUTE_OUT_SCHEMA = pa.schema(
+    list(FRONTIER_SCHEMA) + [pa.field("seg", pa.string())]
+)
+
+
+class FetchError(Exception):
+    pass
+
+
+class ExecuteStage:
+    """Callable class for ds.map_batches(ExecuteStage, fn_constructor_kwargs=...,
+    concurrency=N)."""
+
+    def __init__(
+        self,
+        store_handle: dict,
+        visitor: Optional[Visitor] = None,
+        executor: Optional[Callable[[Page, CrawlDatums], None]] = None,
+        auto_parse: bool = True,
+        regex_rule: Optional[RegexRule] = None,
+        config: Optional[CrawlerConfig] = None,
+        next_filter: Optional[Callable] = None,
+        execute_time_ms: Optional[int] = None,
+    ):
+        self.config = config or CrawlerConfig()
+        self.reader = PageStoreReader(store_handle)
+        self.next_filter = next_filter
+        self.execute_time_ms = execute_time_ms
+        self._last_fetch_by_host: dict = {}
+        if executor is not None:
+            # bare-executor mode (crawler/Crawler.java:51-54): user function
+            # replaces the visitor dispatch entirely
+            self._execute_visit = executor
+        else:
+            dispatcher = VisitorMethodDispatcher(
+                visitor or Visitor(),
+                auto_parse=auto_parse,
+                regex_rule=regex_rule,
+                auto_detect_img=self.config.auto_detect_img,
+            )
+            self._execute_visit = dispatcher.dispatch
+
+    # -- fetch one datum against the page store (OkHttpRequester.java) --
+    def _fetch(self, datum: CrawlDatum) -> Page:
+        row = self.reader.get(datum.url)
+        if row is None:
+            raise FetchError(f"no route to {datum.url}")
+        code = row["code"] if row["code"] is not None else self.config.default_http_code
+        datum.code = code
+        if row["location"] is not None:
+            datum.location = row["location"]
+        if code not in SUCCESS_CODES:
+            raise FetchError(f"invalid response code {code} for {datum.url}")
+        content = row["html"] or b""
+        if len(content) > self.config.max_receive_size:
+            content = content[: self.config.max_receive_size]
+        return Page(datum, content_type=row["content_type"], content=content)
+
+    def _politeness(self, url: str) -> None:
+        budget = self.config.politeness_budget_ms
+        if budget > 0:
+            host = host_of(url)
+            now = time.monotonic()
+            last = self._last_fetch_by_host.get(host)
+            if last is not None:
+                wait = budget / 1000.0 - (now - last)
+                if wait > 0:
+                    time.sleep(wait)
+            self._last_fetch_by_host[host] = time.monotonic()
+        if self.config.execute_interval_ms > 0:
+            time.sleep(self.config.execute_interval_ms / 1000.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        exec_time = (
+            self.execute_time_ms
+            if self.execute_time_ms is not None
+            else int(time.time() * 1000)
+        )
+        out_rows: list = []
+        cols = batch.column_names
+        pydict = batch.to_pydict()
+        for i in range(len(batch)):
+            datum = CrawlDatum.from_row({c: pydict[c][i] for c in cols})
+            self._politeness(datum.url)
+            next_datums = CrawlDatums()
+            try:
+                page = self._fetch(datum)
+                self._execute_visit(page, next_datums)
+                if self.next_filter is not None:
+                    filtered = CrawlDatums()
+                    for nd in next_datums:
+                        r = self.next_filter(nd, datum)
+                        if r is not None:
+                            filtered.add(r)
+                    next_datums = filtered
+                datum.status = STATUS_DB_SUCCESS
+            except Exception:
+                datum.status = STATUS_DB_FAILED
+            datum.incr_execute_count(1)
+            datum.execute_time = exec_time
+
+            fr = datum.to_row()
+            fr["seg"] = "fetch"
+            out_rows.append(fr)
+            if datum.status == STATUS_DB_SUCCESS and len(next_datums):
+                for nd in next_datums:
+                    if nd.execute_time is None:
+                        nd.execute_time = exec_time
+                    nd.execute_time = exec_time
+                    lr = nd.to_row()
+                    lr["seg"] = "link"
+                    out_rows.append(lr)
+        if not out_rows:
+            return EXECUTE_OUT_SCHEMA.empty_table()
+        out_cols = {
+            n: [r[n] for r in out_rows] for n in EXECUTE_OUT_SCHEMA.names
+        }
+        return pa.table(out_cols, schema=EXECUTE_OUT_SCHEMA)
+
+
+def run_execute(
+    generated,
+    store_handle: dict,
+    *,
+    config: CrawlerConfig,
+    execute_time_ms: Optional[int] = None,
+    **stage_kwargs,
+):
+    """generated: Dataset of frontier rows -> Dataset of seg-tagged rows."""
+    return generated.map_batches(
+        ExecuteStage,
+        fn_constructor_kwargs=dict(
+            store_handle=store_handle,
+            config=config,
+            execute_time_ms=execute_time_ms,
+            **stage_kwargs,
+        ),
+        batch_format="pyarrow",
+        batch_size=config.fetch_batch_size,
+        concurrency=config.fetch_concurrency,
+        num_cpus=1,
+    )
