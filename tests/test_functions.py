@@ -1,0 +1,223 @@
+"""Training-data-pipeline operators: text stats, dedup family,
+similarity search, windows, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from webcollector_ray.functions.dedup import (
+    MinHasher,
+    embedding_dedup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard,
+    simhash64,
+    simhash_dedup_pairs,
+    verify_pairs_exact_jaccard,
+)
+from webcollector_ray.functions.multimodal import (
+    DecodeStage,
+    media_pipeline,
+    synth_media_table,
+)
+from webcollector_ray.functions.similarity import knn_brute, knn_ivf
+from webcollector_ray.functions.textstats import (
+    LangIdStage,
+    bpe_ish_token_count_batch,
+    md5_fingerprint_batch,
+    quality_batch,
+    token_count_batch,
+)
+from webcollector_ray.functions.windows import session_windows, tumbling_window_agg
+
+
+def test_token_count():
+    t = pa.table({"text": ["a b  c", "", "  ", "one"]})
+    out = token_count_batch(t)
+    assert out["n_tokens"].to_pylist() == [3, 0, 0, 1]
+    for s, n in zip(t["text"].to_pylist(), out["n_tokens"].to_pylist()):
+        assert n == len(s.split())
+
+
+def test_bpe_ish_tokens():
+    t = pa.table({"text": ["hello, world 123"]})
+    out = bpe_ish_token_count_batch(t)
+    # hello | , | world | 123
+    assert out["n_subtokens"].to_pylist() == [4]
+
+
+def test_quality_features():
+    t = pa.table({"text": ["Hi there. Ok!", ""]})
+    out = quality_batch(t)
+    assert out["n_chars"].to_pylist() == [13, 0]
+    assert out["n_tokens"].to_pylist() == [3, 0]
+    assert out["punct_ratio"].to_pylist()[0] == pytest.approx(2 / 13)
+    assert out["alpha_ratio"].to_pylist()[1] == 0.0
+
+
+def test_lang_id():
+    stage = LangIdStage()
+    assert stage.classify("the cat sat on the mat and it was happy for a while") == "en"
+    assert stage.classify("der Hund ist nicht mit der Katze auf dem Sofa") == "de"
+    assert stage.classify("le chat est dans la maison avec les enfants pour une heure") == "fr"
+    assert stage.classify("el perro es una mascota que vive en la casa con su familia") == "es"
+    assert stage.classify("这是一个中文句子，用来测试语言识别功能。") == "zh"
+    assert stage.classify("Это русский текст для проверки определения языка") == "ru"
+    assert stage.classify("") == "und"
+
+
+def test_md5_fingerprint_matches_duckdb():
+    import duckdb
+
+    t = pa.table({"text": ["hello", "你好"]})
+    out = md5_fingerprint_batch(t)
+    for s, fp in zip(t["text"].to_pylist(), out["fp"].to_pylist()):
+        assert duckdb.sql(f"SELECT md5('{s}')").fetchone()[0] == fp
+
+
+def _docs(rows):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def test_exact_dedup(ray_session):
+    ds = _docs([(1, "aaa"), (2, "bbb"), (3, "aaa"), (0, "aaa")])
+    out = exact_dedup(ds, num_buckets=2).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 2]  # min id per distinct text
+
+
+BASE_TEXT = ("the quick brown fox jumps over the lazy dog and then runs far "
+             "away into the deep green forest to hide from all the hunters")
+
+
+def test_minhash_est_jaccard_sane():
+    mh = MinHasher(num_perm=128)
+    a = mh.signature(BASE_TEXT)
+    b = mh.signature(BASE_TEXT)
+    assert MinHasher.est_jaccard(a, b) == 1.0
+    c = mh.signature(BASE_TEXT + " extra trailing words here")
+    assert 0.4 < MinHasher.est_jaccard(a, c) < 1.0
+    d = mh.signature("completely different content about other topics entirely today")
+    assert MinHasher.est_jaccard(a, d) < 0.2
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    docs = [
+        (0, BASE_TEXT),
+        (1, BASE_TEXT),                                  # exact dup
+        (2, BASE_TEXT.replace("lazy", "sleepy")),        # near dup
+        (3, "an entirely unrelated document about ray data pipelines and arrow"),
+        (4, "yet another distinct text mentioning parquet files and shuffles"),
+    ]
+    pairs = minhash_dedup_pairs(_docs(docs), threshold=0.6).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    assert (0, 2) in got or (1, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_simhash_near_dup(ray_session):
+    assert simhash64(BASE_TEXT) == simhash64(BASE_TEXT)
+    docs = [
+        (0, BASE_TEXT),
+        (1, BASE_TEXT.replace("dog", "cat")),
+        (2, "some wholly different words composing another document body"),
+    ]
+    pairs = simhash_dedup_pairs(_docs(docs), max_hamming=8).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_ngram_jaccard_and_verify(ray_session):
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    docs = [(0, BASE_TEXT), (1, BASE_TEXT), (2, "other words " * 10)]
+    ds = _docs(docs)
+    pairs = minhash_dedup_pairs(ds, threshold=0.5)
+    verified = verify_pairs_exact_jaccard(pairs, ds, threshold=0.9).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(verified["id_a"], verified["id_b"])}
+    assert got == {(0, 1)}
+
+
+def _emb_ds(n=50, d=8, seed=3):
+    rng = np.random.RandomState(seed)
+    M = rng.randn(n, d)
+    M[7] = M[3] + 0.01 * rng.randn(d)  # planted near-dup
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in M], pa.list_(pa.float32())),
+    })), M
+
+
+def test_embedding_dedup(ray_session):
+    ds, _ = _emb_ds()
+    pairs = embedding_dedup_pairs(ds, threshold=0.99, dim=8, n_planes=6).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (3, 7) in got
+
+
+def test_knn_brute_matches_numpy(ray_session):
+    ds, M = _emb_ds()
+    q = M[5]
+    top = knn_brute(ds, q[None, :], k=5)
+    # numpy reference
+    Mu = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mu @ (q / np.linalg.norm(q))
+    expected = np.lexsort((np.arange(len(M)), -sims))[:5].tolist()
+    assert top["vec_id"].tolist() == expected
+    assert top["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_knn_ivf_recall(ray_session):
+    ds, M = _emb_ds(n=200)
+    q = M[5]
+    brute = set(knn_brute(ds, q[None, :], k=5)["vec_id"])
+    approx = set(knn_ivf(ds, q[None, :], k=5, n_cells=8, nprobe=4)["vec_id"])
+    assert len(brute & approx) >= 3  # decent recall on tiny data
+
+
+def _events():
+    import pandas as pd
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:05", "2024-01-01 00:40", "2024-01-01 02:10",
+         "2024-01-01 00:10", "2024-01-02 00:10"]
+    )
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+    }))
+
+
+def test_tumbling_window(ray_session):
+    out = tumbling_window_agg(_events(), window_sec=3600).to_pandas()
+    out = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    u1 = out[out["user_id"] == 1]
+    assert u1["n_events"].tolist() == [2, 1]
+    assert u1["sum_value"].tolist() == [3.0, 3.0]
+
+
+def test_session_windows(ray_session):
+    out = session_windows(_events(), gap_sec=3600).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_sessions"] == 2  # 00:05+00:40 | 02:10
+    assert out.loc[2, "n_sessions"] == 2  # day apart
+    assert out.loc[1, "n_events"] == 3
+
+
+def test_media_pipeline_deterministic(ray_session):
+    tbl = synth_media_table(8)
+    a = media_pipeline(rd.from_arrow(tbl)).to_pandas().sort_values("media_id")
+    b = media_pipeline(rd.from_arrow(tbl)).to_pandas().sort_values("media_id")
+    assert [list(x) for x in a["features"]] == [list(x) for x in b["features"]]
+    assert all(len(f) == 6 for f in a["features"])  # 3 means + 3 stds
+
+
+def test_media_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        DecodeStage(fake=False)(synth_media_table(1))

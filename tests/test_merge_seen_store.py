@@ -1,0 +1,117 @@
+"""Merge shuffle, sharded bloom seen filter, bucketed page store."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from webcollector_ray.model import CrawlDatum, datums_to_table
+from webcollector_ray.stages.merge import dedupe_by_key, merge_segments
+from webcollector_ray.sources.pagestore import (
+    BroadcastPageStore,
+    PageStoreReader,
+    build_bucketed_store,
+)
+from webcollector_ray.state.seen import ShardedSeenFilter, hash64_batch
+from webcollector_ray.synth import SynthSpec, synth_pages_table
+
+
+def _ds(rows):
+    return rd.from_arrow(datums_to_table([CrawlDatum(**r) for r in rows]))
+
+
+def test_merge_precedence(ray_session):
+    # fetch overwrites crawldb; link only if absent (RocksDBManager.java:160-197)
+    crawldb = _ds([
+        dict(url="http://a/1", status=0, execute_time=1),
+        dict(url="http://a/2", status=5, execute_time=1),
+    ])
+    fetch = _ds([dict(url="http://a/1", status=5, execute_time=2, execute_count=1)])
+    link = _ds([
+        dict(url="http://a/2", status=0, execute_time=2),   # loses to crawldb
+        dict(url="http://a/3", status=0, execute_time=2),   # new -> inserted
+        dict(url="http://a/3", status=0, execute_time=2, meta={"referer": "zzz"}),  # dup link
+    ])
+    out = merge_segments(crawldb, fetch, link, num_buckets=4).to_pandas().set_index("key")
+    assert len(out) == 3
+    assert out.loc["http://a/1", "status"] == 5        # fetch overwrote
+    assert out.loc["http://a/1", "execute_count"] == 1
+    assert out.loc["http://a/2", "status"] == 5        # crawldb kept over link
+    # deterministic link tie-break: smallest meta ('' < '{"referer"...}')
+    assert out.loc["http://a/3", "meta"] == ""
+
+
+def test_dedupe_single_source_removes_dups(ray_session):
+    link = _ds([
+        dict(url="http://a/x", status=0, execute_time=1),
+        dict(url="http://a/x", status=0, execute_time=1),
+    ])
+    out = dedupe_by_key([(link, 0)], num_buckets=2).to_pandas()
+    assert len(out) == 1
+
+
+def test_merge_schema_stable(ray_session):
+    out = merge_segments(
+        _ds([dict(url="http://a/1", status=0, execute_time=1)]), None, None, 2
+    )
+    sch = out.schema()
+    assert sch.names == [
+        "key", "url", "status", "execute_time", "execute_count", "code",
+        "location", "meta",
+    ]
+    t = out.to_arrow_refs()
+    assert t is not None
+
+
+def test_bloom_no_false_negatives(ray_session):
+    f = ShardedSeenFilter(num_shards=4, bits_per_shard=1 << 16)
+    keys = [f"http://h{i}.test/p{i}" for i in range(500)]
+    first = f.add_and_check(keys)
+    assert not first.any()          # nothing seen before
+    second = f.check(keys)
+    assert second.all()             # everything seen after (no false negatives)
+    other = f.check([f"http://new{i}.test/" for i in range(500)])
+    assert other.sum() < 25         # low fp rate at this load factor
+    assert f.approx_size() == 500
+    f.shutdown()
+
+
+def test_hash64_deterministic():
+    a = hash64_batch(["x", "y"])
+    b = hash64_batch(["x", "y"])
+    assert np.array_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def pages_tbl():
+    return synth_pages_table(SynthSpec(num_sites=3))
+
+
+def test_bucketed_store_equals_broadcast(ray_session, pages_tbl, tmp_path):
+    store_dir = str(tmp_path / "pstore")
+    build_bucketed_store(pages_tbl, store_dir, num_buckets=7)
+    broadcast = PageStoreReader(BroadcastPageStore(pages_tbl).handle())
+    bucketed = PageStoreReader(
+        {"kind": "bucketed", "dir": store_dir, "num_buckets": 7}, cache_buckets=3
+    )
+    urls = pages_tbl["url"].to_pylist()
+    for u in urls:
+        a, b = broadcast.get(u), bucketed.get(u)
+        assert a == b, u
+    assert bucketed.get("http://nope.test/") is None
+    assert broadcast.get("http://nope.test/") is None
+
+
+def test_bucketed_store_defaults_for_bare_schema(ray_session, tmp_path):
+    # input_hint-only table: no code/location/content_type columns
+    bare = pa.table({
+        "url": ["http://x.test/a"],
+        "warc_ts": pa.array([0], pa.timestamp("ms")),
+        "html": [b"<body>hi</body>"],
+        "text": ["hi"],
+        "lang": ["en"],
+    })
+    r = PageStoreReader(BroadcastPageStore(bare).handle())
+    row = r.get("http://x.test/a")
+    assert row["code"] == 200 and row["content_type"] == "text/html"

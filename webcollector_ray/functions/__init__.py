@@ -1,0 +1,18 @@
+from .textstats import (  # noqa: F401
+    LangIdStage,
+    bpe_ish_token_count_batch,
+    md5_fingerprint_batch,
+    quality_batch,
+    rolling_fingerprint_batch,
+    token_count_batch,
+)
+from .dedup import (  # noqa: F401
+    embedding_dedup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard,
+    simhash_dedup_pairs,
+    verify_pairs_exact_jaccard,
+)
+from .similarity import IVFIndex, knn_brute, knn_ivf  # noqa: F401
+from .windows import session_windows, tumbling_window_agg  # noqa: F401

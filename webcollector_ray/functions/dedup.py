@@ -1,0 +1,361 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (ray_guide patterns, all shuffle-by-bucket):
+
+- exact: content-hash column in a vectorized map_batches, hash-bucket,
+  per-bucket vectorized first-wins (NOT per-key map_groups — buckets are
+  the reduce unit so tiny-group overhead and key skew never appear);
+- minhash-lsh: signatures per batch (stateful actor: permutations built
+  once) -> explode to (band, band_hash, doc) rows -> groupby band bucket
+  -> candidate pairs -> verify estimated Jaccard from signatures ->
+  distinct pairs. No driver-side union-find: clusters form via
+  min-label propagation if needed;
+- simhash: 64-bit signature, 4x16-bit chunk blocking, Hamming verify;
+- embedding: random-hyperplane LSH bucket then exact cosine verify.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _bucket_of_bytes(s: bytes, num_buckets: int) -> int:
+    return int.from_bytes(hashlib.md5(s).digest()[:8], "big") % num_buckets
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 32):
+    """Keep the min-id row per distinct text. == SQL
+    SELECT min(id), text GROUP BY text (first-wins by id order)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = [
+            _bucket_of_bytes((t or "").encode(), num_buckets)
+            for t in batch[text_col].to_pylist()
+        ]
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([text_col, id_col], kind="mergesort")
+        return df.drop_duplicates(text_col, keep="first")
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dedupe, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda b: b.drop_columns(["__bucket"]), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """crc32 hashes of word k-shingles (stable across processes)."""
+    words = (text or "").lower().split()
+    if len(words) < k:
+        joined = " ".join(words)
+        return np.array([zlib.crc32(joined.encode())], dtype=np.uint64)
+    out = np.empty(len(words) - k + 1, dtype=np.uint64)
+    for i in range(len(words) - k + 1):
+        out[i] = zlib.crc32(" ".join(words[i : i + k]).encode())
+    return out
+
+
+class MinHasher:
+    """Universal-hash minhash signatures; permutation params derived
+    from a fixed seed so every actor agrees."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.shingle_k)
+        # (n_shingles, num_perm) via broadcasting, mod Mersenne prime
+        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(
+            _MERSENNE
+        )
+        return vals.min(axis=0)
+
+    @staticmethod
+    def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float((sig_a == sig_b).mean())
+
+
+class MinHashLSHStage:
+    """map_batches actor: text -> exploded (band, band_hash, id, sig)."""
+
+    def __init__(self, num_perm=64, bands=16, shingle_k=3,
+                 text_col="text", id_col="doc_id", seed=42):
+        assert num_perm % bands == 0
+        self.mh = MinHasher(num_perm, shingle_k, seed)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.mh.signature(t)
+            sig_bytes = sig.astype("<u8").tobytes()
+            for b in range(self.bands):
+                chunk = sig_bytes[
+                    b * 8 * self.rows_per_band : (b + 1) * 8 * self.rows_per_band
+                ]
+                out_band.append(b)
+                out_hash.append(
+                    int.from_bytes(hashlib.md5(chunk).digest()[:8], "big")
+                    & 0x7FFF_FFFF_FFFF_FFFF
+                )
+                out_id.append(i)
+                out_sig.append(sig_bytes)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+                self.id_col: pa.array(out_id),
+                "sig": pa.array(out_sig, pa.binary()),
+            }
+        )
+
+
+def minhash_dedup_pairs(
+    ds,
+    *,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 200,
+):
+    """documents -> distinct verified near-dup pairs (id_a < id_b,
+    est_jaccard >= threshold)."""
+
+    exploded = ds.map_batches(
+        MinHashLSHStage,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        df = df.sort_values(id_col).drop_duplicates(id_col)
+        if len(df) > max_bucket:  # no silent caps: trim pathological buckets
+            df = df.head(max_bucket)
+        ids = df[id_col].to_numpy()
+        sigs = [np.frombuffer(s, dtype="<u8") for s in df["sig"]]
+        a_out, b_out, j_out = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                j = MinHasher.est_jaccard(sigs[x], sigs[y])
+                if j >= threshold:
+                    a_out.append(ids[x])
+                    b_out.append(ids[y])
+                    j_out.append(j)
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_jaccard": j_out})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    # distinct pairs across bands (same pair can collide in many bands)
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"])
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda d: d.head(1), batch_format="pandas"
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigrams (crc32-seeded md5 bit mix)."""
+    words = (text or "").lower().split()
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in words:
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+        bits = np.array([(h >> b) & 1 for b in range(64)], dtype=np.int64)
+        acc += 2 * bits - 1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def simhash_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    hs = [simhash64(t) for t in batch[text_col].to_pylist()]
+    return batch.append_column("simhash", pa.array(np.array(hs, dtype=np.uint64)))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_dedup_pairs(ds, *, max_hamming: int = 3, text_col="text",
+                        id_col="doc_id", max_bucket: int = 500):
+    """SimHash blocking: 4 x 16-bit chunks — any pair within Hamming
+    distance <= 3 shares at least one exact chunk (pigeonhole)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        c_chunk, c_val, c_id, c_sim = [], [], [], []
+        for i, t in zip(ids, texts):
+            h = simhash64(t)
+            for c in range(4):
+                c_chunk.append(c)
+                c_val.append((h >> (16 * c)) & 0xFFFF)
+                c_id.append(i)
+                c_sim.append(h)
+        return pa.table(
+            {
+                "chunk": pa.array(c_chunk, pa.int32()),
+                "chunk_val": pa.array(c_val, pa.int32()),
+                id_col: pa.array(c_id),
+                "simhash": pa.array(np.array(c_sim, dtype=np.uint64)),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        df = df.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
+        ids = df[id_col].to_numpy()
+        sims = df["simhash"].to_numpy()
+        a_out, b_out, h_out = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                d = hamming64(int(sims[x]), int(sims[y]))
+                if d <= max_hamming:
+                    a_out.append(ids[x])
+                    b_out.append(ids[y])
+                    h_out.append(d)
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": h_out})
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk", "chunk_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda d: d.head(1), batch_format="pandas"
+    )
+
+
+# ------------------------------------------------- n-gram exact jaccard
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa = set(zip(*[(a or "").lower().split()[i:] for i in range(k)])) or {tuple((a or "").lower().split())}
+    sb = set(zip(*[(b or "").lower().split()[i:] for i in range(k)])) or {tuple((b or "").lower().split())}
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa | sb)
+    return inter / union if union else 0.0
+
+
+def verify_pairs_exact_jaccard(pairs_ds, docs_ds, *, threshold: float,
+                               k: int = 3, text_col="text", id_col="doc_id"):
+    """Re-verify candidate pairs with EXACT n-gram Jaccard. The doc texts
+    are broadcast once (ray.put) — pairs are the small side's output."""
+    import ray as _ray
+
+    texts = {}
+    for batch in docs_ds.iter_batches(batch_format="pyarrow"):
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            texts[i] = t
+    ref = _ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tmap = _ray.get(ref)
+        ia = batch["id_a"].to_pylist()
+        ib = batch["id_b"].to_pylist()
+        js = [ngram_jaccard(tmap.get(a, ""), tmap.get(b, ""), k) for a, b in zip(ia, ib)]
+        out = batch.append_column("jaccard", pa.array(js, pa.float64()))
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_dedup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 12,
+                          emb_col="embedding", id_col="vec_id",
+                          dim: int = 64, seed: int = 7, max_bucket: int = 2000):
+    """Random-hyperplane LSH bucketing + exact cosine verify."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, n_planes).astype(np.float64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[emb_col].to_pylist()]
+        )
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        unit = emb / np.where(norms == 0, 1, norms)
+        signs = (unit @ planes) > 0
+        bucket = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket": pa.array(bucket),
+                "unit": pa.array(list(unit)),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        df = df.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
+        ids = df[id_col].to_numpy()
+        U = np.stack([np.asarray(u) for u in df["unit"]])
+        S = U @ U.T
+        a_out, b_out, c_out = [], [], []
+        xs, ys = np.nonzero(np.triu(S >= threshold, k=1))
+        for x, y in zip(xs, ys):
+            a_out.append(ids[x])
+            b_out.append(ids[y])
+            c_out.append(float(S[x, y]))
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "cosine": c_out})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (list<float>).
+
+- knn_brute: baseline exact top-k cosine — per-batch numpy matmul
+  against a query matrix broadcast ONCE with ray.put, per-batch local
+  top-k, tiny driver-side reduce of k*num_batches candidates.
+- knn_ivf: the scale path — deterministic mini-kmeans centroids from a
+  sample, assign every vector to a cell in one map_batches pass, search
+  only the `nprobe` nearest cells. At 10^10 vectors the assign pass is
+  embarrassingly parallel and the probe reads a bounded slice.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1, n)
+
+
+def knn_brute(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_ids: Optional[set] = None,
+):
+    """-> pandas DataFrame (query_id, rank, vec_id, cosine), rank 1..k,
+    ties broken by vec_id asc (deterministic)."""
+    q_unit = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    q_ref = ray.put(q_unit)
+    excl = exclude_ids or set()
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        emb = _unit(_to_matrix(batch[emb_col]))
+        sims = emb @ q.T  # (n, nq)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            s = sims[:, qi]
+            order = np.lexsort((ids, -s))[: k + len(excl)]
+            for j in order:
+                out_q.append(qi)
+                out_id.append(ids[j])
+                out_s.append(float(s[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if excl:
+        cand = cand[~cand[id_col].isin(excl)]
+    cand = cand.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = cand.groupby("query_id").head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", id_col, "cosine"]]
+
+
+class IVFIndex:
+    """Deterministic mini-kmeans cell index."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _unit(centroids)
+
+    @classmethod
+    def train(cls, sample: np.ndarray, n_cells: int = 16, iters: int = 5,
+              seed: int = 13) -> "IVFIndex":
+        rng = np.random.RandomState(seed)
+        X = _unit(np.asarray(sample, dtype=np.float64))
+        idx = rng.choice(len(X), size=min(n_cells, len(X)), replace=False)
+        C = X[np.sort(idx)]
+        for _ in range(iters):
+            assign = (X @ C.T).argmax(axis=1)
+            for c in range(len(C)):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+            C = _unit(C)
+        return cls(C)
+
+    def assign(self, X: np.ndarray) -> np.ndarray:
+        return (_unit(X) @ self.centroids.T).argmax(axis=1)
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 2048,
+):
+    """Approximate top-k: restrict the brute pass to vectors whose cell
+    is among each query's `nprobe` nearest cells."""
+    sample = ds.limit(train_sample).to_pandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[emb_col]])
+    index = IVFIndex.train(X, n_cells=n_cells)
+    q_unit = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    # cells to probe per query (union over queries for the filter pass)
+    cell_sims = q_unit @ index.centroids.T
+    probe_cells = set()
+    per_query_cells: List[set] = []
+    for qi in range(q_unit.shape[0]):
+        cells = set(np.argsort(-cell_sims[qi])[:nprobe].tolist())
+        per_query_cells.append(cells)
+        probe_cells |= cells
+    idx_ref = ray.put(index.centroids)
+    probe_ref = ray.put(probe_cells)
+
+    def cell_filter(batch: pa.Table) -> pa.Table:
+        C = ray.get(idx_ref)
+        probes = ray.get(probe_ref)
+        emb = _unit(_to_matrix(batch[emb_col]))
+        assign = (emb @ C.T).argmax(axis=1)
+        mask = np.isin(assign, list(probes))
+        return batch.filter(pa.array(mask))
+
+    restricted = ds.map_batches(cell_filter, batch_format="pyarrow")
+    return knn_brute(restricted, queries, k, emb_col=emb_col, id_col=id_col)

@@ -1,0 +1,173 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's operator set (SURVEY.md §2.7 is per-page scalar
+extraction); these are the corpus-level text ops a 100 TB pipeline
+needs: token counting, quality scoring, language ID, fingerprinting.
+All hot paths are vectorized pyarrow.compute kernels; language ID is a
+stateful stage (profiles built once per actor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------- tokens
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count, Python str.split() semantics (empty ->
+    0). Vectorized: trim + split on whitespace runs."""
+    text = batch[text_col]
+    trimmed = pc.utf8_trim_whitespace(text)
+    n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+    n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), pc.cast(n, pa.int32()))
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]"
+
+
+def bpe_ish_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish sub-token count: alpha runs + short digit groups + single
+    punctuation, via one vectorized regex count."""
+    n = pc.count_substring_regex(batch[text_col], _BPE_ISH)
+    return batch.append_column("n_subtokens", pc.cast(n, pa.int64()))
+
+
+# ---------------------------------------------------------------- quality
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-scoring features: n_chars, n_tokens, avg token length,
+    punctuation ratio, alpha ratio. Pure Arrow kernels."""
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    batch = token_count_batch(batch, text_col)
+    n_tokens = batch["n_tokens"]
+    non_space = pc.cast(
+        pc.count_substring_regex(text, r"\S"), pa.int64()
+    )
+    avg_tok = pc.if_else(
+        pc.greater(n_tokens, 0),
+        pc.divide(pc.cast(non_space, pa.float64()), pc.cast(n_tokens, pa.float64())),
+        pa.scalar(0.0),
+    )
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[.,!?;:]"), pa.int64())
+    punct_ratio = pc.if_else(
+        pc.greater(n_chars, 0),
+        pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(n_chars, pa.float64())),
+        pa.scalar(0.0),
+    )
+    n_alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"), pa.int64())
+    alpha_ratio = pc.if_else(
+        pc.greater(n_chars, 0),
+        pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(n_chars, pa.float64())),
+        pa.scalar(0.0),
+    )
+    for name, col in [
+        ("n_chars", n_chars),
+        ("avg_token_len", avg_tok),
+        ("punct_ratio", punct_ratio),
+        ("alpha_ratio", alpha_ratio),
+    ]:
+        batch = batch.append_column(name, col)
+    return batch
+
+
+# ---------------------------------------------------------------- lang id
+
+_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+           "with", "are", "this", "have", "not"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+           "auf", "für", "den", "von", "sich", "dass"},
+    "fr": {"le", "la", "les", "des", "est", "une", "dans", "que", "pour",
+           "sur", "avec", "pas", "qui", "nous", "vous"},
+    "es": {"el", "la", "los", "las", "es", "una", "en", "que", "por", "para",
+           "con", "del", "se", "su", "como"},
+    "it": {"il", "la", "di", "che", "è", "per", "una", "sono", "con", "non",
+           "del", "gli", "più", "questo", "della"},
+}
+
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+class LangIdStage:
+    """n-gram/stopword heuristic language ID — callable class for an
+    actor pool (profiles compiled once per actor, ST-style)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = {k: frozenset(v) for k, v in _PROFILES.items()}
+
+    def classify(self, text: Optional[str]) -> str:
+        if not text:
+            return "und"
+        n = len(text)
+        cjk = sum(1 for ch in text[:2000] if "一" <= ch <= "鿿")
+        if cjk / min(n, 2000) > 0.1:
+            return "zh"
+        kana = sum(1 for ch in text[:2000] if "぀" <= ch <= "ヿ")
+        if kana / min(n, 2000) > 0.05:
+            return "ja"
+        cyr = sum(1 for ch in text[:2000] if "Ѐ" <= ch <= "ӿ")
+        if cyr / min(n, 2000) > 0.3:
+            return "ru"
+        words = [w.lower() for w in _WORD_RE.findall(text[:4000])]
+        if not words:
+            return "und"
+        best_lang, best_score = "und", 0.0
+        for lang, stops in self.profiles.items():
+            score = sum(1 for w in words if w in stops) / len(words)
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang if best_score > 0.02 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+# ------------------------------------------------------------ fingerprint
+
+
+def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content fingerprint = md5 hex of the raw text (same definition as
+    DuckDB md5(text), so it is oracle-checkable)."""
+    fps = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column("fp", pa.array(fps, pa.string()))
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> int:
+    """Winnowing-style document fingerprint: 64-bit mix of the `keep`
+    smallest rolling word-window hashes — robust to local edits."""
+    words = (text or "").split()
+    if not words:
+        return 0
+    hs = []
+    for i in range(max(1, len(words) - window + 1)):
+        chunk = " ".join(words[i : i + window])
+        hs.append(
+            int.from_bytes(hashlib.md5(chunk.encode()).digest()[:8], "big")
+        )
+    hs.sort()
+    out = 0
+    for h in hs[:keep]:
+        out = (out * 1000003 + h) & ((1 << 64) - 1)
+    return out
+
+
+def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    fps = [rolling_fingerprint(t) for t in batch[text_col].to_pylist()]
+    return batch.append_column(
+        "rolling_fp", pa.array(np.array(fps, dtype=np.uint64))
+    )

@@ -1,0 +1,74 @@
+"""Stream-shaped operators over an ordered, partitioned log.
+
+Ray Data has no event-time windows; per ray_guide the pattern is
+groupby(key).map_groups over ts-sorted groups. The reference engine is
+strictly batch-per-depth (SURVEY.md §2.9: no windows/watermarks), so
+these are part of the training-pipeline extension surface.
+
+- tumbling_window_agg: floor-aligned fixed windows — expressed as a
+  plain two-key groupby aggregate (vectorized window-id column first;
+  no per-group Python at all).
+- session_windows: gap-based sessions per key — per-group vectorized
+  pandas (diff + cumsum), groups are keys so ordering within group is
+  explicit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Sum
+
+
+def tumbling_window_agg(
+    events,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: int = 3600,
+):
+    """-> (key, window_start:int64 epoch-sec, n_events, sum_value)."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch[ts_col], pa.int64())  # timestamp[us] -> micros
+        wnd = pc.multiply(
+            pc.divide(us, window_sec * 1_000_000), window_sec
+        )
+        return batch.append_column("window_start", pc.cast(wnd, pa.int64()))
+
+    return (
+        events.map_batches(add_window, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name="sum_value"),
+        )
+    )
+
+
+def session_windows(
+    events,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_sec: int = 3600,
+):
+    """-> (key, n_sessions, n_events): a new session starts when the gap
+    to the previous event of the same key exceeds gap_sec."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="mergesort")
+        diffs = df[ts_col].diff().dt.total_seconds()
+        n_sessions = int((diffs > gap_sec).sum()) + 1
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [len(df)],
+            }
+        )
+
+    return events.groupby(key_col).map_groups(per_key, batch_format="pandas")
