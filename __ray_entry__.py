@@ -1,44 +1,551 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl+extract pipeline at sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2 plus the training-pipeline extension surface
+(dedup / similarity / text stats / windows / multimodal);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible entry (same column names, so the driver's
+order-insensitive value-hash compares 1:1). Crawl / hash-sketch /
+approximate entries intentionally have no oracle (rows-only check) —
+their exactness is pinned by tests/ instead (sequential reference
+model + golden CEPF fixtures).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in webcollector_ray.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from webcollector_ray.config import CrawlerConfig
+from webcollector_ray.functions.dedup import (
+    exact_dedup,
+    embedding_dedup_pairs,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+)
+from webcollector_ray.functions.multimodal import media_pipeline, synth_media_table
+from webcollector_ray.functions.similarity import (
+    cosine_pairs_exact,
+    knn_brute,
+    knn_ivf,
+)
+from webcollector_ray.functions.textstats import (
+    LangIdStage,
+    bpe_ish_token_count_batch,
+    md5_fingerprint_batch,
+    quality_batch,
+    rolling_fingerprint_batch,
+    token_count_batch,
+)
+from webcollector_ray.functions.windows import session_windows, tumbling_window_agg
+from webcollector_ray.pipelines.crawler import RamCrawler
+from webcollector_ray.stages.extract import extract_news
+from webcollector_ray.synth import spec_for_scale, synth_pages_table
+
+SF001 = "/root/testdata/sf0.001"
+CRAWL_REGEX = r"http://site[0-9]+\.test/(list|show)-[0-9]+\.html"
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _round_cols(ds, cols: dict):
+    """Round float64 columns so distributed-summation order doesn't
+    leak into the value hash (oracle rounds identically)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        for name, nd in cols.items():
+            i = batch.column_names.index(name)
+            batch = batch.set_column(
+                i, name, pc.round(pc.cast(batch[name], pa.float64()), ndigits=nd)
+            )
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _crawl_spec(sf_dir: str):
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return spec_for_scale(n_docs)
+
+
+def _run_crawl(sf_dir: str):
+    spec = _crawl_spec(sf_dir)
+    pages = synth_pages_table(spec)
+    cfg = CrawlerConfig(fetch_concurrency=4, merge_num_buckets=16)
+    c = RamCrawler(pages, config=cfg, deterministic_time=True)
+    c.add_seed(spec.seeds())
+    c.add_regex(CRAWL_REGEX)
+    res = c.start(10)
+    return spec, pages, res
+
+
+# ----------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic Common-Crawl-style web scaled off sf0.001 →
+    BFS crawl (merge/generate/fetch/parse rounds) → CEPF news
+    extraction over the successfully fetched pages."""
+    spec, pages, res = _run_crawl(SF001)
+    ok = res.crawldb.filter(lambda r: r["status"] == 5)
+    ok_urls = {r["url"] for r in ok.iter_rows()}
+    mask = pa.array([u in ok_urls for u in pages["url"].to_pylist()])
+    fetched = rd.from_arrow(pages.filter(mask).select(["url", "html"]))
+    news = extract_news(fetched).to_pandas()
+    return news.sort_values("url").reset_index(drop=True)
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_doc_token_counts(sf_dir: str):
+    return token_count_batch_ds(_docs(sf_dir)).select_columns(["doc_id", "n_tokens"])
+
+
+def token_count_batch_ds(ds):
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def _q_doc_subtoken_counts(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        bpe_ish_token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_subtokens"])
+
+
+def _q_doc_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        quality_batch, batch_format="pyarrow"
+    ).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "avg_token_len", "punct_ratio", "alpha_ratio"]
+    )
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        md5_fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fp"])
+
+
+def _q_doc_rolling_fp(sf_dir: str):
+    out = _docs(sf_dir).map_batches(
+        rolling_fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "rolling_fp"])
+    # uint64 -> hex string: driver-side pandas conversion of uint64 is lossy
+    return out.map_batches(
+        lambda b: b.set_column(
+            1, "rolling_fp",
+            pa.array([f"{v:016x}" for v in b["rolling_fp"].to_pylist()], pa.string()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    kept = exact_dedup(_docs(sf_dir), text_col="text", id_col="doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+def _q_docs_by_lang(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def _q_lang_id_counts(sf_dir: str):
+    ds = _docs(sf_dir).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=2
+    )
+    return ds.groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    pairs = minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def _q_dedup_simhash(sf_dir: str):
+    pairs = simhash_dedup_pairs(_docs(sf_dir), max_hamming=3)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def _cents(batch: pa.Table, src: str, dst: str) -> pa.Table:
+    """Exact-decimal sums: 2-decimal money doubles -> integer cents, so
+    distributed summation order can't perturb the value hash."""
+    v = np.round(batch[src].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    return batch.append_column(dst, pa.array(v))
+
+
+def _q_events_tumbling(sf_dir: str):
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ).map_batches(lambda b: _cents(b, "value", "cents"), batch_format="pyarrow")
+    out = tumbling_window_agg(ev, value_col="cents", window_sec=3600)
+
+    def uncent(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_value")
+        return batch.set_column(
+            i, "sum_value",
+            pc.divide(pc.cast(batch["sum_value"], pa.float64()), 100.0),
+        )
+
+    return out.map_batches(uncent, batch_format="pyarrow")
+
+
+def _q_events_sessions(sf_dir: str):
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return session_windows(ev, gap_sec=3600).select_columns(
+        ["user_id", "n_sessions", "n_events"]
+    )
+
+
+def _q_events_top100(sf_dir: str):
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return ev.sort(["value", "event_id"], descending=[True, False]).limit(100)
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["price_cents"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        df["qty_i"] = np.round(df["l_quantity"]).astype(np.int64)
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("qty_i", "sum"),
+                sum_price=("price_cents", "sum"),
+                n_rows=("qty_i", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    combined = li.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_price")
+        batch = batch.set_column(
+            i, "sum_price",
+            pc.divide(pc.cast(batch["sum_price"], pa.float64()), 100.0),
+        )
+        j = batch.column_names.index("sum_qty")
+        return batch.set_column(
+            j, "sum_qty", pc.cast(batch["sum_qty"], pa.float64())
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_orders_by_nation(sf_dir: str):
+    # broadcast join: small dim (custkey -> nation name) shipped once via
+    # ray.put, looked up per batch; partial-aggregate before the tiny
+    # groupby shuffle (SNIPPETS broadcast pattern; no all-to-all join).
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    cmap = {
+        c: nmap[n]
+        for c, n in zip(
+            cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
+        )
+    }
+    ref = ray.put(cmap)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "n_name": [m.get(c) for c in batch["o_custkey"].to_pylist()],
+                "tp": np.round(tp * 100).astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby("n_name", sort=False)
+            .agg(n_orders=("tp", "size"), sum_total=("tp", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    out = orders.map_batches(partial, batch_format="pyarrow").groupby(
+        "n_name"
+    ).aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("sum_total", alias_name="sum_total"),
+    )
+
+    def uncent(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_total")
+        return batch.set_column(
+            i, "sum_total",
+            pc.divide(pc.cast(batch["sum_total"], pa.float64()), 100.0),
+        )
+
+    return out.map_batches(uncent, batch_format="pyarrow")
+
+
+def _knn_queries(sf_dir: str, n: int = 3) -> np.ndarray:
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+
+
+def _q_knn_brute(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    top = knn_brute(ds, _knn_queries(sf_dir), k=10)
+    return top[["query_id", "rank", "vec_id"]]
+
+
+def _q_knn_ivf(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    top = knn_ivf(ds, _knn_queries(sf_dir), k=10, n_cells=16, nprobe=4)
+    return top[["query_id", "rank", "vec_id"]]
+
+
+def _q_embedding_dup_pairs(sf_dir: str):
+    # threshold 0.4: the synthetic embeddings carry no true near-dups
+    # (max off-diagonal cosine ~0.51), so a 0.9+ cut would be vacuous
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs_exact(ds, threshold=0.4)
+
+
+def _q_embedding_dup_lsh(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_dedup_pairs(
+        ds, threshold=0.4, n_planes=6, dim=_emb_dim(sf_dir)
+    )
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def _emb_dim(sf_dir: str) -> int:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return len(t["embedding"][0].as_py())
+
+
+def _q_crawl_bfs(sf_dir: str):
+    _spec, _pages, res = _run_crawl(sf_dir)
+    df = res.crawldb.to_pandas()[
+        ["key", "url", "status", "execute_count", "code"]
+    ]
+    df["status"] = df["status"].astype("int64")
+    df["execute_count"] = df["execute_count"].astype("int64")
+    df["code"] = df["code"].astype("int64")
+    return df.sort_values("key").reset_index(drop=True)
+
+
+def _q_crawl_extract(sf_dir: str):
+    spec = _crawl_spec(sf_dir)
+    pages = synth_pages_table(spec)
+    html_pages = rd.from_arrow(pages.select(["url", "html"])).filter(
+        lambda r: len(r["html"] or b"") > 0
+    )
+    news = extract_news(html_pages).to_pandas()
+    news["content_md5"] = [
+        hashlib.md5((c or "").encode()).hexdigest() for c in news["content"]
+    ]
+    return news[["url", "title", "time", "content_md5"]].sort_values(
+        "url"
+    ).reset_index(drop=True)
+
+
+def _q_media_features(sf_dir: str):
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    media = rd.from_arrow(synth_media_table(n=min(n_docs, 256)))
+    out = media_pipeline(media, fake=True).to_pandas()
+    out["feat_md5"] = [
+        hashlib.md5(np.asarray(f, dtype=np.float64).tobytes()).hexdigest()
+        for f in out["features"]
+    ]
+    return out[["media_id", "feat_md5"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # text analysis (training-pipeline surface)
+        "doc_token_counts": _q_doc_token_counts,
+        "doc_subtoken_counts": _q_doc_subtoken_counts,
+        "doc_quality": _q_doc_quality,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "doc_rolling_fp": _q_doc_rolling_fp,
+        "docs_by_lang": _q_docs_by_lang,
+        "lang_id_counts": _q_lang_id_counts,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "embedding_dup_lsh": _q_embedding_dup_lsh,
+        # similarity search
+        "knn_brute": _q_knn_brute,
+        "knn_ivf": _q_knn_ivf,
+        # windows / aggregates / sort / join
+        "events_tumbling": _q_events_tumbling,
+        "events_sessions": _q_events_sessions,
+        "events_top100": _q_events_top100,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "orders_by_nation": _q_orders_by_nation,
+        # crawl engine (SURVEY.md §2-§3) + multimodal plumbing
+        "crawl_bfs": _q_crawl_bfs,
+        "crawl_extract": _q_crawl_extract,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracle SQL
+
+_TRIM = r"regexp_replace(text, '^\s+|\s+$', '', 'g')"
+_NTOK = (
+    f"CASE WHEN {_TRIM} = '' THEN 0 "
+    f"ELSE len(regexp_split_to_array({_TRIM}, '\\s+')) END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_counts": (
+            f"SELECT doc_id, {_NTOK}::BIGINT AS n_tokens FROM documents"
+        ),
+        "doc_subtoken_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]{1,3}|[^\\sA-Za-z0-9]'))::BIGINT AS n_subtokens "
+            "FROM documents"
+        ),
+        "doc_quality": f"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   {_NTOK}::BIGINT AS n_tokens,
+                   CASE WHEN {_NTOK} > 0 THEN
+                     length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / ({_NTOK})::DOUBLE
+                   ELSE 0.0 END AS avg_token_len,
+                   CASE WHEN length(text) > 0 THEN
+                     (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                       / length(text)::DOUBLE
+                   ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN length(text) > 0 THEN
+                     (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+                       / length(text)::DOUBLE
+                   ELSE 0.0 END AS alpha_ratio
+            FROM documents
+        """,
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "docs_by_lang": (
+            "SELECT lang, count(*)::BIGINT AS n_docs, "
+            "sum(n_chars)::BIGINT AS sum_chars FROM documents GROUP BY lang"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "events_tumbling": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+            FROM events GROUP BY user_id, window_start
+        """,
+        "events_sessions": """
+            SELECT user_id,
+                   (1 + sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END))::BIGINT
+                     AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM (
+                SELECT user_id,
+                       epoch(ts) - lag(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap
+                FROM events
+            ) GROUP BY user_id
+        """,
+        "events_top100": (
+            "SELECT event_id, value FROM events "
+            "ORDER BY value DESC, event_id ASC LIMIT 100"
+        ),
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity) AS BIGINT))::DOUBLE AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                     AS sum_price,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n_name, count(*)::BIGINT AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS sum_total
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "knn_brute": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 3
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[])
+                         AS cosine
+                FROM q CROSS JOIN embeddings e
+            ), r AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+                       ) AS rnk
+                FROM s
+            )
+            SELECT query_id, rnk::BIGINT AS "rank", vec_id
+            FROM r WHERE rnk <= 10
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
+        """,
+    }

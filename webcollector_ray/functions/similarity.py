@@ -77,6 +77,50 @@ def knn_brute(
     return top[["query_id", "rank", id_col, "cosine"]]
 
 
+def cosine_pairs_exact(
+    ds,
+    *,
+    threshold: float = 0.9,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Exact all-pairs cosine-threshold self-join: (id_a, id_b) with
+    id_a < id_b and cosine(a, b) >= threshold.
+
+    Distribution shape: the unit-normalized matrix is broadcast ONCE
+    with ray.put; each block computes block @ full.T (numpy matmul) and
+    emits its pairs — O(n^2/p) compute per task, no shuffle. This is the
+    oracle-checkable baseline; the LSH-bucketed variant
+    (dedup.embedding_dedup_pairs) is the 10^10-row scale path."""
+    ids_all: List[int] = []
+    mats = []
+    for batch in ds.select_columns([id_col, emb_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        ids_all.extend(batch[id_col].to_pylist())
+        mats.append(_unit(_to_matrix(batch[emb_col])))
+    full = np.concatenate(mats) if mats else np.zeros((0, 1))
+    ids_arr = np.asarray(ids_all)
+    full_ref = ray.put((ids_arr, full))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_unit = ray.get(full_ref)
+        bids = np.asarray(batch[id_col].to_pylist())
+        bunit = _unit(_to_matrix(batch[emb_col]))
+        S = bunit @ all_unit.T  # (block, n)
+        xs, ys = np.nonzero(S >= threshold)
+        a, b = bids[xs], all_ids[ys]
+        keep = a < b
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep].tolist(), pa.int64()),
+                "id_b": pa.array(b[keep].tolist(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(block_pairs, batch_format="pyarrow")
+
+
 class IVFIndex:
     """Deterministic mini-kmeans cell index."""
 

@@ -37,6 +37,7 @@ from typing import Callable, List, Optional, Union
 
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from ..config import CrawlerConfig
@@ -52,7 +53,7 @@ from ..regex_rule import RegexRule
 from ..sources.pagestore import BroadcastPageStore, BucketedPageStore
 from ..stages.execute import run_execute
 from ..stages.generate import generate
-from ..stages.merge import dedupe_by_key, merge_segments
+from ..stages.merge import dedupe_by_key, dedupe_by_key_refs, merge_segments
 from ..state.frontier import CheckpointStore
 from ..state.seen import ShardedSeenFilter
 from ..urls import host_of
@@ -92,6 +93,36 @@ def _split_seg(exec_out, seg: str):
         return out.drop_columns(["seg"])
 
     return exec_out.map_batches(f, batch_format="pyarrow")
+
+
+@ray.remote(num_returns=3)
+def _split_exec_block(table: pa.Table):
+    """One executed block -> (fetch rows, link rows, tallies). A raw
+    task wave over the materialized blocks replaces three separate
+    Dataset executions per depth (two filter passes + a status-tally
+    pass) — each execution costs ~0.3-0.5 s of fixed streaming-executor
+    latency, which dominated small/medium depths."""
+    import pyarrow.compute as pc
+
+    if "seg" not in table.column_names:  # schema-less empty block
+        empty = FRONTIER_SCHEMA.empty_table()
+        return empty, empty, {"n_fetch": 0, "n_link": 0, "ok": 0, "fail": 0}
+    fmask = pc.equal(table["seg"], "fetch")
+    fetch = table.filter(fmask).drop_columns(["seg"])
+    link = table.filter(pc.invert(fmask)).drop_columns(["seg"])
+    ok = (
+        pc.sum(
+            pc.cast(pc.equal(fetch["status"], STATUS_DB_SUCCESS), pa.int64())
+        ).as_py()
+        or 0
+    )
+    stats = {
+        "n_fetch": len(fetch),
+        "n_link": len(link),
+        "ok": int(ok),
+        "fail": len(fetch) - int(ok),
+    }
+    return fetch, link, stats
 
 
 class Crawler:
@@ -262,24 +293,34 @@ class Crawler:
             dt0 = time.time()
             m = DepthMetrics(depth=i)
 
-            # 1. merge previous segments (Fetcher.fetchAll step a)
+            # 1. merge previous segments (Fetcher.fetchAll step a):
+            # raw-task hash exchange; frontier sizes ride back on tiny
+            # count refs instead of a Dataset count() execution
             if fetch_seg is not None or link_seg is not None:
-                crawldb = merge_segments(
-                    crawldb, fetch_seg, link_seg, cfg.merge_num_buckets
+                parts = [(fetch_seg, 0)] if fetch_seg is not None else []
+                if crawldb is not None:
+                    parts.append((crawldb, 1))
+                if link_seg is not None:
+                    parts.append((link_seg, 2))
+                table_refs, count_refs = dedupe_by_key_refs(
+                    parts, cfg.merge_num_buckets
                 )
-            if ckpt is not None:
-                m.crawldb_size = ckpt.write_table(crawldb, i, "crawldb")
-                crawldb = ckpt.read_dataset(i, "crawldb")
+                crawldb = rd.from_arrow_refs(table_refs)
+                m.crawldb_size = sum(ray.get(count_refs))
             else:
                 crawldb = crawldb.materialize()
                 m.crawldb_size = crawldb.count()
+            if ckpt is not None:
+                ckpt.write_table(crawldb, i, "crawldb")
+                crawldb = ckpt.read_dataset(i, "crawldb")
 
             # 2. generate (G1-G4 + topN)
             generated = generate(crawldb, cfg, self.generator_filter)
             if cfg.politeness_budget_ms > 0:
                 generated = self._route_by_host(generated)
 
-            # 3. execute: fused fetch + visit actor pool
+            # 3. execute: fused generate-filter + fetch + visit — the
+            # depth's ONE Dataset execution
             exec_out = run_execute(
                 generated,
                 store_handle,
@@ -292,38 +333,30 @@ class Crawler:
                 next_filter=self.next_filter,
             ).materialize()
 
-            # 4. split + persist segments
-            fetch_seg = _split_seg(exec_out, "fetch")
-            link_seg = _split_seg(exec_out, "link")
-            if self.seen is not None:
-                link_seg = self._filter_links_approx(link_seg)
-            if ckpt is not None:
-                m.generated = ckpt.write_table(fetch_seg, i, "fetch")
-                m.links = ckpt.write_table(link_seg, i, "link")
-                fetch_seg = ckpt.read_dataset(i, "fetch")
-                link_seg = ckpt.read_dataset(i, "link")
-            else:
-                fetch_seg = fetch_seg.materialize()
-                link_seg = link_seg.materialize()
-                m.generated = fetch_seg.count()
+            # 4. split + status tallies (A3) in one raw-task wave
+            frefs, lrefs, srefs = [], [], []
+            for bref in exec_out.to_arrow_refs():
+                f_r, l_r, s_r = _split_exec_block.remote(bref)
+                frefs.append(f_r)
+                lrefs.append(l_r)
+                srefs.append(s_r)
+            stats = ray.get(srefs)
+            m.generated = sum(s["n_fetch"] for s in stats)
+            m.links = sum(s["n_link"] for s in stats)
+            m.fetch_success = sum(s["ok"] for s in stats)
+            m.fetch_failed = sum(s["fail"] for s in stats)
+            fetch_seg = rd.from_arrow_refs(frefs) if frefs else None
+            link_seg = rd.from_arrow_refs(lrefs) if lrefs else None
+            if self.seen is not None and link_seg is not None:
+                link_seg = self._filter_links_approx(link_seg).materialize()
                 m.links = link_seg.count()
-
-            # 5. per-depth status tallies (A3) — tiny aggregate
-            if m.generated:
-                import pyarrow.compute as pc
-
-                def _tally(batch: pa.Table) -> pa.Table:
-                    s = batch["status"]
-                    return pa.table(
-                        {
-                            "ok": [int(pc.sum(pc.cast(pc.equal(s, STATUS_DB_SUCCESS), pa.int64())).as_py() or 0)],
-                            "fail": [int(pc.sum(pc.cast(pc.equal(s, STATUS_DB_FAILED), pa.int64())).as_py() or 0)],
-                        }
-                    )
-
-                tal = fetch_seg.map_batches(_tally, batch_format="pyarrow").to_pandas()
-                m.fetch_success = int(tal["ok"].sum())
-                m.fetch_failed = int(tal["fail"].sum())
+            if ckpt is not None:
+                if fetch_seg is not None:
+                    ckpt.write_table(fetch_seg, i, "fetch")
+                    fetch_seg = ckpt.read_dataset(i, "fetch")
+                if link_seg is not None:
+                    ckpt.write_table(link_seg, i, "link")
+                    link_seg = ckpt.read_dataset(i, "link")
 
             m.seconds = time.time() - dt0
             result.depths.append(m)

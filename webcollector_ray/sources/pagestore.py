@@ -137,13 +137,27 @@ class BucketedPageStore:
         }
 
 
+class SynthPageStore:
+    """Zero-storage page store: the fetch stage regenerates each page
+    on demand as a pure function of (spec, url) — the bench-scale web
+    (any size, no object-store footprint, no skewed lookup state)."""
+
+    def __init__(self, spec):
+        self.spec = spec
+
+    def handle(self) -> dict:
+        return {"kind": "synth", "spec": self.spec}
+
+
 class PageStoreReader:
     """Per-actor reader over a store handle (built once in actor
     __init__; ST1 in SURVEY.md §2.5)."""
 
     def __init__(self, handle: dict, cache_buckets: int = 8):
         self.kind = handle["kind"]
-        if self.kind == "broadcast":
+        if self.kind == "synth":
+            self._spec = handle["spec"]
+        elif self.kind == "broadcast":
             self._lookup = _Lookup(ray.get(handle["ref"][0]))
         else:
             self.dir = handle["dir"]
@@ -176,6 +190,18 @@ class PageStoreReader:
         return lk
 
     def get(self, url: str) -> Optional[dict]:
+        if self.kind == "synth":
+            from ..synth import row_for_url
+
+            row = row_for_url(self._spec, url)
+            if row is None:
+                return None
+            return {
+                "code": row["code"],
+                "location": row["location"],
+                "content_type": row["content_type"],
+                "html": row["html"],
+            }
         if self.kind == "broadcast":
             return self._lookup.get(url)
         return self._bucket_lookup(url_hash64(url) % self.num_buckets).get(url)

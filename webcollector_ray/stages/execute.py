@@ -174,6 +174,14 @@ class ExecuteStage:
         return pa.table(out_cols, schema=EXECUTE_OUT_SCHEMA)
 
 
+# Per-worker-process stage cache for the stateless-task path: Ray
+# reuses worker processes across tasks and datasets, so the page-store
+# index / dispatch table are built once per (process, depth) instead of
+# once per task — and, unlike an actor pool, there is no per-depth pool
+# spin-up (new processes + imports) at all.
+_PROC_STAGE_CACHE: dict = {}
+
+
 def run_execute(
     generated,
     store_handle: dict,
@@ -182,17 +190,45 @@ def run_execute(
     execute_time_ms: Optional[int] = None,
     **stage_kwargs,
 ):
-    """generated: Dataset of frontier rows -> Dataset of seg-tagged rows."""
+    """generated: Dataset of frontier rows -> Dataset of seg-tagged rows.
+
+    Stateless tasks by default; an actor pool only when the stage is
+    genuinely stateful (politeness budgets track per-host last-fetch
+    times across batches, F4/north_rule)."""
+    ctor = dict(
+        store_handle=store_handle,
+        config=config,
+        execute_time_ms=execute_time_ms,
+        **stage_kwargs,
+    )
+    stateful = (
+        config.politeness_budget_ms > 0 or config.execute_interval_ms > 0
+    )
+    if stateful:
+        return generated.map_batches(
+            ExecuteStage,
+            fn_constructor_kwargs=ctor,
+            batch_format="pyarrow",
+            batch_size=config.fetch_batch_size,
+            concurrency=config.fetch_concurrency,
+            num_cpus=1,
+        )
+
+    import uuid
+
+    cache_key = uuid.uuid4().hex
+
+    def fetch_parse(batch: pa.Table) -> pa.Table:
+        stage = _PROC_STAGE_CACHE.get(cache_key)
+        if stage is None:
+            stage = ExecuteStage(**ctor)
+            _PROC_STAGE_CACHE.clear()  # one live stage per worker process
+            _PROC_STAGE_CACHE[cache_key] = stage
+        return stage(batch)
+
     return generated.map_batches(
-        ExecuteStage,
-        fn_constructor_kwargs=dict(
-            store_handle=store_handle,
-            config=config,
-            execute_time_ms=execute_time_ms,
-            **stage_kwargs,
-        ),
+        fetch_parse,
         batch_format="pyarrow",
         batch_size=config.fetch_batch_size,
-        concurrency=config.fetch_concurrency,
         num_cpus=1,
     )

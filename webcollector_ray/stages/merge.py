@@ -3,48 +3,77 @@
 Reference semantics (plugin/rocks/RocksDBManager.java:160-197):
 crawldb <- fetch (fetch OVERWRITES crawldb by key), then crawldb <- link
 (link inserted ONLY if key absent). Expressed distribution-first as one
-bucketed dedupe: union the sources with a precedence tag
-(fetch=0 < crawldb=1 < link=2), hash-bucket by key, and take the
-min-precedence row per key inside each bucket with a vectorized pandas
-drop_duplicates. Within equal precedence (duplicate link keys in one
-depth) the tie-break is deterministic and order-free: lexicographically
-smallest (url, meta, status) — the reference's first-write-wins depends
-on KV iteration order and thread interleaving, which is not reproducible
-even by the reference itself.
+bucketed dedupe: tag every source row with a precedence
+(fetch=0 < crawldb=1 < link=2), hash-partition by key, and take the
+min-precedence row per key inside each bucket. Within equal precedence
+(duplicate link keys in one depth) the tie-break is deterministic and
+order-free: lexicographically smallest (url, meta, status) — the
+reference's first-write-wins depends on KV iteration order and thread
+interleaving, which is not reproducible even by the reference itself.
 
-The same primitive implements seed injection (J1: force-seeds overwrite,
-non-force insert-if-absent; crawldb/DBManager.java:49-86).
+The same primitive implements seed injection (J1: force-seeds
+overwrite, non-force insert-if-absent; crawldb/DBManager.java:49-86).
 
-Scale notes: ONE all-to-all exchange per depth, keyed by
-md5(key) -> bucket so the shuffle has `num_buckets` uniformly-sized
-partitions regardless of key skew; buckets are the unit of reduce work,
-not distinct keys, so tiny-group overhead never appears.
+Physical plan: a DIRECT two-round hash shuffle built from raw Ray
+tasks (the one place the Dataset API is bypassed, SURVEY.md §7.0):
+
+    split: one task per input block -> `num_buckets` sub-tables
+           (num_returns=num_buckets, so each reduce fetches only its
+           own partition slices)
+    reduce: one task per bucket -> concat + vectorized first-by-key
+
+This replaces ``union().groupby(bucket).map_groups(...)``: Ray Data's
+sort-based groupby costs ~0.1 s of fixed overhead per *input block*
+(boundary sampling + per-block sort + merge tasks) which dominated the
+per-depth wall time — with block counts compounding each depth — while
+the direct exchange is two task waves and caps the output at
+`num_buckets` blocks regardless of input fragmentation. Buckets are
+the reduce unit, not distinct keys, so tiny-group overhead and key
+skew never appear; at 10^10 keys only `num_buckets` needs raising.
 """
 
 from __future__ import annotations
 
+import zlib
 from typing import List, Optional, Tuple
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
+
 from ..model import FRONTIER_SCHEMA
-from ..urls import url_hash64
 
-_HELPER_COLS = ["__prec", "__bucket"]
+_HELPER_COLS = ["__prec"]
 
 
-def _tag(prec: int, num_buckets: int):
-    def fn(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        buckets = pa.array(
-            [url_hash64(k) % num_buckets for k in batch["key"].to_pylist()],
-            pa.int32(),
-        )
-        batch = batch.append_column("__prec", pa.array([prec] * n, pa.int8()))
-        return batch.append_column("__bucket", buckets)
+def _bucket_ids(keys: List[str], num_buckets: int) -> np.ndarray:
+    return np.array(
+        [zlib.crc32(k.encode()) % num_buckets for k in keys], dtype=np.int64
+    )
 
-    return fn
+
+@ray.remote
+def _split_block(table: pa.Table, prec: int, num_buckets: int):
+    """One input block -> num_buckets sub-tables (None when empty)."""
+    n = len(table)
+    if n == 0:
+        out = [None] * num_buckets
+        return out[0] if num_buckets == 1 else tuple(out)
+    table = table.append_column(
+        "__prec", pa.array(np.full(n, prec, dtype=np.int8))
+    )
+    b = _bucket_ids(table["key"].to_pylist(), num_buckets)
+    order = np.argsort(b, kind="stable")
+    sorted_b = b[order]
+    bounds = np.searchsorted(sorted_b, np.arange(num_buckets + 1))
+    shuffled = table.take(pa.array(order))
+    out = []
+    for i in range(num_buckets):
+        lo, hi = bounds[i], bounds[i + 1]
+        out.append(shuffled.slice(lo, hi - lo) if hi > lo else None)
+    return out[0] if num_buckets == 1 else tuple(out)
 
 
 def _dedupe_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -55,9 +84,51 @@ def _dedupe_bucket(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _restore_schema(batch: pa.Table) -> pa.Table:
-    batch = batch.drop_columns([c for c in _HELPER_COLS if c in batch.column_names])
-    cols = [batch[name].cast(FRONTIER_SCHEMA.field(name).type) for name in FRONTIER_SCHEMA.names]
+    batch = batch.drop_columns(
+        [c for c in _HELPER_COLS if c in batch.column_names]
+    )
+    cols = [
+        batch[name].cast(FRONTIER_SCHEMA.field(name).type)
+        for name in FRONTIER_SCHEMA.names
+    ]
     return pa.table(dict(zip(FRONTIER_SCHEMA.names, cols)), schema=FRONTIER_SCHEMA)
+
+
+@ray.remote(num_returns=2)
+def _reduce_bucket(*parts):
+    tables = [t for t in parts if t is not None and len(t)]
+    if not tables:
+        return FRONTIER_SCHEMA.empty_table(), 0
+    cat = pa.concat_tables(tables, promote_options="permissive")
+    df = _dedupe_bucket(cat.to_pandas())
+    out = _restore_schema(pa.Table.from_pandas(df, preserve_index=False))
+    return out, len(out)
+
+
+def dedupe_by_key_refs(
+    parts: List[Tuple["ray.data.Dataset", int]],  # noqa: F821
+    num_buckets: int = 64,
+):
+    """The raw exchange: -> (bucket table refs, bucket row-count refs).
+    Counts ride back as separate tiny refs so the driver can report
+    frontier sizes without a Dataset count() execution."""
+    if not parts:
+        raise ValueError("no parts to merge")
+    split_refs = []
+    for ds, prec in parts:
+        for block_ref in ds.to_arrow_refs():
+            refs = _split_block.options(num_returns=num_buckets).remote(
+                block_ref, prec, num_buckets
+            )
+            if num_buckets == 1:
+                refs = [refs]
+            split_refs.append(refs)
+    table_refs, count_refs = [], []
+    for b in range(num_buckets):
+        t_ref, c_ref = _reduce_bucket.remote(*[sr[b] for sr in split_refs])
+        table_refs.append(t_ref)
+        count_refs.append(c_ref)
+    return table_refs, count_refs
 
 
 def dedupe_by_key(
@@ -66,18 +137,11 @@ def dedupe_by_key(
 ):
     """Union datasets and keep, per key, the row from the lowest-precedence
     source (ties broken deterministically). Returns a FRONTIER_SCHEMA
-    Dataset."""
-    tagged = [ds.map_batches(_tag(prec, num_buckets), batch_format="pyarrow")
-              for ds, prec in parts]
-    if not tagged:
-        raise ValueError("no parts to merge")
-    unioned = tagged[0]
-    for t in tagged[1:]:
-        unioned = unioned.union(t)
-    deduped = unioned.groupby("__bucket").map_groups(
-        _dedupe_bucket, batch_format="pandas"
-    )
-    return deduped.map_batches(_restore_schema, batch_format="pyarrow")
+    Dataset of exactly `num_buckets` hash-partitioned blocks."""
+    import ray.data as rd
+
+    table_refs, _ = dedupe_by_key_refs(parts, num_buckets)
+    return rd.from_arrow_refs(table_refs)
 
 
 def merge_segments(
@@ -99,7 +163,4 @@ def merge_segments(
         parts.append((link_seg, 2))
     if not parts:
         raise ValueError("merge called with no inputs")
-    if len(parts) == 1:
-        # still dedupe: a lone link segment can carry duplicate keys
-        return dedupe_by_key(parts, num_buckets)
     return dedupe_by_key(parts, num_buckets)

@@ -30,6 +30,7 @@ tasks at any scale and two runs always agree.
 from __future__ import annotations
 
 import hashlib
+import re
 from html import escape
 from typing import Iterator, List, Optional
 
@@ -119,6 +120,13 @@ class SynthSpec:
 
     def seeds(self) -> List[str]:
         return [f"{site_url(s)}/list-0.html" for s in range(self.num_sites)]
+
+    def encode(self, site: int, kind: str, idx: int) -> int:
+        off = {"list": 0, "show": self.lists_per_site,
+               "old": self.lists_per_site + self.shows_per_site,
+               "bad": self.lists_per_site + self.shows_per_site
+                      + self.redirects_per_site}[kind] + idx
+        return site * self.pages_per_site + off
 
     # global page id <-> (site, kind, idx)
     def decode(self, gid: int):
@@ -259,6 +267,29 @@ def page_row(spec: SynthSpec, gid: int) -> dict:
         "location": None,
         "content_type": None,
     }
+
+
+_URL_RE = re.compile(r"^http://site(\d+)\.test/(list|show|old|bad)-(\d+)\.html$")
+
+_KIND_MAX = {
+    "list": "lists_per_site",
+    "show": "shows_per_site",
+    "old": "redirects_per_site",
+    "bad": "failures_per_site",
+}
+
+
+def row_for_url(spec: SynthSpec, url: str) -> Optional[dict]:
+    """Regenerate the page row for a URL on demand (None = 404/no
+    route). Pure function of (spec, url): lets a fetch stage serve the
+    synthetic web with ZERO stored bytes — the bench-scale page store."""
+    m = _URL_RE.match(url)
+    if not m:
+        return None
+    site, kind, idx = int(m.group(1)), m.group(2), int(m.group(3))
+    if site >= spec.num_sites or idx >= getattr(spec, _KIND_MAX[kind]):
+        return None
+    return page_row(spec, spec.encode(site, kind, idx))
 
 
 def rows_to_table(rows: List[dict]) -> pa.Table:
