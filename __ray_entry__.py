@@ -175,9 +175,9 @@ def _q_docs_by_lang(sf_dir: str):
 
 
 def _q_lang_id_counts(sf_dir: str):
-    ds = _docs(sf_dir).map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=2
-    )
+    from webcollector_ray.functions.textstats import lang_id_batch
+
+    ds = _docs(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow")
     return ds.groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
 
 

@@ -114,6 +114,8 @@ def crawl_headline(sf_dir: str, *, sites: int | None = None) -> dict:
 def run_queries(sf_dir: str, names=None) -> dict:
     import __ray_entry__ as E
 
+    import ray.data
+
     qs = E.queries()
     out = {}
     for name, fn in qs.items():
@@ -122,7 +124,7 @@ def run_queries(sf_dir: str, names=None) -> dict:
         t0 = time.time()
         res = fn(sf_dir)
         # consume lazily-built Datasets so timing covers execution
-        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+        if isinstance(res, ray.data.Dataset):
             res = res.to_pandas()
         out[name] = round(time.time() - t0, 3)
     return out
@@ -159,14 +161,14 @@ def run_once(sf_dir: str, cpus: int, *, headline_only: bool = False,
 
 
 def run_scaling(sf_dir: str, n_cpus: int, n4_cpus: int,
-                sites: int = 9000) -> dict:
+                sites: int = 15000) -> dict:
     """Fresh-process runs of the identical headline job at N and 4N
     cpus (sandbox proxy for N vs 4N nodes, BASELINE.md protocol). The
-    web is sized (default 9000 sites = 162k crawled pages) so per-page
+    web is sized (default 15000 sites = 300k crawled pages) so per-page
     compute, not per-depth fixed overhead, dominates — as it would on a
     real 10^10-URL frontier."""
     runs = {}
-    repeats = 3  # best-of-3: the sandbox carries external background
+    repeats = 2  # best-of-2: the sandbox carries external background
     # load; max throughput is the steady-state capability at each level
     for cpus in (n_cpus, n4_cpus):
         best = None
@@ -212,14 +214,17 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--scaling-n", type=int, default=8)
+    ap.add_argument("--scaling-n", type=int, default=4)
     ap.add_argument("--sites", type=int, default=None,
                     help="override synthetic web size (num sites)")
     args = ap.parse_args()
 
     if args.scaling:
-        result = run_scaling(args.sf_dir, args.scaling_n, args.cpus,
-                             sites=args.sites or 9000)
+        # N vs 4N; defaults 4 vs 16 so both runs fit beside the
+        # sandbox's background load (un-contended, like two dedicated
+        # cluster sizes). --scaling-n 8 measures 8 vs 32.
+        result = run_scaling(args.sf_dir, args.scaling_n,
+                             args.scaling_n * 4, sites=args.sites or 15000)
     else:
         result = run_once(args.sf_dir, args.cpus,
                           headline_only=args.headline_only,

@@ -64,15 +64,28 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 # ------------------------------------------------------------- minhash
 
 
+# odd 64-bit mixing multipliers, one per shingle position
+_POS_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """crc32 hashes of word k-shingles (stable across processes)."""
+    """Hashes of word k-shingles: per-word crc32 combined with
+    position-dependent 64-bit mixing — vectorized over all shingles
+    (no per-shingle string building), stable across processes."""
     words = (text or "").lower().split()
     if len(words) < k:
         joined = " ".join(words)
         return np.array([zlib.crc32(joined.encode())], dtype=np.uint64)
-    out = np.empty(len(words) - k + 1, dtype=np.uint64)
-    for i in range(len(words) - k + 1):
-        out[i] = zlib.crc32(" ".join(words[i : i + k]).encode())
+    wh = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
+    n = len(words) - k + 1
+    with np.errstate(over="ignore"):
+        out = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            out ^= wh[j : j + n] * _POS_MIX[j % len(_POS_MIX)]
     return out
 
 
@@ -140,6 +153,28 @@ class MinHashLSHStage:
         )
 
 
+def _distinct_pairs(pairs, num_buckets: int = 32):
+    """Distinct (id_a, id_b) across an exploded pair stream. Hash-bucket
+    by pair, dedupe vectorized per bucket — NEVER one group per pair
+    (tiny-group map_groups cost dwarfs the dedup itself)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["id_b"].to_pylist(), dtype=np.int64)
+        bk = ((a * np.int64(0x9E3779B9) + b) % num_buckets).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(np.abs(bk)))
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["id_a", "id_b"], kind="mergesort")
+        return df.drop_duplicates(["id_a", "id_b"]).drop(columns="__bucket")
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dd, batch_format="pandas")
+    )
+
+
 def minhash_dedup_pairs(
     ds,
     *,
@@ -150,69 +185,88 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 200,
+    num_buckets: int = 64,
 ):
     """documents -> distinct verified near-dup pairs (id_a < id_b,
-    est_jaccard >= threshold)."""
+    est_jaccard >= threshold). LSH band buckets are HASH-BUCKETED for
+    the shuffle (reduce unit = bucket, not band-group: millions of
+    1-2-doc band groups would drown in per-group overhead)."""
 
-    exploded = ds.map_batches(
-        MinHashLSHStage,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-            text_col=text_col, id_col=id_col,
-        ),
-        batch_format="pyarrow",
-        concurrency=2,
-    )
+    # stateless tasks + per-worker-process stage cache: scales to the
+    # whole pool with no actor spin-up; the permutation params are a
+    # pure function of the arguments so every process agrees
+    stage_key = (num_perm, bands, shingle_k, text_col, id_col)
+
+    def explode_lsh(batch: pa.Table) -> pa.Table:
+        stage = _LSH_STAGE_CACHE.get(stage_key)
+        if stage is None:
+            stage = MinHashLSHStage(
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                text_col=text_col, id_col=id_col,
+            )
+            _LSH_STAGE_CACHE[stage_key] = stage
+        return stage(batch)
+
+    exploded = ds.map_batches(explode_lsh, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["band_hash"].to_pylist(), dtype=np.int64)
+        bd = np.asarray(batch["band"].to_pylist(), dtype=np.int64)
+        bk = np.abs((h ^ (bd * np.int64(0x9E3779B9))) % num_buckets)
+        return batch.append_column("__bucket", pa.array(bk.astype(np.int32)))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        df = df.sort_values(id_col).drop_duplicates(id_col)
-        if len(df) > max_bucket:  # no silent caps: trim pathological buckets
-            df = df.head(max_bucket)
-        ids = df[id_col].to_numpy()
-        sigs = [np.frombuffer(s, dtype="<u8") for s in df["sig"]]
         a_out, b_out, j_out = [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                j = MinHasher.est_jaccard(sigs[x], sigs[y])
-                if j >= threshold:
-                    a_out.append(ids[x])
-                    b_out.append(ids[y])
-                    j_out.append(j)
+        for _, g in df.groupby(["band", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col).drop_duplicates(id_col)
+            if len(g) > max_bucket:  # no silent caps: trim pathological buckets
+                g = g.head(max_bucket)
+            ids = g[id_col].to_numpy()
+            sigs = [np.frombuffer(s, dtype="<u8") for s in g["sig"]]
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    j = MinHasher.est_jaccard(sigs[x], sigs[y])
+                    if j >= threshold:
+                        a_out.append(ids[x])
+                        b_out.append(ids[y])
+                        j_out.append(j)
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_jaccard": j_out})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = (
+        exploded.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
-
-    # distinct pairs across bands (same pair can collide in many bands)
-    def distinct(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"])
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda d: d.head(1), batch_format="pandas"
-    )
+    return _distinct_pairs(pairs)
 
 
 # -------------------------------------------------------------- simhash
 
 
+_LSH_STAGE_CACHE: dict = {}
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams (crc32-seeded md5 bit mix)."""
+    """64-bit SimHash over word unigrams (md5 word hashes, vectorized
+    bit accumulation)."""
     words = (text or "").lower().split()
     if not words:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for w in words:
-        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-        bits = np.array([(h >> b) & 1 for b in range(64)], dtype=np.int64)
-        acc += 2 * bits - 1
-    out = 0
-    for b in range(64):
-        if acc[b] > 0:
-            out |= 1 << b
-    return out
+    hs = np.array(
+        [
+            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            for w in words
+        ],
+        dtype=np.uint64,
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    acc = (2 * bits - 1).sum(axis=0)
+    mask = acc > 0
+    return int((np.uint64(1) << np.arange(64, dtype=np.uint64))[mask].sum())
 
 
 def simhash_batch(batch: pa.Table, text_col="text") -> pa.Table:
@@ -249,30 +303,38 @@ def simhash_dedup_pairs(ds, *, max_hamming: int = 3, text_col="text",
             }
         )
 
+    num_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cv = np.asarray(batch["chunk_val"].to_pylist(), dtype=np.int64)
+        ck = np.asarray(batch["chunk"].to_pylist(), dtype=np.int64)
+        bk = np.abs((cv * 4 + ck) % num_buckets)
+        return batch.append_column("__bucket", pa.array(bk.astype(np.int32)))
+
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        df = df.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
-        ids = df[id_col].to_numpy()
-        sims = df["simhash"].to_numpy()
         a_out, b_out, h_out = [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                d = hamming64(int(sims[x]), int(sims[y]))
-                if d <= max_hamming:
-                    a_out.append(ids[x])
-                    b_out.append(ids[y])
-                    h_out.append(d)
+        for _, g in df.groupby(["chunk", "chunk_val"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
+            ids = g[id_col].to_numpy()
+            sims = g["simhash"].to_numpy()
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    d = hamming64(int(sims[x]), int(sims[y]))
+                    if d <= max_hamming:
+                        a_out.append(ids[x])
+                        b_out.append(ids[y])
+                        h_out.append(d)
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": h_out})
 
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk", "chunk_val"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda d: d.head(1), batch_format="pandas"
-    )
+    return _distinct_pairs(pairs)
 
 
 # ------------------------------------------------- n-gram exact jaccard

@@ -134,6 +134,20 @@ class LangIdStage:
         return batch.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
+_LANG_STAGE_CACHE: dict = {}
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stateless-task form of LangIdStage with a per-worker-process
+    cache — scales to the whole pool with no actor-pool sizing (a
+    fixed-size pool can starve downstream ops on small clusters)."""
+    stage = _LANG_STAGE_CACHE.get(text_col)
+    if stage is None:
+        stage = LangIdStage(text_col)
+        _LANG_STAGE_CACHE[text_col] = stage
+    return stage(batch)
+
+
 # ------------------------------------------------------------ fingerprint
 
 

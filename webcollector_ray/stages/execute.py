@@ -132,7 +132,29 @@ class ExecuteStage:
             if self.execute_time_ms is not None
             else int(time.time() * 1000)
         )
-        out_rows: list = []
+        # columnar output accumulators — a depth emits O(gen + links)
+        # rows, so per-row dict building is a real cost at scale
+        c_key: list = []
+        c_url: list = []
+        c_status: list = []
+        c_etime: list = []
+        c_ecount: list = []
+        c_code: list = []
+        c_loc: list = []
+        c_meta: list = []
+        c_seg: list = []
+
+        def emit(d: CrawlDatum, seg: str) -> None:
+            c_key.append(d.key)
+            c_url.append(d.url)
+            c_status.append(d.status)
+            c_etime.append(d.execute_time)
+            c_ecount.append(d.execute_count)
+            c_code.append(d.code)
+            c_loc.append(d.location)
+            c_meta.append(meta_to_text(d.meta_map))
+            c_seg.append(seg)
+
         cols = batch.column_names
         pydict = batch.to_pydict()
         for i in range(len(batch)):
@@ -154,24 +176,27 @@ class ExecuteStage:
                 datum.status = STATUS_DB_FAILED
             datum.incr_execute_count(1)
             datum.execute_time = exec_time
-
-            fr = datum.to_row()
-            fr["seg"] = "fetch"
-            out_rows.append(fr)
+            emit(datum, "fetch")
             if datum.status == STATUS_DB_SUCCESS and len(next_datums):
                 for nd in next_datums:
-                    if nd.execute_time is None:
-                        nd.execute_time = exec_time
                     nd.execute_time = exec_time
-                    lr = nd.to_row()
-                    lr["seg"] = "link"
-                    out_rows.append(lr)
-        if not out_rows:
+                    emit(nd, "link")
+        if not c_key:
             return EXECUTE_OUT_SCHEMA.empty_table()
-        out_cols = {
-            n: [r[n] for r in out_rows] for n in EXECUTE_OUT_SCHEMA.names
-        }
-        return pa.table(out_cols, schema=EXECUTE_OUT_SCHEMA)
+        return pa.table(
+            {
+                "key": c_key,
+                "url": c_url,
+                "status": c_status,
+                "execute_time": c_etime,
+                "execute_count": c_ecount,
+                "code": c_code,
+                "location": c_loc,
+                "meta": c_meta,
+                "seg": c_seg,
+            },
+            schema=EXECUTE_OUT_SCHEMA,
+        )
 
 
 # Per-worker-process stage cache for the stateless-task path: Ray

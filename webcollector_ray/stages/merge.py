@@ -55,15 +55,24 @@ def _bucket_ids(keys: List[str], num_buckets: int) -> np.ndarray:
 
 
 @ray.remote
-def _split_block(table: pa.Table, prec: int, num_buckets: int):
-    """One input block -> num_buckets sub-tables (None when empty)."""
-    n = len(table)
-    if n == 0:
+def _split_blocks(precs: List[int], num_buckets: int, *tables):
+    """A group of input blocks -> num_buckets sub-tables (None when
+    empty). Blocks are grouped so the driver manages
+    O(max_split_tasks * num_buckets) refs per exchange, not
+    O(input_blocks * num_buckets)."""
+    tagged = []
+    for prec, t in zip(precs, tables):
+        if t is None or len(t) == 0 or "key" not in t.column_names:
+            continue
+        tagged.append(
+            t.append_column(
+                "__prec", pa.array(np.full(len(t), prec, dtype=np.int8))
+            )
+        )
+    if not tagged:
         out = [None] * num_buckets
         return out[0] if num_buckets == 1 else tuple(out)
-    table = table.append_column(
-        "__prec", pa.array(np.full(n, prec, dtype=np.int8))
-    )
+    table = pa.concat_tables(tagged, promote_options="permissive")
     b = _bucket_ids(table["key"].to_pylist(), num_buckets)
     order = np.argsort(b, kind="stable")
     sorted_b = b[order]
@@ -108,21 +117,29 @@ def _reduce_bucket(*parts):
 def dedupe_by_key_refs(
     parts: List[Tuple["ray.data.Dataset", int]],  # noqa: F821
     num_buckets: int = 64,
+    max_split_tasks: int = 64,
 ):
     """The raw exchange: -> (bucket table refs, bucket row-count refs).
     Counts ride back as separate tiny refs so the driver can report
     frontier sizes without a Dataset count() execution."""
     if not parts:
         raise ValueError("no parts to merge")
-    split_refs = []
+    pairs = []
     for ds, prec in parts:
         for block_ref in ds.to_arrow_refs():
-            refs = _split_block.options(num_returns=num_buckets).remote(
-                block_ref, prec, num_buckets
-            )
-            if num_buckets == 1:
-                refs = [refs]
-            split_refs.append(refs)
+            pairs.append((prec, block_ref))
+    if not pairs:
+        raise ValueError("no blocks to merge")
+    ngroups = max(1, min(len(pairs), max_split_tasks))
+    split_refs = []
+    for g in range(ngroups):
+        group = pairs[g::ngroups]
+        refs = _split_blocks.options(num_returns=num_buckets).remote(
+            [p for p, _ in group], num_buckets, *[r for _, r in group]
+        )
+        if num_buckets == 1:
+            refs = [refs]
+        split_refs.append(refs)
     table_refs, count_refs = [], []
     for b in range(num_buckets):
         t_ref, c_ref = _reduce_bucket.remote(*[sr[b] for sr in split_refs])
