@@ -1,0 +1,178 @@
+"""north_rule frontier-service extensions: robots.txt policy cache,
+priority-queue generate order, politeness actor path, hot-host salt."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from webcollector_ray.config import CrawlerConfig
+from webcollector_ray.model import STATUS_DB_FAILED, STATUS_DB_SUCCESS, CrawlDatum
+from webcollector_ray.pipelines.crawler import RamCrawler
+from webcollector_ray.sources.pagestore import PageStoreReader, SynthPageStore
+from webcollector_ray.state.robots import RobotsCache, RobotsPolicy
+from webcollector_ray.synth import SynthSpec, row_for_url
+
+REGEX = r"http://site[0-9]+\.test/(list|show)-[0-9]+\.html"
+
+
+# ----------------------------------------------------------- policy unit
+
+
+def test_robots_policy_parse_and_match():
+    text = """
+# comment
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Disallow: /tmp
+
+User-agent: special-bot
+Disallow: /
+"""
+    p = RobotsPolicy.parse(text, "MyCrawler/1.0")
+    assert p.allowed("/anything")
+    assert not p.allowed("/private/x")
+    assert p.allowed("/private/ok/page.html")  # longest-prefix Allow wins
+    assert not p.allowed("/tmp/file")
+    p2 = RobotsPolicy.parse(text, "special-bot")
+    assert not p2.allowed("/anything")
+
+
+def test_robots_policy_empty_and_missing_group():
+    assert RobotsPolicy.parse("", "*").allowed("/x")
+    p = RobotsPolicy.parse("User-agent: other\nDisallow: /\n", "mybot")
+    assert p.allowed("/x")  # no matching group -> allow
+
+
+# ------------------------------------------------------ cache over store
+
+
+def test_robots_cache_from_synth_store():
+    spec = SynthSpec(num_sites=2, robots_rules=["Disallow: /show-"])
+    reader = PageStoreReader(SynthPageStore(spec).handle())
+    cache = RobotsCache(reader)
+    assert cache.allowed("http://site0.test/list-0.html")
+    assert not cache.allowed("http://site0.test/show-3.html")
+    # host without robots (out of range) -> allow all
+    assert cache.allowed("http://elsewhere.example/show-1.html")
+    # cached: second lookup hits the dict
+    assert not cache.allowed("http://site0.test/show-9.html")
+    assert len(cache._cache) == 2
+
+
+def test_synth_robots_row():
+    spec = SynthSpec(num_sites=1, robots_rules=["Disallow: /bad-"])
+    row = row_for_url(spec, "http://site0.test/robots.txt")
+    assert row is not None and row["code"] == 200
+    assert b"Disallow: /bad-" in row["html"]
+    assert row_for_url(SynthSpec(num_sites=1), "http://site0.test/robots.txt") is None
+
+
+# --------------------------------------------------------- crawl w/robots
+
+
+def test_crawl_obeys_robots(ray_session):
+    spec = SynthSpec(num_sites=2, robots_rules=["Disallow: /show-"])
+    cfg = CrawlerConfig(
+        fetch_concurrency=2, merge_num_buckets=4, obey_robots=True,
+        max_execute_count=0,
+    )
+    c = RamCrawler(SynthPageStore(spec), config=cfg, deterministic_time=True)
+    c.add_seed(spec.seeds())
+    c.add_regex(REGEX)
+    res = c.start(10)
+    df = res.crawldb.to_pandas().set_index("key")
+    shows = df[df.index.str.contains("/show-")]
+    lists = df[df.index.str.contains("/list-")]
+    assert len(shows) > 0 and (shows["status"] == STATUS_DB_FAILED).all()
+    assert (shows["meta"].str.contains("s_robots")).all()
+    assert (lists["status"] == STATUS_DB_SUCCESS).all()
+
+
+def test_crawl_without_robots_flag_ignores_rules(ray_session):
+    spec = SynthSpec(num_sites=1, robots_rules=["Disallow: /show-"])
+    cfg = CrawlerConfig(fetch_concurrency=2, merge_num_buckets=4)
+    c = RamCrawler(SynthPageStore(spec), config=cfg, deterministic_time=True)
+    c.add_seed(spec.seeds())
+    c.add_regex(REGEX)
+    res = c.start(10)
+    df = res.crawldb.to_pandas().set_index("key")
+    shows = df[df.index.str.contains("/show-")]
+    assert (shows["status"] == STATUS_DB_SUCCESS).all()
+
+
+# -------------------------------------------------------- priority queue
+
+
+def test_priority_queue_generate_order(ray_session):
+    spec = SynthSpec(num_sites=3)
+    cfg = CrawlerConfig(
+        fetch_concurrency=2, merge_num_buckets=4,
+        priority_meta_key="pri", topn=1,
+    )
+    c = RamCrawler(SynthPageStore(spec), config=cfg, deterministic_time=True)
+    for s, pri in [(0, 1.0), (1, 9.0), (2, 5.0)]:
+        d = CrawlDatum(f"http://site{s}.test/list-0.html")
+        d.set_meta("pri", pri)
+        c.add_seed(d)
+    c.add_regex(REGEX)
+    res = c.start(1)
+    # topn=1 + priority order -> only the pri=9 seed is fetched
+    assert res.depths[0].generated == 1
+    df = res.crawldb.to_pandas().set_index("key")
+    assert df.loc["http://site1.test/list-0.html", "status"] == STATUS_DB_SUCCESS
+    assert df.loc["http://site0.test/list-0.html", "status"] == 0
+    assert df.loc["http://site2.test/list-0.html", "status"] == 0
+
+
+# ------------------------------------------- politeness actor-pool path
+
+
+def test_politeness_budget_same_results(ray_session):
+    """politeness routing + per-host budget (actor path) must not change
+    the crawl's final state, only its pacing."""
+    spec = SynthSpec(num_sites=2)
+    base = CrawlerConfig(fetch_concurrency=2, merge_num_buckets=4)
+    polite = base.replace(politeness_budget_ms=1, host_salt_threshold=5)
+
+    out = {}
+    for name, cfg in [("plain", base), ("polite", polite)]:
+        c = RamCrawler(SynthPageStore(spec), config=cfg, deterministic_time=True)
+        c.add_seed(spec.seeds())
+        c.add_regex(REGEX)
+        df = c.start(10).crawldb.to_pandas().set_index("key").sort_index()
+        out[name] = df[["url", "status", "execute_count", "code"]]
+    assert out["plain"].equals(out["polite"])
+
+
+# ------------------------------------------------------- output helpers
+
+
+def test_fs_output_path():
+    from webcollector_ray.functions.output import fs_output_path
+
+    assert fs_output_path("http://a.com") == "a.com/index.html"
+    assert fs_output_path("http://a.com/dir/") == "a.com/dir/index.html"
+    assert fs_output_path("http://a.com/dir/page") == "a.com/dir/page.html"
+    assert fs_output_path("http://a.com/dir/page.php") == "a.com/dir/page.php"
+    assert (
+        fs_output_path("http://a.com/p.php?id=2&x=1") == "a.com/p.php_id=2&x=1"
+    )
+    assert fs_output_path("not a url") is None
+
+
+def test_datum_to_string_and_hashset_filter():
+    from webcollector_ray.functions.output import (
+        HashSetNextFilter,
+        datum_to_string,
+    )
+
+    d = CrawlDatum("http://a/1", status=STATUS_DB_SUCCESS, execute_time=0,
+                   execute_count=2, code=200)
+    d.set_meta("depth", 3)
+    s = datum_to_string(d)
+    assert "KEY: http://a/1" in s and "STATUS: success" in s
+    assert "META[0]: (depth,3)" in s
+
+    nf = HashSetNextFilter({"http://a/2"})
+    assert nf(CrawlDatum("http://a/2"), d) is None
+    assert nf(CrawlDatum("http://a/3"), d) is not None

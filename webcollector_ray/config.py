@@ -51,6 +51,13 @@ class CrawlerConfig:
                                        # OFF for reference-parity runs)
     host_salt_threshold: int = 10000   # frontier rows per host before salting
     politeness_budget_ms: int = 0      # per-host min interval inside fetchers
+    obey_robots: bool = False          # consult per-host robots.txt caches
+                                       # in the fetch stage (reference has no
+                                       # robots support; north_rule adds it)
+    priority_meta_key: str = ""        # when set, generate orders the fetch
+                                       # list by this meta key DESC (then key
+                                       # ASC) — the per-depth priority queue;
+                                       # "" keeps canonical key order
 
     def replace(self, **kw) -> "CrawlerConfig":
         return dataclasses.replace(self, **kw)

@@ -210,11 +210,59 @@ class Crawler:
 
     # --- host-coherent routing for politeness (north_rule F4) ---
     def _route_by_host(self, generated):
+        """Sort the fetch list by (host, key) so batches are
+        host-coherent and each fetcher's per-host token bucket actually
+        serializes a host's fetches. Hot-host skew handling: hosts with
+        more than `host_salt_threshold` rows this depth get a salt
+        suffix (url-hash modulo ceil(n/threshold)) so one mega-host
+        spreads over several batches/actors instead of serializing the
+        whole depth — trading per-host rate precision (the budget then
+        applies per salt shard) for wall-clock, documented in
+        SURVEY.md §4 'skew / hot hosts'."""
+        generated = generated.materialize()
+        threshold = self.config.host_salt_threshold
+
+        hot: dict = {}
+        if threshold > 0:
+            # hot-host census: tiny result (only hosts over threshold)
+            def host_counts(batch: pa.Table) -> pa.Table:
+                import collections
+
+                c = collections.Counter(
+                    host_of(u) for u in batch["url"].to_pylist()
+                )
+                return pa.table(
+                    {
+                        "__host": list(c.keys()),
+                        "n": pa.array(list(c.values()), pa.int64()),
+                    }
+                )
+
+            from ray.data.aggregate import Sum as _Sum
+
+            counts = (
+                generated.map_batches(host_counts, batch_format="pyarrow")
+                .groupby("__host")
+                .aggregate(_Sum("n", alias_name="n"))
+            ).to_pandas()
+            hot = {
+                r["__host"]: int(r["n"] // threshold) + 1
+                for _, r in counts.iterrows()
+                if r["n"] > threshold
+            }
+
+        from ..urls import url_hash64
+
         def add_host(batch: pa.Table) -> pa.Table:
-            hosts = pa.array(
-                [host_of(u) for u in batch["url"].to_pylist()], pa.string()
-            )
-            return batch.append_column("__host", hosts)
+            routes = []
+            for u in batch["url"].to_pylist():
+                h = host_of(u)
+                salts = hot.get(h)
+                if salts:
+                    routes.append(f"{h}#{url_hash64(u) % salts}")
+                else:
+                    routes.append(h)
+            return batch.append_column("__host", pa.array(routes, pa.string()))
 
         return (
             generated.map_batches(add_host, batch_format="pyarrow")

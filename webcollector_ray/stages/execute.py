@@ -83,6 +83,11 @@ class ExecuteStage:
         self.next_filter = next_filter
         self.execute_time_ms = execute_time_ms
         self._last_fetch_by_host: dict = {}
+        self.robots = None
+        if self.config.obey_robots:
+            from ..state.robots import RobotsCache
+
+            self.robots = RobotsCache(self.reader, self.config.user_agent)
         if executor is not None:
             # bare-executor mode (crawler/Crawler.java:51-54): user function
             # replaces the visitor dispatch entirely
@@ -98,6 +103,11 @@ class ExecuteStage:
 
     # -- fetch one datum against the page store (OkHttpRequester.java) --
     def _fetch(self, datum: CrawlDatum) -> Page:
+        if self.robots is not None and not self.robots.allowed(datum.url):
+            # north_rule: robots-denied == permanent fetch failure;
+            # marked in meta so it is distinguishable from transient errors
+            datum.set_meta("s_robots", "denied")
+            raise FetchError(f"robots.txt disallows {datum.url}")
         row = self.reader.get(datum.url)
         if row is None:
             raise FetchError(f"no route to {datum.url}")

@@ -55,7 +55,37 @@ def generate(
         return out
 
     ds = frontier.map_batches(gfilter, batch_format="pyarrow")
-    if config.topn > 0:
+    if config.priority_meta_key:
+        # north_rule priority queue: order the fetch list by a numeric
+        # meta key DESC (ties -> canonical key ASC). The reference has
+        # no priority concept — its order is KV iteration order.
+        pkey = config.priority_meta_key
+
+        def add_priority(batch: pa.Table) -> pa.Table:
+            import json
+
+            pri = []
+            for m in batch["meta"].to_pylist():
+                try:
+                    v = json.loads(m).get(pkey, 0) if m else 0
+                    pri.append(float(v))
+                except Exception:
+                    pri.append(0.0)
+            return batch.append_column(
+                "__priority", pa.array(pri, pa.float64())
+            )
+
+        ds = (
+            ds.map_batches(add_priority, batch_format="pyarrow")
+            .sort(["__priority", "key"], descending=[True, False])
+            .map_batches(
+                lambda b: b.drop_columns(["__priority"]),
+                batch_format="pyarrow",
+            )
+        )
+        if config.topn > 0:
+            ds = ds.limit(config.topn)
+    elif config.topn > 0:
         # G3: global limit in canonical key order (SURVEY.md §7.4)
         ds = ds.sort("key").limit(config.topn)
     return ds

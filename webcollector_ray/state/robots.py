@@ -1,0 +1,123 @@
+"""robots.txt policy + per-fetcher cache (north_rule frontier service).
+
+The reference has NO robots support (WebCollector fetches
+unconditionally; crawler/Crawler.java has no robots path) — this is a
+north_rule extension: each fetch actor/worker holds a per-host robots
+policy cache (ST1-style state, built lazily from the page store) and
+consults it before every fetch.
+
+Parsing follows the public REP (RFC 9309) subset: group selection by
+User-agent (exact token match case-insensitive, else the '*' group),
+Allow/Disallow prefix rules, longest-prefix-wins with Allow winning
+ties, empty Disallow = allow-all, missing/failed robots.txt = allow
+everything.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+from urllib.parse import urlsplit
+
+
+class RobotsPolicy:
+    """Parsed rules for one host (for one user agent)."""
+
+    __slots__ = ("rules",)
+
+    def __init__(self, rules: List[Tuple[bool, str]]):
+        # (allow, path_prefix), pre-sorted by prefix length descending
+        self.rules = sorted(rules, key=lambda r: (-len(r[1]), not r[0]))
+
+    @classmethod
+    def parse(cls, text: str, user_agent: str = "*") -> "RobotsPolicy":
+        ua_token = user_agent.split("/")[0].strip().lower()
+        groups: dict = {}  # ua -> list[(allow, prefix)]
+        current_uas: List[str] = []
+        last_was_ua = False
+        for raw in (text or "").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if not last_was_ua:
+                    current_uas = []
+                current_uas.append(value.lower())
+                for ua in current_uas:
+                    groups.setdefault(ua, [])
+                last_was_ua = True
+            elif field in ("allow", "disallow"):
+                last_was_ua = False
+                if not current_uas:
+                    continue
+                if not value:  # empty Disallow == allow all
+                    continue
+                for ua in current_uas:
+                    groups.setdefault(ua, []).append(
+                        (field == "allow", value)
+                    )
+            else:
+                last_was_ua = False
+        rules = groups.get(ua_token)
+        if rules is None:
+            # longest UA token substring match, then '*'
+            best = None
+            for ua, r in groups.items():
+                if ua != "*" and ua in ua_token:
+                    if best is None or len(ua) > len(best[0]):
+                        best = (ua, r)
+            rules = best[1] if best else groups.get("*", [])
+        return cls(rules)
+
+    def allowed(self, path: str) -> bool:
+        if not path.startswith("/"):
+            path = "/" + path
+        for allow, prefix in self.rules:
+            if path.startswith(prefix):
+                return allow
+        return True
+
+
+ALLOW_ALL = RobotsPolicy([])
+
+
+class RobotsCache:
+    """Per-worker lazy host -> RobotsPolicy cache over a PageStoreReader."""
+
+    def __init__(self, reader, user_agent: str = "*", max_hosts: int = 10000):
+        self.reader = reader
+        self.user_agent = user_agent
+        self.max_hosts = max_hosts
+        self._cache: dict = {}
+
+    def _policy_for(self, scheme: str, netloc: str) -> RobotsPolicy:
+        pol = self._cache.get(netloc)
+        if pol is None:
+            row = self.reader.get(f"{scheme}://{netloc}/robots.txt")
+            if row is None or row["code"] != 200 or not row["html"]:
+                pol = ALLOW_ALL
+            else:
+                try:
+                    pol = RobotsPolicy.parse(
+                        row["html"].decode("utf-8", "replace"), self.user_agent
+                    )
+                except Exception:
+                    pol = ALLOW_ALL
+            if len(self._cache) >= self.max_hosts:
+                self._cache.clear()  # simple bound; refetch is cheap
+            self._cache[netloc] = pol
+        return pol
+
+    def allowed(self, url: str) -> bool:
+        try:
+            parts = urlsplit(url)
+        except ValueError:
+            return True
+        if not parts.netloc:
+            return True
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        return self._policy_for(parts.scheme or "http", parts.netloc).allowed(path)

@@ -92,6 +92,7 @@ class SynthSpec:
         words_per_paragraph: int = 40,
         redirects_per_site: int = 1,
         failures_per_site: int = 1,
+        robots_rules: Optional[List[str]] = None,
     ):
         self.num_sites = num_sites
         self.lists_per_site = lists_per_site
@@ -100,6 +101,9 @@ class SynthSpec:
         self.words_per_paragraph = words_per_paragraph
         self.redirects_per_site = redirects_per_site
         self.failures_per_site = failures_per_site
+        # robots_rules: raw Allow/Disallow lines served at
+        # /robots.txt on every site (None -> 404, allow-all)
+        self.robots_rules = robots_rules
 
     @property
     def shows_per_site(self) -> int:
@@ -279,10 +283,29 @@ _KIND_MAX = {
 }
 
 
+_ROBOTS_RE = re.compile(r"^http://site(\d+)\.test/robots\.txt$")
+
+
 def row_for_url(spec: SynthSpec, url: str) -> Optional[dict]:
     """Regenerate the page row for a URL on demand (None = 404/no
     route). Pure function of (spec, url): lets a fetch stage serve the
     synthetic web with ZERO stored bytes — the bench-scale page store."""
+    rm = _ROBOTS_RE.match(url)
+    if rm is not None:
+        site = int(rm.group(1))
+        if site >= spec.num_sites or spec.robots_rules is None:
+            return None
+        body = "User-agent: *\n" + "\n".join(spec.robots_rules) + "\n"
+        return {
+            "url": url,
+            "warc_ts": _ts_ms(site, 0),
+            "html": body.encode("utf-8"),
+            "text": None,
+            "lang": "en",
+            "code": 200,
+            "location": None,
+            "content_type": "text/plain",
+        }
     m = _URL_RE.match(url)
     if not m:
         return None
