@@ -66,7 +66,33 @@ class CheckpointStore:
         ds.write_parquet(path)
         return self.count_rows(depth, name)
 
+    def partition_lineage(self, depth: int) -> dict:
+        """Per-partition lineage: every parquet part written at this
+        depth with its row count and size (from file metadata) — a
+        failed re-run can skip finished partitions file-by-file."""
+        out: dict = {}
+        for name in ("crawldb", "fetch", "link", "crawldb_final"):
+            path = self.table_dir(depth, name)
+            if not os.path.isdir(path):
+                continue
+            parts = []
+            for fn in sorted(os.listdir(path)):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(path, fn)
+                parts.append(
+                    {
+                        "file": fn,
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                        "bytes": os.path.getsize(full),
+                    }
+                )
+            out[name] = parts
+        return out
+
     def write_manifest(self, depth: int, payload: dict) -> None:
+        payload = dict(payload)
+        payload.setdefault("partitions", self.partition_lineage(depth))
         tmp = self.manifest_path(depth) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f, indent=1)
