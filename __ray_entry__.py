@@ -328,6 +328,94 @@ def _q_orders_by_nation(sf_dir: str):
     return out.map_batches(uncent, batch_format="pyarrow")
 
 
+def _q_events_by_type(sf_dir: str):
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(lambda b: _cents(b, "value", "cents"), batch_format="pyarrow")
+    out = ev.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("cents", alias_name="sum_value")
+    )
+
+    def uncent(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_value")
+        return batch.set_column(
+            i, "sum_value",
+            pc.divide(pc.cast(batch["sum_value"], pa.float64()), 100.0),
+        ).drop_columns([c for c in ("cents",) if c in batch.column_names])
+
+    return out.map_batches(uncent, batch_format="pyarrow")
+
+
+def _q_revenue_by_supp_nation(sf_dir: str):
+    # two-level broadcast join (suppkey -> nation name) + partial agg:
+    # revenue = sum(extendedprice * (1 - discount)) in exact 1e-6 units
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    smap = {
+        s: nmap[n]
+        for s, n in zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())
+    }
+    ref = ray.put(smap)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        # exact integers: price has 2 decimals, discount 2 decimals ->
+        # price*100 (int) * (100 - disc*100) (int) is exact in 1e-4 units
+        pc_i = np.round(price * 100).astype(np.int64)
+        dc_i = np.round(disc * 100).astype(np.int64)
+        rev = pc_i * (100 - dc_i)
+        df = pd.DataFrame(
+            {
+                "n_name": [m.get(s) for s in batch["l_suppkey"].to_pylist()],
+                "rev": rev,
+            }
+        )
+        g = df.groupby("n_name", sort=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    out = li.map_batches(partial, batch_format="pyarrow").groupby(
+        "n_name"
+    ).aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Sum("n_items", alias_name="n_items"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("revenue")
+        return batch.set_column(
+            i, "revenue",
+            pc.divide(pc.cast(batch["revenue"], pa.float64()), 10000.0),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_docs_top_chars(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(50)
+
+
+def _q_distinct_langs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))\
+             .select_columns(["lang"])
+
+
 def _knn_queries(sf_dir: str, n: int = 3) -> np.ndarray:
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -428,8 +516,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_events_tumbling,
         "events_sessions": _q_events_sessions,
         "events_top100": _q_events_top100,
+        "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_nation": _q_orders_by_nation,
+        "revenue_by_supp_nation": _q_revenue_by_supp_nation,
+        "docs_top_chars": _q_docs_top_chars,
+        "distinct_langs": _q_distinct_langs,
         # crawl engine (SURVEY.md §2-§3) + multimodal plumbing
         "crawl_bfs": _q_crawl_bfs,
         "crawl_extract": _q_crawl_extract,
@@ -505,6 +597,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, value FROM events "
             "ORDER BY value DESC, event_id ASC LIMIT 100"
         ),
+        "events_by_type": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "revenue_by_supp_nation": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     / 10000.0 AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "docs_top_chars": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id ASC LIMIT 50"
+        ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(round(l_quantity) AS BIGINT))::DOUBLE AS sum_qty,

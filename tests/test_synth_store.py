@@ -47,3 +47,26 @@ def test_dedupe_single_bucket_and_empty_blocks(ray_session):
     empty = rd.from_arrow(datums_to_table([CrawlDatum("http://zz")]).slice(0, 0))
     out = dedupe_by_key([(a, 0), (empty, 1)], num_buckets=1).to_pandas()
     assert list(out["key"]) == ["http://x/1"]
+
+
+def test_crawl_via_bucketed_store_matches_broadcast(ray_session, tmp_path):
+    """The disk-bucketed store path (100 TB scale path) must produce the
+    same crawl as the broadcast store."""
+    from webcollector_ray.config import CrawlerConfig
+    from webcollector_ray.pipelines.crawler import RamCrawler
+    from webcollector_ray.sources.pagestore import build_bucketed_store
+
+    spec = SynthSpec(num_sites=2)
+    pages = synth_pages_table(spec)
+    store = build_bucketed_store(pages, str(tmp_path / "store"), num_buckets=8)
+    cfg = CrawlerConfig(fetch_concurrency=2, merge_num_buckets=4)
+    regex = r"http://site[0-9]+\.test/(list|show)-[0-9]+\.html"
+
+    out = {}
+    for name, src in [("broadcast", pages), ("bucketed", store)]:
+        c = RamCrawler(src, config=cfg, deterministic_time=True)
+        c.add_seed(spec.seeds())
+        c.add_regex(regex)
+        df = c.start(10).crawldb.to_pandas().set_index("key").sort_index()
+        out[name] = df[["url", "status", "execute_count", "code"]]
+    assert out["broadcast"].equals(out["bucketed"])

@@ -214,20 +214,24 @@ class ContentExtractor:
     # ---- title (:262-374) ----
     @staticmethod
     def _lcs(x: str, y: str) -> int:
+        # LCS length (ContentExtractor.java:376-397 semantics).
+        # Vectorized row DP: cur[j+1] = max(prev[j+1], prev[j]+eq[j],
+        # cur[j]) — the cur[j] carry is a running max, so each row is
+        # one np.maximum + one np.maximum.accumulate.
         m, n = len(x), len(y)
         if m == 0 or n == 0:
             return 0
-        prev = [0] * (n + 1)
-        for i in range(m - 1, -1, -1):
-            cur = [0] * (n + 1)
-            xi = x[i]
-            for j in range(n - 1, -1, -1):
-                if xi == y[j]:
-                    cur[j] = prev[j + 1] + 1
-                else:
-                    cur[j] = max(prev[j], cur[j + 1])
-            prev = cur
-        return prev[0]
+        import numpy as _np
+
+        ya = _np.frombuffer(y.encode("utf-32-le"), dtype=_np.uint32)
+        prev = _np.zeros(n + 1, dtype=_np.int32)
+        for ch in x:
+            eq = ya == ord(ch)
+            cand = _np.maximum(prev[1:], prev[:-1] + eq)
+            prev = _np.concatenate(
+                ([0], _np.maximum.accumulate(cand))
+            ).astype(_np.int32, copy=False)
+        return int(prev[-1])
 
     @classmethod
     def _str_sim(cls, a: str, b: str) -> float:

@@ -303,6 +303,31 @@ class Crawler:
 
         return link_seg.map_batches(f, batch_format="pyarrow")
 
+    # --- store-bucket-coherent routing (scale path J3) ---
+    def _route_by_store_bucket(self, generated, num_buckets: int):
+        """Sort the fetch list by the bucketed page store's own
+        md5(url) % B partition id, so each fetch task's batch touches
+        O(1) store buckets and the per-worker LRU bucket cache actually
+        hits — without this, random batches read ~batch_size distinct
+        buckets each at 100 TB store scale."""
+        from ..urls import url_hash64
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = pa.array(
+                [url_hash64(u) % num_buckets for u in batch["url"].to_pylist()],
+                pa.int32(),
+            )
+            return batch.append_column("__sbucket", b)
+
+        return (
+            generated.map_batches(add_bucket, batch_format="pyarrow")
+            .sort(["__sbucket", "key"])
+            .map_batches(
+                lambda b: b.drop_columns(["__sbucket"]),
+                batch_format="pyarrow",
+            )
+        )
+
     # --- the depth loop ---
     def start(self, depth: int) -> CrawlResult:
         cfg = self.config
@@ -362,10 +387,15 @@ class Crawler:
                 ckpt.write_table(crawldb, i, "crawldb")
                 crawldb = ckpt.read_dataset(i, "crawldb")
 
-            # 2. generate (G1-G4 + topN)
+            # 2. generate (G1-G4 + topN) + routing: politeness wins
+            # (hosts), else store-bucket locality for bucketed stores
             generated = generate(crawldb, cfg, self.generator_filter)
             if cfg.politeness_budget_ms > 0:
                 generated = self._route_by_host(generated)
+            elif store_handle.get("kind") == "bucketed":
+                generated = self._route_by_store_bucket(
+                    generated, store_handle["num_buckets"]
+                )
 
             # 3. execute: fused generate-filter + fetch + visit — the
             # depth's ONE Dataset execution
