@@ -1,0 +1,166 @@
+"""Job entry point — `ray job submit -- python -m webcollector_ray ...`.
+
+Subcommands:
+
+  crawl      run a BFS crawl (the §3.1 lifecycle) from CLI flags
+  inspect    print a checkpointed crawldb depth (S5 offline reader)
+  bucketize  pre-bucket a pages parquet table into a BucketedPageStore
+
+The pages source (`--pages`) accepts:
+  - a parquet file/dir of Common-Crawl-style pages (read + broadcast),
+  - a BucketedPageStore directory (contains _store_meta.json),
+  - `synth:sites=N` for the deterministic synthetic web.
+
+On a real cluster this module is what `ray job submit` runs; locally it
+auto-inits Ray (guarded, per the driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray(cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False)
+        if os.environ.get("RAY_ADDRESS") in (None, "local"):
+            kwargs["address"] = "local"
+            if cpus:
+                kwargs["num_cpus"] = cpus
+        ray.init(**kwargs)
+
+
+def _load_pages(spec: str):
+    from .sources.pagestore import BucketedPageStore, SynthPageStore
+    from .synth import SynthSpec
+
+    if spec.startswith("synth:"):
+        kw = dict(kv.split("=") for kv in spec[6:].split(",") if kv)
+        return SynthPageStore(SynthSpec(num_sites=int(kw.get("sites", 10))))
+    if os.path.isfile(os.path.join(spec, "_store_meta.json")):
+        return BucketedPageStore(spec)
+    import pyarrow.parquet as pq
+
+    return pq.read_table(spec)
+
+
+def cmd_crawl(args) -> None:
+    _ensure_ray(args.cpus)
+    from .config import CrawlerConfig
+    from .pipelines.autonews import NewsVisitor
+    from .pipelines.crawler import Crawler
+
+    cfg = CrawlerConfig(
+        topn=args.topn,
+        fetch_concurrency=args.fetch_concurrency,
+        fetch_batch_size=args.batch_size,
+        merge_num_buckets=args.merge_buckets,
+        resumable=args.resume,
+        obey_robots=args.obey_robots,
+        politeness_budget_ms=args.politeness_ms,
+        approximate_seen=args.approximate_seen,
+        priority_meta_key=args.priority_key,
+    )
+    c = Crawler(
+        _load_pages(args.pages),
+        crawl_path=args.crawl_path,
+        visitor=NewsVisitor() if args.extract_news else None,
+        config=cfg,
+    )
+    seeds = list(args.seed)
+    if args.seeds_file:
+        with open(args.seeds_file) as f:
+            seeds += [ln.strip() for ln in f if ln.strip()]
+    c.add_seed(seeds)
+    for r in args.regex:
+        c.add_regex(r)
+    res = c.start(args.depth)
+    out = {
+        "depths": [
+            {
+                "depth": m.depth,
+                "generated": m.generated,
+                "links": m.links,
+                "ok": m.fetch_success,
+                "fail": m.fetch_failed,
+                "crawldb": m.crawldb_size,
+                "seconds": round(m.seconds, 3),
+            }
+            for m in res.depths
+        ],
+        "total_fetched": res.total_fetched,
+        "seconds": round(res.seconds, 3),
+    }
+    print(json.dumps(out))
+
+
+def cmd_inspect(args) -> None:
+    _ensure_ray(args.cpus)
+    from .functions.output import list_crawldb
+
+    df = list_crawldb(args.crawl_path, args.depth)
+    with __import__("pandas").option_context("display.max_rows", args.limit):
+        print(df.head(args.limit).to_string())
+    print(f"... {len(df)} rows total")
+
+
+def cmd_bucketize(args) -> None:
+    _ensure_ray(args.cpus)
+    import ray.data as rd
+
+    from .sources.pagestore import build_bucketed_store
+
+    pages = rd.read_parquet(args.pages)
+    build_bucketed_store(pages, args.out, num_buckets=args.buckets)
+    print(json.dumps({"out": args.out, "num_buckets": args.buckets}))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="python -m webcollector_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl")
+    c.add_argument("--cpus", type=int, default=None)
+    c.add_argument("--pages", required=True)
+    c.add_argument("--seed", action="append", default=[])
+    c.add_argument("--seeds-file")
+    c.add_argument("--regex", action="append", default=[])
+    c.add_argument("--depth", type=int, default=4)
+    c.add_argument("--crawl-path")
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--topn", type=int, default=0)
+    c.add_argument("--fetch-concurrency", type=int, default=8)
+    c.add_argument("--batch-size", type=int, default=256)
+    c.add_argument("--merge-buckets", type=int, default=64)
+    c.add_argument("--obey-robots", action="store_true")
+    c.add_argument("--politeness-ms", type=int, default=0)
+    c.add_argument("--approximate-seen", action="store_true")
+    c.add_argument("--priority-key", default="")
+    c.add_argument("--extract-news", action="store_true")
+    c.set_defaults(fn=cmd_crawl)
+
+    i = sub.add_parser("inspect")
+    i.add_argument("--cpus", type=int, default=None)
+    i.add_argument("--crawl-path", required=True)
+    i.add_argument("--depth", type=int, default=None)
+    i.add_argument("--limit", type=int, default=50)
+    i.set_defaults(fn=cmd_inspect)
+
+    b = sub.add_parser("bucketize")
+    b.add_argument("--cpus", type=int, default=None)
+    b.add_argument("--pages", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--buckets", type=int, default=64)
+    b.set_defaults(fn=cmd_bucketize)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

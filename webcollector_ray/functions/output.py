@@ -98,3 +98,46 @@ class HashSetNextFilter:
 
     def __call__(self, datum: CrawlDatum, referer: CrawlDatum):
         return None if datum.key in self.keys else datum
+
+
+class FileIdGenerator:
+    """Sequential file-id generator seeded from the max existing id in
+    a directory (util/FileIdGenerator.java:30-44). In Ray pipelines the
+    write tasks name their own parts; this is the single-process
+    parity shim."""
+
+    def __init__(self, base_dir: str):
+        import os
+
+        self.base_dir = base_dir
+        last = -1
+        if os.path.isdir(base_dir):
+            for fn in os.listdir(base_dir):
+                stem = fn.split(".")[0]
+                try:
+                    last = max(last, int(stem))
+                except ValueError:
+                    continue
+        self._last = last
+
+    def generate(self) -> int:
+        self._last += 1
+        return self._last
+
+
+def list_crawldb(crawl_path: str, depth: Optional[int] = None):
+    """Offline crawldb inspection (S5: plugin/rocks/RocksDBReader.java):
+    read the newest (or given) depth's frontier checkpoint as a pandas
+    DataFrame in canonical key order."""
+    from ..state.frontier import CheckpointStore
+
+    ckpt = CheckpointStore(crawl_path)
+    d = depth if depth is not None else ckpt.latest_complete_depth()
+    if d is None:
+        raise FileNotFoundError(f"no complete depth under {crawl_path}")
+    return (
+        ckpt.read_dataset(d, "crawldb")
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )

@@ -88,3 +88,19 @@ class Links:
 
     def __repr__(self) -> str:
         return f"Links({self._list!r})"
+
+
+def make_abs(doc, url: Optional[str] = None) -> None:
+    """Rewrite every href/src attribute in the DOM to its absolute form
+    (reference: util/JsoupUtils.java:31-56, X6 in SURVEY.md §2.7)."""
+    if url is not None:
+        doc.base_uri = url
+
+    def head(node, _depth):
+        if isinstance(node, Element):
+            if node.has_attr("href"):
+                node.attrs["href"] = node.abs_attr("href")
+            if node.has_attr("src"):
+                node.attrs["src"] = node.abs_attr("src")
+
+    doc.traverse(head)

@@ -120,7 +120,12 @@ class CheckpointStore:
 
         if not self.has_table(depth, name):
             return rd.from_arrow(FRONTIER_SCHEMA.empty_table())
-        return rd.read_parquet(self.table_dir(depth, name))
+        # columns pinned to the frontier schema: without this, hive
+        # partition inference resurrects the `depth=<k>` path segment
+        # as a phantom column on resume
+        return rd.read_parquet(
+            self.table_dir(depth, name), columns=list(FRONTIER_SCHEMA.names)
+        )
 
     def read_manifest(self, depth: int) -> Optional[dict]:
         p = self.manifest_path(depth)
