@@ -467,6 +467,33 @@ def _q_crawl_bfs(sf_dir: str):
     return df.sort_values("key").reset_index(drop=True)
 
 
+def _q_crawl_robots(sf_dir: str):
+    """north_rule path: same synthetic web but served with a robots.txt
+    disallowing article pages; fetch stage consults per-host robots
+    caches. Result: per-status/robots tallies of the final frontier."""
+    spec = _crawl_spec(sf_dir)
+    spec.robots_rules = ["Disallow: /show-"]
+    from webcollector_ray.sources.pagestore import SynthPageStore
+
+    cfg = CrawlerConfig(
+        fetch_concurrency=4, merge_num_buckets=16, obey_robots=True,
+        max_execute_count=0,
+    )
+    c = RamCrawler(SynthPageStore(spec), config=cfg, deterministic_time=True)
+    c.add_seed(spec.seeds())
+    c.add_regex(CRAWL_REGEX)
+    res = c.start(10)
+    df = res.crawldb.to_pandas()
+    df["robots_denied"] = df["meta"].str.contains("s_robots", na=False)
+    out = (
+        df.groupby(["status", "robots_denied"])
+        .size()
+        .reset_index(name="n")
+        .astype({"status": "int64", "n": "int64"})
+    )
+    return out.sort_values(["status", "robots_denied"]).reset_index(drop=True)
+
+
 def _q_crawl_extract(sf_dir: str):
     spec = _crawl_spec(sf_dir)
     pages = synth_pages_table(spec)
@@ -525,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl engine (SURVEY.md §2-§3) + multimodal plumbing
         "crawl_bfs": _q_crawl_bfs,
         "crawl_extract": _q_crawl_extract,
+        "crawl_robots": _q_crawl_robots,
         "media_features": _q_media_features,
     }
 
