@@ -208,6 +208,48 @@ def run_scaling(sf_dir: str, n_cpus: int, n4_cpus: int,
     }
 
 
+def run_stats(sf_dir: str, cpus: int, sites: int = 2000) -> None:
+    """Print ds.stats() for the two big stages (fused execute, merge
+    reduce equivalent) over one wide depth — the tuning evidence loop."""
+    import ray
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from webcollector_ray.config import CrawlerConfig
+    from webcollector_ray.model import CrawlDatum, datums_to_table
+    from webcollector_ray.pipelines.autonews import NewsVisitor
+    from webcollector_ray.regex_rule import RegexRule
+    from webcollector_ray.sources.pagestore import SynthPageStore
+    from webcollector_ray.stages.execute import run_execute
+    from webcollector_ray.synth import SynthSpec
+
+    spec = SynthSpec(num_sites=sites, lists_per_site=2, shows_per_list=8)
+    cfg = CrawlerConfig(fetch_batch_size=512)
+    frontier = datums_to_table(
+        [
+            CrawlDatum(f"http://site{s}.test/show-{j}.html")
+            for s in range(sites)
+            for j in range(16)
+        ]
+    )
+    exec_out = run_execute(
+        rd.from_arrow(frontier),
+        SynthPageStore(spec).handle(),
+        config=cfg,
+        execute_time_ms=1,
+        visitor=NewsVisitor(),
+        auto_parse=True,
+        regex_rule=RegexRule([r"http://site[0-9]+\.test/(list|show)-[0-9]+\.html"]),
+    ).materialize()
+    print(exec_out.stats())
+    ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -217,8 +259,13 @@ def main() -> None:
     ap.add_argument("--scaling-n", type=int, default=4)
     ap.add_argument("--sites", type=int, default=None,
                     help="override synthetic web size (num sites)")
+    ap.add_argument("--stats", action="store_true",
+                    help="print ds.stats() of the fused execute stage")
     args = ap.parse_args()
 
+    if args.stats:
+        run_stats(args.sf_dir, args.cpus, sites=args.sites or 2000)
+        return
     if args.scaling:
         # N vs 4N; defaults 4 vs 16 so both runs fit beside the
         # sandbox's background load (un-contended, like two dedicated

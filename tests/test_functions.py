@@ -221,3 +221,52 @@ def test_media_pipeline_deterministic(ray_session):
 def test_media_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         DecodeStage(fake=False)(synth_media_table(1))
+
+
+def test_frame_sample_stage(ray_session):
+    from webcollector_ray.functions.multimodal import FrameSampleStage
+
+    media = synth_media_table(n=6, kind="video")
+    out = (
+        rd.from_arrow(media)
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs=dict(fake=True, num_frames=8, every=4),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    # 2 sampled frames (0, 4) per payload, deterministic pixels
+    assert len(out) == 12
+    assert sorted(out["frame"].unique()) == [0, 4]
+    again = FrameSampleStage(fake=True, num_frames=8, every=4)(media)
+    a = list(out.sort_values(["media_id", "frame"])["pixels"].iloc[0])
+    b = list(again.to_pandas().sort_values(["media_id", "frame"])["pixels"].iloc[0])
+    assert a == b
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(fake=False)(media)
+
+
+def test_approximate_seen_crawl_same_seen_set(ray_session):
+    """approximate_seen pre-drops links via the sharded bloom; at small
+    scale (fp ~ 0) the final URL-seen set must equal the exact path."""
+    from webcollector_ray.config import CrawlerConfig
+    from webcollector_ray.pipelines.crawler import RamCrawler
+    from webcollector_ray.sources.pagestore import SynthPageStore
+    from webcollector_ray.synth import SynthSpec
+
+    spec = SynthSpec(num_sites=2)
+    regex = r"http://site[0-9]+\.test/(list|show)-[0-9]+\.html"
+    out = {}
+    for name, approx in [("exact", False), ("bloom", True)]:
+        cfg = CrawlerConfig(
+            fetch_concurrency=2, merge_num_buckets=4,
+            approximate_seen=approx, seen_shards=2,
+        )
+        c = RamCrawler(SynthPageStore(spec), config=cfg, deterministic_time=True)
+        c.add_seed(spec.seeds())
+        c.add_regex(regex)
+        df = c.start(10).crawldb.to_pandas()
+        out[name] = set(df["key"])
+    assert out["exact"] == out["bloom"]

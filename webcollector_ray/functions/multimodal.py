@@ -125,6 +125,49 @@ class FeatureStage:
         )
 
 
+class FrameSampleStage:
+    """Video payload -> every k-th frame's pixels (fake decode derives a
+    deterministic frame sequence from the payload digest; a real
+    deployment plugs ffmpeg here). Actor-pool stage: one output row per
+    sampled frame (flat-map shape)."""
+
+    def __init__(self, fake: bool = False, num_frames: int = 8,
+                 every: int = 4, height: int = 8, width: int = 8):
+        self.fake = fake
+        self.num_frames = num_frames
+        self.every = every
+        self.h = height
+        self.w = width
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "real video decode requires ffmpeg — not available in this "
+                "container; construct FrameSampleStage(fake=True) for the "
+                "deterministic test path"
+            )
+        ids, frames, pixels = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            for f in range(0, self.num_frames, self.every):
+                arr = _fake_decode(
+                    (payload or b"") + f.to_bytes(4, "big"), self.h, self.w
+                )
+                ids.append(mid)
+                frames.append(f)
+                pixels.append(arr.ravel().tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frames, pa.int32()),
+                "pixels": pa.array(pixels, pa.list_(pa.uint8())),
+                "height": pa.array([self.h] * len(ids), pa.int32()),
+                "width": pa.array([self.w] * len(ids), pa.int32()),
+            }
+        )
+
+
 def synth_media_table(n: int = 32, kind: str = "image") -> pa.Table:
     """Deterministic fixture payloads."""
     ids = list(range(n))

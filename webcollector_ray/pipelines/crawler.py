@@ -403,6 +403,7 @@ class Crawler:
                 generated,
                 store_handle,
                 config=cfg,
+                repartition_input=False,
                 execute_time_ms=(1_000_000 + i) if self.deterministic_time else None,
                 visitor=self.visitor,
                 executor=self.executor,

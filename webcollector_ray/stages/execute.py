@@ -223,6 +223,7 @@ def run_execute(
     *,
     config: CrawlerConfig,
     execute_time_ms: Optional[int] = None,
+    repartition_input: bool = True,
     **stage_kwargs,
 ):
     """generated: Dataset of frontier rows -> Dataset of seg-tagged rows.
@@ -236,6 +237,17 @@ def run_execute(
         execute_time_ms=execute_time_ms,
         **stage_kwargs,
     )
+    # task granularity == batch granularity: map_batches launches one
+    # task per INPUT BLOCK, so a coarse-blocked frontier (e.g. a single
+    # from_arrow block) under-parallelizes the fetch regardless of
+    # batch_size. Splitting to fetch_batch_size-row blocks makes every
+    # batch its own task. The crawler passes repartition_input=False —
+    # its frontier is already merge_num_buckets hash-partitioned blocks
+    # and the extra pass would cost more than it buys per depth.
+    if repartition_input:
+        generated = generated.repartition(
+            target_num_rows_per_block=config.fetch_batch_size
+        )
     stateful = (
         config.politeness_budget_ms > 0 or config.execute_interval_ms > 0
     )
