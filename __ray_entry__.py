@@ -214,6 +214,54 @@ def _q_events_tumbling(sf_dir: str):
     return out.map_batches(uncent, batch_format="pyarrow")
 
 
+def _q_events_hopping(sf_dir: str):
+    from webcollector_ray.functions.windows import hopping_window_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ).map_batches(lambda b: _cents(b, "value", "cents"), batch_format="pyarrow")
+    out = hopping_window_agg(
+        ev, value_col="cents", window_sec=3600, hop_sec=900
+    )
+
+    def uncent(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_value")
+        return batch.set_column(
+            i, "sum_value",
+            pc.divide(pc.cast(batch["sum_value"], pa.float64()), 100.0),
+        )
+
+    return out.map_batches(uncent, batch_format="pyarrow")
+
+
+def _q_events_orders_asof(sf_dir: str):
+    # as-of join: each event matched to the user's most recent order at
+    # or before the event time; right side pre-reduced to one row per
+    # (custkey, orderdate) for a deterministic survivor
+    from ray.data.aggregate import Max
+
+    from webcollector_ray.functions.joins import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    ).groupby(["o_custkey", "o_orderdate"]).aggregate(
+        Max("o_orderkey", alias_name="o_orderkey")
+    )
+    joined = asof_join(
+        ev, orders,
+        by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+    ).to_pandas()
+    joined["o_orderkey"] = joined["o_orderkey"].astype("Int64")
+    return joined[["event_id", "o_orderkey"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
 def _q_events_sessions(sf_dir: str):
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
@@ -541,7 +589,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         # windows / aggregates / sort / join
         "events_tumbling": _q_events_tumbling,
+        "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
+        "events_orders_asof": _q_events_orders_asof,
         "events_top100": _q_events_top100,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -607,6 +657,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY user_id, window_start
+        """,
+        "events_hopping": """
+            SELECT user_id,
+                   (k * 900)::BIGINT AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+            FROM (
+                SELECT user_id, value,
+                       unnest(generate_series(
+                           (epoch_us(ts) - 3600000000) // 900000000 + 1,
+                           epoch_us(ts) // 900000000
+                       )) AS k
+                FROM events
+            ) GROUP BY user_id, k
+        """,
+        "events_orders_asof": """
+            WITH o AS (
+                SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, o.o_orderkey
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "events_sessions": """
             SELECT user_id,

@@ -270,3 +270,52 @@ def test_approximate_seen_crawl_same_seen_set(ray_session):
         df = c.start(10).crawldb.to_pandas()
         out[name] = set(df["key"])
     assert out["exact"] == out["bloom"]
+
+
+def test_hopping_window_membership(ray_session):
+    import pyarrow as pa
+
+    from webcollector_ray.functions.windows import hopping_window_agg
+
+    # one event at t=1000s, window=3600 hop=900: windows [ws, ws+3600)
+    # with ws in {-1800, -900, 0, 900} contain it (4 = window/hop)
+    t = pa.table({
+        "user_id": [1],
+        "ts": pa.array([1000 * 1_000_000], pa.int64()).cast(pa.timestamp("us")),
+        "value": [2.0],
+    })
+    out = hopping_window_agg(rd.from_arrow(t)).to_pandas()
+    assert sorted(out["window_start"]) == [-1800, -900, 0, 900]
+    assert (out["n_events"] == 1).all() and (out["sum_value"] == 2.0).all()
+
+
+def test_asof_join_basic(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    from webcollector_ray.functions.joins import asof_join
+
+    left = pa.table({
+        "k": [1, 1, 2, 3],
+        "t": [10, 25, 10, 10],
+        "lv": ["a", "b", "c", "d"],
+    })
+    right = pa.table({
+        "k": [1, 1, 2],
+        "rt": [5, 20, 50],
+        "rv": [100, 200, 300],
+    })
+    out = (
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            by="k", left_on="t", right_on="rt", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    # k=1 t=10 -> rt=5; k=1 t=25 -> rt=20; k=2 t=10 -> none (rt=50 later);
+    # k=3 -> no right rows
+    assert out["rv"].tolist()[0] == 100
+    assert out["rv"].tolist()[1] == 200
+    assert pd.isna(out["rv"].tolist()[2]) and pd.isna(out["rv"].tolist()[3])

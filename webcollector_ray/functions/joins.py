@@ -1,0 +1,113 @@
+"""Custom join operators Ray Data lacks natively (SURVEY instructions:
+as-of / range joins as compositions of map_batches + bucketed
+map_groups; ray_guide.md bucket-join pattern).
+
+Both sides are hash-bucketed by the equality key so each bucket's join
+runs as one vectorized pandas operation; buckets (not keys) are the
+reduce unit, so key skew and tiny-group overhead never appear. At
+10^10 rows only num_buckets needs raising.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    by: str,
+    left_on: str,
+    right_on: str,
+    right_by: Optional[str] = None,
+    num_buckets: int = 32,
+    direction: str = "backward",
+):
+    """As-of join: for each left row, the right row with the greatest
+    `right_on` <= `left_on` (direction='backward') within the same `by`
+    key. Left-outer semantics (unmatched -> right columns null).
+
+    Column names (other than the by/right_by pair) must be disjoint
+    between the two sides. Right-side ties on (by, right_on) survive by
+    pandas' last-among-equals — dedupe the right side first for a
+    deterministic survivor.
+
+    Plan: tag + pad both sides to one unified schema, hash-bucket by
+    the `by` key, ONE groupby shuffle, per-bucket vectorized
+    pd.merge_asof."""
+    rb = right_by or by
+    lschema, rschema = left.schema(), right.schema()
+    left_cols = list(lschema.names)
+    right_cols = list(rschema.names)
+    overlap = (set(left_cols) & set(right_cols)) - ({by} if rb == by else set())
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {overlap}")
+    types = {n: t for n, t in zip(lschema.names, lschema.types)}
+    for n, t in zip(rschema.names, rschema.types):
+        types.setdefault(n, t)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def tag(side: str, key_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
+            for c in all_cols:
+                if c in batch.column_names:
+                    cols[c] = batch[c]
+                else:
+                    cols[c] = pa.nulls(n, types[c])
+            out = pa.table(cols)
+            b = np.array(
+                [
+                    zlib.crc32(str(k).encode()) % num_buckets
+                    for k in batch[key_col].to_pylist()
+                ],
+                dtype=np.int32,
+            )
+            out = out.append_column("__bucket", pa.array(b))
+            return out.append_column(
+                "__side", pa.array([side] * n, pa.string())
+            )
+
+        return f
+
+    lt = left.map_batches(tag("L", by), batch_format="pyarrow")
+    rt = right.map_batches(tag("R", rb), batch_format="pyarrow")
+
+    out_cols = left_cols + [c for c in right_cols if c not in (rb,) and c not in left_cols]
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "L"][left_cols].copy()
+        r = df[df["__side"] == "R"][right_cols].copy()
+        if len(l) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=df[c].dtype) for c in out_cols})
+        if len(r) == 0:
+            out = l.copy()
+            for c in out_cols:
+                if c not in out.columns:
+                    out[c] = None
+            return out[out_cols]
+        l = l.sort_values(left_on, kind="mergesort")
+        r = r.sort_values(right_on, kind="mergesort")
+        if l[left_on].dtype != r[right_on].dtype:
+            # e.g. datetime64[us] vs datetime64[s] after arrow round-trips
+            r[right_on] = r[right_on].astype(l[left_on].dtype)
+        out = pd.merge_asof(
+            l, r,
+            left_on=left_on, right_on=right_on,
+            left_by=by, right_by=rb,
+            direction=direction,
+        )
+        if rb != by and rb in out.columns:
+            out = out.drop(columns=[rb])
+        return out[out_cols]
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )

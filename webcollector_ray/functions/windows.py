@@ -49,6 +49,58 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    events,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: int = 3600,
+    hop_sec: int = 900,
+):
+    """Sliding/hopping windows: event t belongs to every window
+    [k*hop, k*hop + window) with k in
+    ((t - window)/hop, t/hop] — exploded vectorized per batch (each
+    event lands in window/hop rows), then the same two-key groupby
+    aggregate as tumbling. -> (key, window_start, n_events, sum_value).
+    """
+    import numpy as np
+
+    w_us = window_sec * 1_000_000
+    h_us = hop_sec * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t_us = pc.cast(batch[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        k_min = (t_us - w_us) // h_us + 1
+        k_max = t_us // h_us
+        counts = (k_max - k_min + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(t_us)), counts)
+        # per-row k offsets 0..count-1, vectorized
+        offs = np.arange(counts.sum()) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        ks = np.repeat(k_min, counts) + offs
+        out = pa.table(
+            {
+                key_col: batch[key_col].take(pa.array(idx)),
+                "window_start": pa.array(ks * hop_sec, pa.int64()),
+                value_col: batch[value_col].take(pa.array(idx)),
+            }
+        )
+        return out
+
+    return (
+        events.map_batches(explode, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name="sum_value"),
+        )
+    )
+
+
 def session_windows(
     events,
     *,
