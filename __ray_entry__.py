@@ -262,6 +262,56 @@ def _q_events_orders_asof(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_events_close_pairs(sf_dir: str):
+    # range (interval) self-join: ordered pairs of a user's events at
+    # most 10 minutes apart (later event joined to each earlier one)
+    from webcollector_ray.functions.joins import range_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    prev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "prev_id": b["event_id"],
+                "user_id": b["user_id"],
+                "prev_ts": b["ts"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = range_join(
+        ev, prev,
+        by="user_id",
+        left_on="ts", right_on="prev_ts",
+        lower=0, upper=600,
+    )
+
+    def not_self(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch["event_id"], batch["prev_id"])
+        )
+
+    return out.map_batches(not_self, batch_format="pyarrow").select_columns(
+        ["event_id", "prev_id"]
+    )
+
+
+def _q_top_events_per_user(sf_dir: str):
+    from webcollector_ray.functions.ranking import top_n_per_group
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+    out = top_n_per_group(
+        ev, key_col="user_id", order_col="value", n=3,
+        descending=True, tie_col="event_id",
+    )
+    return out.select_columns(["user_id", "rank", "event_id", "value"])
+
+
 def _q_events_sessions(sf_dir: str):
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
@@ -592,6 +642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
         "events_orders_asof": _q_events_orders_asof,
+        "events_close_pairs": _q_events_close_pairs,
+        "top_events_per_user": _q_top_events_per_user,
         "events_top100": _q_events_top100,
         "events_by_type": _q_events_by_type,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -680,6 +732,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, o.o_orderkey
             FROM events e ASOF LEFT JOIN o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "events_close_pairs": """
+            SELECT a.event_id, b.event_id AS prev_id
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.ts >= b.ts
+             AND a.ts <= b.ts + INTERVAL 600 SECOND
+             AND a.event_id <> b.event_id
+        """,
+        "top_events_per_user": """
+            SELECT user_id, rnk::BIGINT AS "rank", event_id, value
+            FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY value DESC, event_id ASC
+                       ) AS rnk
+                FROM events
+            ) WHERE rnk <= 3
         """,
         "events_sessions": """
             SELECT user_id,

@@ -319,3 +319,48 @@ def test_asof_join_basic(ray_session):
     assert out["rv"].tolist()[0] == 100
     assert out["rv"].tolist()[1] == 200
     assert pd.isna(out["rv"].tolist()[2]) and pd.isna(out["rv"].tolist()[3])
+
+
+def test_range_join_basic(ray_session):
+    import pyarrow as pa
+
+    from webcollector_ray.functions.joins import range_join
+
+    left = pa.table({"k": [1, 1, 2], "t": [10, 100, 10], "lv": ["a", "b", "c"]})
+    right = pa.table({"k": [1, 1, 2], "rt": [8, 95, 50], "rv": [1, 2, 3]})
+    out = (
+        range_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            by="k", left_on="t", right_on="rt",
+            lower=0, upper=5, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "t", "rt"])
+        .reset_index(drop=True)
+    )
+    # k=1: (10 in [8,13]) and (100 in [95,100]); k=2: 10 not in [50,55]
+    assert [(r["t"], r["rv"]) for _, r in out.iterrows()] == [(10, 1), (100, 2)]
+
+
+def test_top_n_per_group(ray_session):
+    import pyarrow as pa
+
+    from webcollector_ray.functions.ranking import top_n_per_group
+
+    t = pa.table({
+        "k": [1, 1, 1, 2, 2],
+        "v": [5.0, 9.0, 9.0, 1.0, 2.0],
+        "i": [10, 11, 12, 20, 21],
+    })
+    out = (
+        top_n_per_group(
+            rd.from_arrow(t), key_col="k", order_col="v", n=2, tie_col="i",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "rank"])
+        .reset_index(drop=True)
+    )
+    # k=1: v=9 tie -> i asc (11 then 12); k=2: 2.0 then 1.0
+    assert out["i"].tolist() == [11, 12, 21, 20]
+    assert out["rank"].tolist() == [1, 2, 1, 2]

@@ -111,3 +111,89 @@ def asof_join(
     return lt.union(rt).groupby("__bucket").map_groups(
         join_bucket, batch_format="pandas"
     )
+
+
+def range_join(
+    left,
+    right,
+    *,
+    by: str,
+    left_on: str,
+    right_on: str,
+    right_by: Optional[str] = None,
+    lower: float = 0,
+    upper: float = 0,
+    num_buckets: int = 32,
+):
+    """Range (interval) join: all (left, right) pairs with matching `by`
+    key and right_on + lower <= left_on <= right_on + upper.
+    Inner-join semantics; output = left columns + right columns (minus
+    the duplicate key).
+
+    Same physical plan as asof_join (pad/tag -> ONE bucket shuffle);
+    inside a bucket the pair generation is an equality merge on the key
+    followed by a vectorized interval filter. The equality-key
+    pre-partitioning is what keeps this from being a cross join — the
+    documented partitioning assumption is that `by` has no mega-key
+    whose pairs alone exceed a bucket's memory."""
+    rb = right_by or by
+    lschema, rschema = left.schema(), right.schema()
+    left_cols = list(lschema.names)
+    right_cols = list(rschema.names)
+    overlap = (set(left_cols) & set(right_cols)) - ({by} if rb == by else set())
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {overlap}")
+    types = {n: t for n, t in zip(lschema.names, lschema.types)}
+    for n, t in zip(rschema.names, rschema.types):
+        types.setdefault(n, t)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def tag(side: str, key_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
+            for c in all_cols:
+                cols[c] = (
+                    batch[c] if c in batch.column_names else pa.nulls(n, types[c])
+                )
+            out = pa.table(cols)
+            b = np.array(
+                [
+                    zlib.crc32(str(k).encode()) % num_buckets
+                    for k in batch[key_col].to_pylist()
+                ],
+                dtype=np.int32,
+            )
+            out = out.append_column("__bucket", pa.array(b))
+            return out.append_column(
+                "__side", pa.array([side] * n, pa.string())
+            )
+
+        return f
+
+    lt = left.map_batches(tag("L", by), batch_format="pyarrow")
+    rt = right.map_batches(tag("R", rb), batch_format="pyarrow")
+    out_cols = left_cols + [
+        c for c in right_cols if c not in (rb,) and c not in left_cols
+    ]
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "L"][left_cols]
+        r = df[df["__side"] == "R"][right_cols]
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=df[c].dtype) for c in out_cols})
+        m = l.merge(r, left_on=by, right_on=rb)
+        if pd.api.types.is_datetime64_any_dtype(m[right_on]):
+            lo = m[right_on] + pd.Timedelta(seconds=lower)
+            hi = m[right_on] + pd.Timedelta(seconds=upper)
+        else:
+            lo = m[right_on] + lower
+            hi = m[right_on] + upper
+        m = m[(m[left_on] >= lo) & (m[left_on] <= hi)]
+        if rb != by and rb in m.columns:
+            m = m.drop(columns=[rb])
+        return m[out_cols]
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )

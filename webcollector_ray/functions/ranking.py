@@ -1,0 +1,56 @@
+"""Grouped ranking: top-N per key — the `row_number() OVER (PARTITION
+BY k ORDER BY v DESC)` shape Ray Data has no primitive for.
+
+Hash-bucket the keys, ONE groupby shuffle, vectorized per-bucket
+pandas (sort + groupby-head) — never one map_groups group per key.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def top_n_per_group(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tie_col: str | None = None,
+    num_buckets: int = 32,
+):
+    """-> input columns + `rank` (1..n per key). Deterministic: ties on
+    order_col break by tie_col ascending (required for a stable
+    result)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = np.array(
+            [
+                zlib.crc32(str(k).encode()) % num_buckets
+                for k in batch[key_col].to_pylist()
+            ],
+            dtype=np.int32,
+        )
+        return batch.append_column("__bucket", pa.array(b))
+
+    sort_cols = [key_col, order_col] + ([tie_col] if tie_col else [])
+    asc = [True, not descending] + ([True] if tie_col else [])
+
+    def bucket_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__bucket"]).sort_values(
+            sort_cols, ascending=asc, kind="mergesort"
+        )
+        out = df.groupby(key_col, sort=False).head(n).copy()
+        out["rank"] = out.groupby(key_col, sort=False).cumcount() + 1
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_topn, batch_format="pandas")
+    )
