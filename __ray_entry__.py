@@ -186,6 +186,19 @@ def _q_dedup_minhash(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def _q_dedup_ngram_verified(sf_dir: str):
+    # two-stage near-dup: minhash-LSH candidate pairs, re-verified with
+    # EXACT n-gram Jaccard against broadcast doc texts
+    from webcollector_ray.functions.dedup import verify_pairs_exact_jaccard
+
+    docs = _docs(sf_dir)
+    cand = minhash_dedup_pairs(docs, threshold=0.4)
+    verified = verify_pairs_exact_jaccard(
+        cand, docs, threshold=0.5, k=3
+    )
+    return verified.select_columns(["id_a", "id_b"])
+
+
 def _q_dedup_simhash(sf_dir: str):
     pairs = simhash_dedup_pairs(_docs(sf_dir), max_hamming=3)
     return pairs.select_columns(["id_a", "id_b"])
@@ -631,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_ngram_verified": _q_dedup_ngram_verified,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
