@@ -249,10 +249,9 @@ def _q_events_hopping(sf_dir: str):
 
 def _q_events_orders_asof(sf_dir: str):
     # as-of join: each event matched to the user's most recent order at
-    # or before the event time; right side pre-reduced to one row per
-    # (custkey, orderdate) for a deterministic survivor
-    from ray.data.aggregate import Max
-
+    # or before the event time; right_tie_cols makes the survivor among
+    # same-date orders deterministic (max o_orderkey, matching the
+    # oracle's max()) without a separate pre-reduce shuffle
     from webcollector_ray.functions.joins import asof_join
 
     ev = rd.read_parquet(
@@ -261,13 +260,12 @@ def _q_events_orders_asof(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderdate", "o_orderkey"],
-    ).groupby(["o_custkey", "o_orderdate"]).aggregate(
-        Max("o_orderkey", alias_name="o_orderkey")
     )
     joined = asof_join(
         ev, orders,
         by="user_id", right_by="o_custkey",
         left_on="ts", right_on="o_orderdate",
+        right_tie_cols=["o_orderkey"],
     ).to_pandas()
     joined["o_orderkey"] = joined["o_orderkey"].astype("Int64")
     return joined[["event_id", "o_orderkey"]].sort_values(

@@ -26,6 +26,7 @@ def asof_join(
     left_on: str,
     right_on: str,
     right_by: Optional[str] = None,
+    right_tie_cols: Optional[list] = None,
     num_buckets: int = 32,
     direction: str = "backward",
 ):
@@ -34,9 +35,11 @@ def asof_join(
     key. Left-outer semantics (unmatched -> right columns null).
 
     Column names (other than the by/right_by pair) must be disjoint
-    between the two sides. Right-side ties on (by, right_on) survive by
-    pandas' last-among-equals — dedupe the right side first for a
-    deterministic survivor.
+    between the two sides. Right-side ties on (by, right_on): pandas
+    keeps the last among equals, so pass `right_tie_cols` (e.g. a
+    unique id) to make the survivor deterministic — the row with the
+    MAX tie value wins; without it the survivor depends on block
+    order.
 
     Plan: tag + pad both sides to one unified schema, hash-bucket by
     the `by` key, ONE groupby shuffle, per-bucket vectorized
@@ -94,7 +97,7 @@ def asof_join(
                     out[c] = None
             return out[out_cols]
         l = l.sort_values(left_on, kind="mergesort")
-        r = r.sort_values(right_on, kind="mergesort")
+        r = r.sort_values([right_on] + (right_tie_cols or []), kind="mergesort")
         if l[left_on].dtype != r[right_on].dtype:
             # e.g. datetime64[us] vs datetime64[s] after arrow round-trips
             r[right_on] = r[right_on].astype(l[left_on].dtype)
