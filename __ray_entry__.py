@@ -160,6 +160,29 @@ def _q_doc_rolling_fp(sf_dir: str):
     )
 
 
+def _q_docs_clean_corpus(sf_dir: str):
+    """Composed training-data pipeline: quality-filter (length, alpha
+    ratio, token count) then exact-dedup the survivors — the kept
+    doc_ids of a cleaned corpus."""
+    ds = _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["n_tokens"], 10),
+                pc.greater_equal(batch["alpha_ratio"], 0.5),
+            ),
+            pc.greater_equal(batch["n_chars"], 50),
+        )
+        return batch.filter(m)
+
+    kept = exact_dedup(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        text_col="text", id_col="doc_id",
+    )
+    return kept.select_columns(["doc_id"])
+
+
 def _q_dedup_exact(sf_dir: str):
     kept = exact_dedup(_docs(sf_dir), text_col="text", id_col="doc_id")
     return kept.select_columns(["doc_id"])
@@ -641,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_counts": _q_lang_id_counts,
         # dedup family
         "dedup_exact": _q_dedup_exact,
+        "docs_clean_corpus": _q_docs_clean_corpus,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram_verified": _q_dedup_ngram_verified,
         "dedup_simhash": _q_dedup_simhash,
@@ -715,6 +739,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
+        "docs_clean_corpus": f"""
+            WITH q AS (
+                SELECT doc_id, text,
+                       {_NTOK} AS n_tokens,
+                       length(text) AS n_chars,
+                       CASE WHEN length(text) > 0 THEN
+                         (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+                           / length(text)::DOUBLE
+                       ELSE 0.0 END AS alpha_ratio
+                FROM documents
+            )
+            SELECT min(doc_id) AS doc_id FROM q
+            WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND n_chars >= 50
+            GROUP BY text
+        """,
         "events_tumbling": """
             SELECT user_id,
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,

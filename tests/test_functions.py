@@ -364,3 +364,27 @@ def test_top_n_per_group(ray_session):
     # k=1: v=9 tie -> i asc (11 then 12); k=2: 2.0 then 1.0
     assert out["i"].tolist() == [11, 12, 21, 20]
     assert out["rank"].tolist() == [1, 2, 1, 2]
+
+
+def test_audio_feature_stage(ray_session):
+    from webcollector_ray.functions.multimodal import AudioFeatureStage
+
+    media = synth_media_table(n=4, kind="audio")
+    out = (
+        rd.from_arrow(media)
+        .map_batches(
+            AudioFeatureStage,
+            fn_constructor_kwargs=dict(fake=True),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert len(out) == 4
+    assert (out["duration_s"] > 0).all() and (out["rms"] > 0).all()
+    # deterministic across calls
+    again = AudioFeatureStage(fake=True)(media).to_pandas().sort_values("media_id")
+    assert out["rms"].tolist() == again["rms"].tolist()
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(fake=False)(media)

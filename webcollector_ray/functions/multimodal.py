@@ -168,6 +168,44 @@ class FrameSampleStage:
         )
 
 
+class AudioFeatureStage:
+    """Audio payload -> (duration_s, rms, zero_crossings). Fake decode
+    derives a deterministic PCM-ish waveform from the payload digest;
+    a real deployment plugs soundfile/ffmpeg here."""
+
+    def __init__(self, fake: bool = False, sample_rate: int = 8000,
+                 n_samples: int = 4096):
+        self.fake = fake
+        self.sr = sample_rate
+        self.n = n_samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "real audio decode requires soundfile/ffmpeg — not available "
+                "in this container; construct AudioFeatureStage(fake=True) "
+                "for the deterministic test path"
+            )
+        durs, rms, zc = [], [], []
+        for payload in batch["payload"].to_pylist():
+            seed = int.from_bytes(
+                hashlib.md5(payload or b"").digest()[:4], "big"
+            )
+            rng = np.random.RandomState(seed)
+            wave = rng.randn(self.n).astype(np.float64)
+            durs.append(self.n / self.sr)
+            rms.append(float(np.sqrt((wave**2).mean())))
+            zc.append(int((np.diff(np.signbit(wave)) != 0).sum()))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "duration_s": pa.array(durs, pa.float64()),
+                "rms": pa.array(rms, pa.float64()),
+                "zero_crossings": pa.array(zc, pa.int64()),
+            }
+        )
+
+
 def synth_media_table(n: int = 32, kind: str = "image") -> pa.Table:
     """Deterministic fixture payloads."""
     ids = list(range(n))
