@@ -42,6 +42,11 @@ class CrawlerConfig:
     merge_num_buckets: int = 64        # hash buckets for the merge groupby (A1)
     checkpoint: bool = True            # write per-depth parquet checkpoints
     resumable: bool = False            # keep / reuse existing crawldb dir
+    checkpoint_readback: bool = False  # re-read each depth's parquet instead
+                                       # of keeping object-store refs: lets
+                                       # the store evict frontier state at
+                                       # 100TB scale, at ~1 extra Dataset
+                                       # execution per table per depth
 
     # --- north_rule scale path ---
     seen_shards: int = 16              # sharded bloom seen-filter actor count

@@ -385,7 +385,10 @@ class Crawler:
                 m.crawldb_size = crawldb.count()
             if ckpt is not None:
                 ckpt.write_table(crawldb, i, "crawldb")
-                crawldb = ckpt.read_dataset(i, "crawldb")
+                if cfg.checkpoint_readback:
+                    # swap refs for the parquet copy so the object
+                    # store can evict frontier state (100TB mode)
+                    crawldb = ckpt.read_dataset(i, "crawldb")
 
             # 2. generate (G1-G4 + topN) + routing: politeness wins
             # (hosts), else store-bucket locality for bucketed stores
@@ -432,10 +435,12 @@ class Crawler:
             if ckpt is not None:
                 if fetch_seg is not None:
                     ckpt.write_table(fetch_seg, i, "fetch")
-                    fetch_seg = ckpt.read_dataset(i, "fetch")
+                    if cfg.checkpoint_readback:
+                        fetch_seg = ckpt.read_dataset(i, "fetch")
                 if link_seg is not None:
                     ckpt.write_table(link_seg, i, "link")
-                    link_seg = ckpt.read_dataset(i, "link")
+                    if cfg.checkpoint_readback:
+                        link_seg = ckpt.read_dataset(i, "link")
 
             m.seconds = time.time() - dt0
             result.depths.append(m)
