@@ -168,7 +168,7 @@ def run_scaling(sf_dir: str, n_cpus: int, n4_cpus: int,
     compute, not per-depth fixed overhead, dominates — as it would on a
     real 10^10-URL frontier."""
     runs = {}
-    repeats = 2  # best-of-2: the sandbox carries external background
+    repeats = 3  # best-of-3: the sandbox carries external background
     # load; max throughput is the steady-state capability at each level
     for cpus in (n_cpus, n4_cpus):
         best = None
