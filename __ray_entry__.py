@@ -575,6 +575,16 @@ def _q_embedding_dup_pairs(sf_dir: str):
     return cosine_pairs_exact(ds, threshold=0.4)
 
 
+def _q_embedding_dup_clusters(sf_dir: str):
+    """Near-dup clusters: exact cosine pairs -> distributed min-label
+    propagation connected components (no driver-side union-find)."""
+    from webcollector_ray.functions.dedup import cluster_pairs_minlabel
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = cosine_pairs_exact(ds, threshold=0.4)
+    return cluster_pairs_minlabel(pairs, id_col="vec_id")
+
+
 def _q_embedding_dup_lsh(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     pairs = embedding_dedup_pairs(
@@ -669,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_verified": _q_dedup_ngram_verified,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
         # similarity search
         "knn_brute": _q_knn_brute,
@@ -857,6 +868,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "embedding_dup_clusters": """
+            WITH RECURSIVE p AS (
+                SELECT a.vec_id AS x, b.vec_id AS y
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE a.vec_id < b.vec_id
+                  AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) >= 0.4
+            ), e AS (
+                SELECT x, y FROM p
+                UNION SELECT y, x FROM p
+                UNION SELECT x, x FROM p
+                UNION SELECT y, y FROM p
+            ), reach(x, y) AS (
+                SELECT x, y FROM e
+                UNION
+                SELECT r.x, e.y FROM reach r JOIN e ON r.y = e.x
+            )
+            SELECT x AS vec_id, min(y)::BIGINT AS cluster
+            FROM reach GROUP BY x
         """,
         "knn_brute": """
             WITH q AS (

@@ -388,3 +388,20 @@ def test_audio_feature_stage(ray_session):
     assert out["rms"].tolist() == again["rms"].tolist()
     with pytest.raises(NotImplementedError):
         AudioFeatureStage(fake=False)(media)
+
+
+def test_cluster_pairs_minlabel(ray_session):
+    import pyarrow as pa
+
+    from webcollector_ray.functions.dedup import cluster_pairs_minlabel
+
+    # chain 1-2-3 (needs 2+ propagation rounds), pair {5,6}, chain 10..13
+    pairs = pa.table({"id_a": [1, 2, 5, 10, 11, 12], "id_b": [2, 3, 6, 11, 12, 13]})
+    out = (
+        cluster_pairs_minlabel(rd.from_arrow(pairs), id_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10}

@@ -242,6 +242,140 @@ def minhash_dedup_pairs(
     return _distinct_pairs(pairs)
 
 
+# ------------------------------------------------ cluster by min-label
+
+
+def cluster_pairs_minlabel(
+    pairs_ds,
+    *,
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+    max_iters: int = 50,
+):
+    """Connected components over a near-dup pair list via distributed
+    min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbours until fixpoint (<= graph
+    diameter rounds; near-dup clusters are tiny, so 2-3 rounds).
+
+    pairs_ds: (id_a, id_b) edges (int ids). Returns (id, cluster) where
+    cluster is the minimum member id of the component. No driver-side
+    union-find — each round is ONE bucketed groupby-min shuffle, so it
+    scales to pair lists that never fit one machine. Labels only ever
+    decrease, so sum+count equality is a valid convergence test."""
+    import pyarrow.compute as pc
+
+    label_t = pa.int64()
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["id_b"].to_pylist(), dtype=np.int64)
+        node = np.concatenate([a, b])
+        peer = np.concatenate([b, a])
+        t = pa.table(
+            {
+                "node": pa.array(node),
+                "peer": pa.array(peer),
+                "label": pa.nulls(len(node), label_t),
+            }
+        )
+        return _bucketed(t)
+
+    def _bucketed(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["node"].to_pylist(), dtype=np.int64)
+        bk = (np.abs(ids * np.int64(0x9E3779B9)) % num_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(bk))
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def label_table(batch: pa.Table) -> pa.Table:
+        return _bucketed(
+            pa.table(
+                {
+                    "node": batch["node"],
+                    "peer": pa.nulls(len(batch), pa.int64()),
+                    "label": pc.cast(batch["label"], label_t),
+                }
+            )
+        )
+
+    # labels start as the node id itself (deduped per node)
+    labels = (
+        edges.map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+            batch_format="pyarrow",
+        )
+        .map_batches(label_table, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda df: df.groupby("node", sort=False, as_index=False)
+            .agg(label=("label", "min")),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    def emit_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        """Per sender-bucket: each node sends its label to every peer
+        (and keeps it). Candidates are keyed by the RECIPIENT, which
+        lives in a different bucket — the reduce below re-shuffles."""
+        lab = df[df["label"].notna()][["node", "label"]]
+        edg = df[df["peer"].notna()][["node", "peer"]]
+        m = edg.merge(lab, on="node", how="left")
+        send = pd.DataFrame({"node": m["peer"], "label": m["label"]})
+        out = pd.concat([lab, send], ignore_index=True).dropna()
+        out["node"] = out["node"].astype("int64")
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    def min_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", sort=False, as_index=False).agg(
+            label=("label", "min")
+        )
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    def checksum(ds) -> tuple:
+        t = ds.map_batches(
+            lambda b: pa.table(
+                {"s": [int(pc.sum(b["label"]).as_py() or 0)], "n": [len(b)]}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        return int(t["s"].sum()), int(t["n"].sum())
+
+    prev = checksum(labels)
+    for _ in range(max_iters):
+        joined = edges.union(
+            labels.map_batches(label_table, batch_format="pyarrow")
+        )
+        candidates = joined.groupby("__bucket").map_groups(
+            emit_candidates, batch_format="pandas"
+        )
+        labels = (
+            candidates.map_batches(
+                lambda b: _bucketed(
+                    pa.table({"node": b["node"], "label": b["label"]})
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("__bucket")
+            .map_groups(
+                lambda d: min_reduce(d.drop(columns="__bucket")),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda b: pa.table({id_col: b["node"], "cluster": b["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 # -------------------------------------------------------------- simhash
 
 
