@@ -90,3 +90,59 @@ def test_outer_html_roundtrip():
     d = dom.parse('<body><div id="x"><p>t</p></div></body>')
     out = d.select_first("#x").outer_html()
     assert out == '<div id="x"><p>t</p></div>'
+
+
+def test_malformed_unclosed_tags():
+    # unclosed <p>/<li>: parser must not crash; text stays complete
+    d = dom.parse("<body><ul><li>one<li>two</ul><p>para<div>after</div></body>")
+    txt = d.body().text()
+    assert "one" in txt and "two" in txt and "para" in txt and "after" in txt
+
+
+def test_entities_and_comments():
+    d = dom.parse("<body><p>a &amp; b &lt;c&gt; &#65;</p><!-- hidden --></body>")
+    assert d.body().text() == "a & b <c> A"
+    assert "hidden" not in d.body().text()
+
+
+def test_script_style_not_text():
+    d = dom.parse(
+        "<body><script>var x=1;</script><style>.a{}</style><p>real</p></body>"
+    )
+    # script/style contents excluded from text() like Jsoup's element text
+    assert d.body().text() == "real"
+
+
+def test_attr_quirks():
+    d = dom.parse(
+        '<body><a href=unquoted target="_blank" DATA-X="1" checked>x</a></body>'
+    )
+    a = d.select_first("a")
+    assert a.attr("href") == "unquoted"
+    assert a.attr("data-x") == "1"        # attribute names lowercased
+    assert a.has_attr("checked")           # boolean attribute present
+    assert a.attr("missing") == ""         # Jsoup: empty string, not None
+
+
+def test_abs_url_edge_cases():
+    base = "http://h.test/a/b/page.html"
+    d = dom.parse(
+        '<body><a href="c.html">1</a><a href="/root.html">2</a>'
+        '<a href="//other.test/x">3</a><a href="?q=1">4</a>'
+        '<a href="#frag">5</a><a href="http://abs.test/z">6</a></body>',
+        base,
+    )
+    hrefs = [e.abs_attr("href") for e in d.select("a")]
+    assert hrefs[0] == "http://h.test/a/b/c.html"
+    assert hrefs[1] == "http://h.test/root.html"
+    assert hrefs[2] == "http://other.test/x"
+    assert hrefs[3] == "http://h.test/a/b/page.html?q=1"
+    assert hrefs[4].startswith("http://h.test/a/b/page.html")
+    assert hrefs[5] == "http://abs.test/z"
+
+
+def test_nested_same_tag_and_case():
+    d = dom.parse("<BODY><DIV id=o><div id=i>x</div></DIV></BODY>")
+    assert d.select_first("#o") is not None
+    assert d.select_first("#o #i").text() == "x"
+    assert d.select_first("div div").id() == "i"

@@ -186,6 +186,10 @@ class Element(Node):
                     if t:
                         parts.append(t)
                 elif isinstance(c, Element):
+                    if c.tag in ("script", "style"):
+                        # Jsoup: script/style contents are DataNodes,
+                        # excluded from Element.text()
+                        continue
                     if parts and (c.tag in BLOCK_TAGS or c.tag == "br") and not last_is_space():
                         parts.append(" ")
                     walk(c)
