@@ -343,11 +343,35 @@ def cluster_pairs_minlabel(
         ).to_pandas()
         return int(t["s"].sum()), int(t["n"].sum())
 
+    def label_edges(batch: pa.Table) -> pa.Table:
+        """Star contraction: (node <-> label) become edges too, so a
+        node reaches its component minimum through the star center in
+        O(log diameter) rounds instead of O(diameter)."""
+        node = np.asarray(batch["node"].to_pylist(), dtype=np.int64)
+        lab = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        m = node != lab
+        a = np.concatenate([node[m], lab[m]])
+        p = np.concatenate([lab[m], node[m]])
+        return _bucketed(
+            pa.table(
+                {
+                    "node": pa.array(a),
+                    "peer": pa.array(p),
+                    "label": pa.nulls(len(a), label_t),
+                }
+            )
+        )
+
+    import os as _os
+    _dbg = _os.environ.get("WCR_CC_DEBUG")
     prev = checksum(labels)
-    for _ in range(max_iters):
+    for _round in range(max_iters):
+        if _dbg:
+            import time as _t
+            _t0 = _t.time()
         joined = edges.union(
             labels.map_batches(label_table, batch_format="pyarrow")
-        )
+        ).union(labels.map_batches(label_edges, batch_format="pyarrow"))
         candidates = joined.groupby("__bucket").map_groups(
             emit_candidates, batch_format="pandas"
         )
@@ -363,9 +387,15 @@ def cluster_pairs_minlabel(
                 lambda d: min_reduce(d.drop(columns="__bucket")),
                 batch_format="pandas",
             )
+            # Ray's sort shuffle emits ~one block per INPUT block, so
+            # without this the label table gains blocks every round and
+            # per-round sort cost grows quadratically
+            .repartition(num_buckets)
             .materialize()
         )
         cur = checksum(labels)
+        if _dbg:
+            print(f"CC round {_round}: {_t.time()-_t0:.2f}s sum={cur}", flush=True)
         if cur == prev:
             break
         prev = cur
