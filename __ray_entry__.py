@@ -581,7 +581,7 @@ def _q_embedding_dup_clusters(sf_dir: str):
     from webcollector_ray.functions.dedup import cluster_pairs_minlabel
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = cosine_pairs_exact(ds, threshold=0.4)
+    pairs = cosine_pairs_exact(ds, threshold=0.45)
     return cluster_pairs_minlabel(pairs, id_col="vec_id")
 
 
@@ -875,7 +875,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a CROSS JOIN embeddings b
                 WHERE a.vec_id < b.vec_id
                   AND list_cosine_similarity(a.embedding::DOUBLE[],
-                                             b.embedding::DOUBLE[]) >= 0.4
+                                             b.embedding::DOUBLE[]) >= 0.45
             ), e AS (
                 SELECT x, y FROM p
                 UNION SELECT y, x FROM p
