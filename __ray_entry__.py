@@ -662,6 +662,40 @@ def _q_media_features(sf_dir: str):
     return out[["media_id", "feat_md5"]]
 
 
+def _q_media_frames(sf_dir: str):
+    from webcollector_ray.functions.multimodal import FrameSampleStage
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    media = rd.from_arrow(synth_media_table(n=min(n_docs, 128), kind="video"))
+    out = media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=dict(fake=True, num_frames=8, every=4),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).to_pandas()
+    out["px_md5"] = [
+        hashlib.md5(np.asarray(p, dtype=np.uint8).tobytes()).hexdigest()
+        for p in out["pixels"]
+    ]
+    return out[["media_id", "frame", "px_md5"]]
+
+
+def _q_media_audio(sf_dir: str):
+    from webcollector_ray.functions.multimodal import AudioFeatureStage
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    media = rd.from_arrow(synth_media_table(n=min(n_docs, 128), kind="audio"))
+    out = media.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs=dict(fake=True),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+    return _round_cols(out, {"rms": 6, "duration_s": 6})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # text analysis (training-pipeline surface)
@@ -703,6 +737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_extract": _q_crawl_extract,
         "crawl_robots": _q_crawl_robots,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "media_audio": _q_media_audio,
     }
 
 
