@@ -125,10 +125,18 @@ class Element(Node):
         return [c for c in self.children if isinstance(c, Element)]
 
     def descendants(self) -> Iterator[Node]:
-        for c in self.children:
-            yield c
-            if isinstance(c, Element):
-                yield from c.descendants()
+        # iterative document-order walk: nested `yield from` recursion
+        # costs one generator frame per ancestor per yielded node, which
+        # dominates selector/extractor profiles on deep trees
+        stack = [iter(self.children)]
+        while stack:
+            for c in stack[-1]:
+                yield c
+                if isinstance(c, Element) and c.children:
+                    stack.append(iter(c.children))
+                    break
+            else:
+                stack.pop()
 
     def traverse(self, head: Callable[[Node, int], None], depth: int = 0) -> None:
         """Head-order node visitor (Jsoup NodeTraversor.head equivalent)."""

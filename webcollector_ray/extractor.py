@@ -221,6 +221,21 @@ class ContentExtractor:
         m, n = len(x), len(y)
         if m == 0 or n == 0:
             return 0
+        if m * n <= 4096:
+            # small-grid fast path: numpy per-row overhead exceeds the
+            # vectorization gain below ~64x64 (typical title lengths)
+            prev = [0] * (n + 1)
+            for i in range(m - 1, -1, -1):
+                cur = [0] * (n + 1)
+                xi = x[i]
+                for j in range(n - 1, -1, -1):
+                    if xi == y[j]:
+                        cur[j] = prev[j + 1] + 1
+                    else:
+                        pj, cj = prev[j], cur[j + 1]
+                        cur[j] = pj if pj >= cj else cj
+                prev = cur
+            return prev[0]
         import numpy as _np
 
         ya = _np.frombuffer(y.encode("utf-32-le"), dtype=_np.uint32)
