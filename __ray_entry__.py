@@ -183,6 +183,19 @@ def _q_docs_clean_corpus(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def _q_docs_sample(sf_dir: str):
+    """Deterministic 10% hash sample — reproducible corpus subsetting
+    (hash-mod on the id, not random_sample, so reruns and the oracle
+    agree exactly)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ids * 2654435761) % 10 == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_dedup_exact(sf_dir: str):
     kept = exact_dedup(_docs(sf_dir), text_col="text", id_col="doc_id")
     return kept.select_columns(["doc_id"])
@@ -709,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "docs_clean_corpus": _q_docs_clean_corpus,
+        "docs_sample": _q_docs_sample,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram_verified": _q_dedup_ngram_verified,
         "dedup_simhash": _q_dedup_simhash,
@@ -779,6 +793,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "docs_sample": (
+            "SELECT doc_id FROM documents "
+            "WHERE (doc_id * 2654435761) % 10 = 0"
+        ),
         "docs_by_lang": (
             "SELECT lang, count(*)::BIGINT AS n_docs, "
             "sum(n_chars)::BIGINT AS sum_chars FROM documents GROUP BY lang"
