@@ -1,5 +1,12 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine near-dup.
+embedding-cosine near-dup, and min-label connected components.
+
+Public-literature grounding: MinHash resemblance sketches (Broder, "On
+the resemblance and containment of documents", 1997) with banded LSH
+(Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3); SimHash
+(Charikar 2002; Manku et al. WWW'07 near-duplicate detection uses the
+same chunk-blocking trick); hash-to-min style connected components for
+MapReduce-like systems (Rastogi et al., ICDE 2013).
 
 Scale shapes (ray_guide patterns, all shuffle-by-bucket):
 

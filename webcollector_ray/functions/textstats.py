@@ -162,8 +162,9 @@ def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> int:
-    """Winnowing-style document fingerprint: 64-bit mix of the `keep`
-    smallest rolling word-window hashes — robust to local edits."""
+    """Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): 64-bit mix of the `keep` smallest rolling word-window
+    hashes — robust to local edits."""
     words = (text or "").split()
     if not words:
         return 0
