@@ -106,11 +106,18 @@ def entry() -> Any:
     """Flagship: synthetic Common-Crawl-style web scaled off sf0.001 →
     BFS crawl (merge/generate/fetch/parse rounds) → CEPF news
     extraction over the successfully fetched pages."""
+    from webcollector_ray.functions.joins import hash_join
+
     spec, pages, res = _run_crawl(SF001)
-    ok = res.crawldb.filter(lambda r: r["status"] == 5)
-    ok_urls = {r["url"] for r in ok.iter_rows()}
-    mask = pa.array([u in ok_urls for u in pages["url"].to_pylist()])
-    fetched = rd.from_arrow(pages.filter(mask).select(["url", "html"]))
+    # semi-join pages against the fetched-success frontier via the
+    # bucketed exchange — no driver-side URL set (scales past the point
+    # where the success set fits one machine)
+    ok = res.crawldb.map_batches(
+        lambda b: b.filter(pc.equal(b["status"], 5)).select(["url"]),
+        batch_format="pyarrow",
+    )
+    page_ds = rd.from_arrow(pages.select(["url", "html"]))
+    fetched = hash_join(page_ds, ok, on="url", how="semi", num_buckets=16)
     news = extract_news(fetched).to_pandas()
     return news.sort_values("url").reset_index(drop=True)
 
@@ -419,35 +426,30 @@ def _q_lineitem_pricing(sf_dir: str):
 
 
 def _q_orders_by_nation(sf_dir: str):
-    # broadcast join: small dim (custkey -> nation name) shipped once via
-    # ray.put, looked up per batch; partial-aggregate before the tiny
-    # groupby shuffle (SNIPPETS broadcast pattern; no all-to-all join).
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
+    # scale-safe dim chain: nation (25 rows) is a TRUE dim -> broadcast;
+    # customer is NOT (1.5M rows/SF) -> partial-aggregate orders by
+    # o_custkey inside map_batches first, then bucket-join the tiny
+    # per-custkey aggregate against customer via the hash exchange
+    # (VERDICT r1 §wrong.6: never driver-build a custkey map).
+    from webcollector_ray.functions.joins import hash_join
+
     nat = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    nmap = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
-    cmap = {
-        c: nmap[n]
-        for c, n in zip(
-            cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
-        )
-    }
-    ref = ray.put(cmap)
+    nmap_ref = ray.put(
+        dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
         tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
         df = pd.DataFrame(
             {
-                "n_name": [m.get(c) for c in batch["o_custkey"].to_pylist()],
+                "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
                 "tp": np.round(tp * 100).astype(np.int64),
             }
         )
         g = (
-            df.groupby("n_name", sort=False)
+            df.groupby("o_custkey", sort=False)
             .agg(n_orders=("tp", "size"), sum_total=("tp", "sum"))
             .reset_index()
         )
@@ -456,7 +458,26 @@ def _q_orders_by_nation(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    out = orders.map_batches(partial, batch_format="pyarrow").groupby(
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    per_cust = orders.map_batches(partial, batch_format="pyarrow")
+    joined = hash_join(
+        per_cust, cust, on="o_custkey", right_on="c_custkey", num_buckets=16
+    )
+
+    def to_nation(batch: pa.Table) -> pa.Table:
+        m = ray.get(nmap_ref)
+        names = [m.get(n) for n in batch["c_nationkey"].to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "n_orders": batch["n_orders"],
+                "sum_total": batch["sum_total"],
+            }
+        )
+
+    out = joined.map_batches(to_nation, batch_format="pyarrow").groupby(
         "n_name"
     ).aggregate(
         Sum("n_orders", alias_name="n_orders"),
@@ -492,37 +513,32 @@ def _q_events_by_type(sf_dir: str):
 
 
 def _q_revenue_by_supp_nation(sf_dir: str):
-    # two-level broadcast join (suppkey -> nation name) + partial agg:
-    # revenue = sum(extendedprice * (1 - discount)) in exact 1e-6 units
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
+    # same scale-safe chain as orders_by_nation: partial-agg lineitem by
+    # l_suppkey (exact 1e-4-unit integer revenue), bucket-join the tiny
+    # aggregate against supplier, broadcast only nation.
+    from webcollector_ray.functions.joins import hash_join
+
     nat = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    nmap = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
-    smap = {
-        s: nmap[n]
-        for s, n in zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())
-    }
-    ref = ray.put(smap)
+    nmap_ref = ray.put(
+        dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
         # exact integers: price has 2 decimals, discount 2 decimals ->
         # price*100 (int) * (100 - disc*100) (int) is exact in 1e-4 units
         pc_i = np.round(price * 100).astype(np.int64)
         dc_i = np.round(disc * 100).astype(np.int64)
-        rev = pc_i * (100 - dc_i)
         df = pd.DataFrame(
             {
-                "n_name": [m.get(s) for s in batch["l_suppkey"].to_pylist()],
-                "rev": rev,
+                "l_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "rev": pc_i * (100 - dc_i),
             }
         )
-        g = df.groupby("n_name", sort=False).agg(
+        g = df.groupby("l_suppkey", sort=False).agg(
             revenue=("rev", "sum"), n_items=("rev", "size")
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -531,7 +547,26 @@ def _q_revenue_by_supp_nation(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_extendedprice", "l_discount"],
     )
-    out = li.map_batches(partial, batch_format="pyarrow").groupby(
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    per_supp = li.map_batches(partial, batch_format="pyarrow")
+    joined = hash_join(
+        per_supp, supp, on="l_suppkey", right_on="s_suppkey", num_buckets=16
+    )
+
+    def to_nation(batch: pa.Table) -> pa.Table:
+        m = ray.get(nmap_ref)
+        names = [m.get(n) for n in batch["s_nationkey"].to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue": batch["revenue"],
+                "n_items": batch["n_items"],
+            }
+        )
+
+    out = joined.map_batches(to_nation, batch_format="pyarrow").groupby(
         "n_name"
     ).aggregate(
         Sum("revenue", alias_name="revenue"),

@@ -144,6 +144,26 @@ def test_ngram_jaccard_and_verify(ray_session):
     assert got == {(0, 1)}
 
 
+def test_verify_pairs_join_matches_direct(ray_session):
+    # the bucketed-join text attach must yield exactly the jaccard a
+    # direct computation gives (guards the de-broadcast rewrite)
+    docs = [
+        (0, BASE_TEXT),
+        (1, BASE_TEXT),
+        (2, BASE_TEXT.replace("lazy", "sleepy")),
+        (3, BASE_TEXT + " with a small tail appended"),
+        (4, "other words " * 10),
+    ]
+    ds = _docs(docs)
+    pairs = minhash_dedup_pairs(ds, threshold=0.3)
+    verified = verify_pairs_exact_jaccard(pairs, ds, threshold=0.0).to_pandas()
+    assert len(verified) > 0
+    texts = dict(docs)
+    for _, row in verified.iterrows():
+        expect = ngram_jaccard(texts[int(row["id_a"])], texts[int(row["id_b"])])
+        assert row["jaccard"] == expect
+
+
 def _emb_ds(n=50, d=8, seed=3):
     rng = np.random.RandomState(seed)
     M = rng.randn(n, d)

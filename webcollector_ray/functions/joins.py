@@ -45,6 +45,105 @@ def _emit(df: pd.DataFrame, out_cols, out_types: Dict[str, pa.DataType]) -> pa.T
     return pa.table(dict(zip(out_cols, arrays)))
 
 
+def _bucket_ids(col, num_buckets: int) -> np.ndarray:
+    """Hash-bucket a key column; vectorized for integer keys (the hot
+    path at 10^10 rows), crc32 fallback for strings."""
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = v * np.uint64(0x9E3779B97F4A7C15)
+        return (h % np.uint64(num_buckets)).astype(np.int32)
+    return np.array(
+        [zlib.crc32(str(k).encode()) % num_buckets for k in col.to_pylist()],
+        dtype=np.int32,
+    )
+
+
+def _make_tagger(all_cols, types, side: str, key_col: str, num_buckets: int):
+    """Pad a side to the unified schema, stamp __bucket + __side."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {}
+        for c in all_cols:
+            cols[c] = (
+                batch[c] if c in batch.column_names else pa.nulls(n, types[c])
+            )
+        out = pa.table(cols)
+        out = out.append_column(
+            "__bucket", pa.array(_bucket_ids(batch[key_col], num_buckets))
+        )
+        return out.append_column("__side", pa.array([side] * n, pa.string()))
+
+    return f
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: Optional[str] = None,
+    how: str = "inner",
+    num_buckets: int = 64,
+):
+    """Bucketed hash equi-join — the general-purpose distributed join
+    for two big sides (when one side is dim-sized, broadcast it with
+    ray.put instead; see __ray_entry__ nation joins).
+
+    how: 'inner' | 'left' | 'semi' | 'anti'. semi/anti are existence
+    filters and return left columns only. Non-key column names must be
+    disjoint. Physical plan: pad/tag both sides -> ONE hash-bucket
+    shuffle -> per-bucket vectorized pandas merge / isin, output
+    re-emitted under the declared Arrow types (no float64 coercion of
+    nullable ints)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    ron = right_on or on
+    lschema, rschema = left.schema(), right.schema()
+    left_cols = list(lschema.names)
+    right_cols = list(rschema.names)
+    overlap = (set(left_cols) & set(right_cols)) - ({on} if ron == on else set())
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {overlap}")
+    types = {n: t for n, t in zip(lschema.names, lschema.types)}
+    for n, t in zip(rschema.names, rschema.types):
+        types.setdefault(n, t)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    lt = left.map_batches(
+        _make_tagger(all_cols, types, "L", on, num_buckets),
+        batch_format="pyarrow",
+    )
+    rt = right.map_batches(
+        _make_tagger(all_cols, types, "R", ron, num_buckets),
+        batch_format="pyarrow",
+    )
+    if how in ("semi", "anti"):
+        out_cols = left_cols
+    else:
+        out_cols = left_cols + [
+            c for c in right_cols if c != ron and c not in left_cols
+        ]
+    out_types = {c: types[c] for c in out_cols}
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        l, r = _split_sides(group, left_cols, right_cols)
+        if len(l) == 0:
+            return pa.table({c: pa.nulls(0, out_types[c]) for c in out_cols})
+        if how in ("semi", "anti"):
+            mask = l[on].isin(r[ron].unique())
+            out = l[mask] if how == "semi" else l[~mask]
+            return _emit(out, out_cols, out_types)
+        m = l.merge(r, left_on=on, right_on=ron, how=how)
+        if ron != on and ron in m.columns:
+            m = m.drop(columns=[ron])
+        return _emit(m, out_cols, out_types)
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )
+
+
 def asof_join(
     left,
     right,
@@ -83,32 +182,14 @@ def asof_join(
         types.setdefault(n, t)
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
 
-    def tag(side: str, key_col: str):
-        def f(batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            cols = {}
-            for c in all_cols:
-                if c in batch.column_names:
-                    cols[c] = batch[c]
-                else:
-                    cols[c] = pa.nulls(n, types[c])
-            out = pa.table(cols)
-            b = np.array(
-                [
-                    zlib.crc32(str(k).encode()) % num_buckets
-                    for k in batch[key_col].to_pylist()
-                ],
-                dtype=np.int32,
-            )
-            out = out.append_column("__bucket", pa.array(b))
-            return out.append_column(
-                "__side", pa.array([side] * n, pa.string())
-            )
-
-        return f
-
-    lt = left.map_batches(tag("L", by), batch_format="pyarrow")
-    rt = right.map_batches(tag("R", rb), batch_format="pyarrow")
+    lt = left.map_batches(
+        _make_tagger(all_cols, types, "L", by, num_buckets),
+        batch_format="pyarrow",
+    )
+    rt = right.map_batches(
+        _make_tagger(all_cols, types, "R", rb, num_buckets),
+        batch_format="pyarrow",
+    )
 
     out_cols = left_cols + [c for c in right_cols if c not in (rb,) and c not in left_cols]
     out_types = {c: types[c] for c in out_cols}
@@ -180,31 +261,14 @@ def range_join(
         types.setdefault(n, t)
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
 
-    def tag(side: str, key_col: str):
-        def f(batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            cols = {}
-            for c in all_cols:
-                cols[c] = (
-                    batch[c] if c in batch.column_names else pa.nulls(n, types[c])
-                )
-            out = pa.table(cols)
-            b = np.array(
-                [
-                    zlib.crc32(str(k).encode()) % num_buckets
-                    for k in batch[key_col].to_pylist()
-                ],
-                dtype=np.int32,
-            )
-            out = out.append_column("__bucket", pa.array(b))
-            return out.append_column(
-                "__side", pa.array([side] * n, pa.string())
-            )
-
-        return f
-
-    lt = left.map_batches(tag("L", by), batch_format="pyarrow")
-    rt = right.map_batches(tag("R", rb), batch_format="pyarrow")
+    lt = left.map_batches(
+        _make_tagger(all_cols, types, "L", by, num_buckets),
+        batch_format="pyarrow",
+    )
+    rt = right.map_batches(
+        _make_tagger(all_cols, types, "R", rb, num_buckets),
+        batch_format="pyarrow",
+    )
     out_cols = left_cols + [
         c for c in right_cols if c not in (rb,) and c not in left_cols
     ]
