@@ -634,9 +634,14 @@ def _q_embedding_dup_clusters(sf_dir: str):
 
 
 def _q_embedding_dup_lsh(sf_dir: str):
+    # rademacher planes + integer-quantized projections: deterministic
+    # AND SQL-reproducible, so this LSH variant is fully oracled (the
+    # SQL recomputes the sign-buckets and restricts exact-cosine pairs
+    # to equal buckets)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     pairs = embedding_dedup_pairs(
-        ds, threshold=0.4, n_planes=6, dim=_emb_dim(sf_dir)
+        ds, threshold=0.4, n_planes=6, dim=_emb_dim(sf_dir),
+        plane_kind="rademacher",
     )
     return pairs.select_columns(["id_a", "id_b"])
 
@@ -647,14 +652,24 @@ def _emb_dim(sf_dir: str) -> int:
 
 
 def _q_crawl_bfs(sf_dir: str):
+    """Flagship crawl, fully oracled: the final frontier INCLUDING the
+    per-url fetch depth (under deterministic_time the engine stamps
+    execute_time = 1_000_000 + depth, so depth is recoverable exactly).
+    The oracle recomputes min BFS depth from the seeds via a recursive
+    CTE over the closed-form synth link graph — the engine's crawl
+    ordering and URL-seen set are driver-verified, not just test-pinned.
+    """
     _spec, _pages, res = _run_crawl(sf_dir)
     df = res.crawldb.to_pandas()[
-        ["key", "url", "status", "execute_count", "code"]
+        ["key", "url", "status", "execute_count", "code", "execute_time"]
     ]
     df["status"] = df["status"].astype("int64")
     df["execute_count"] = df["execute_count"].astype("int64")
     df["code"] = df["code"].astype("int64")
-    return df.sort_values("key").reset_index(drop=True)
+    df["depth"] = (df["execute_time"] - 1_000_000).astype("int64")
+    return df.drop(columns=["execute_time"]).sort_values("key").reset_index(
+        drop=True
+    )
 
 
 def _q_crawl_robots(sf_dir: str):
@@ -941,6 +956,84 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_chars DESC, doc_id ASC LIMIT 50"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        # flagship crawl oracle: the synth web's link graph is a closed
+        # form of (num_sites, 4 lists, 3 shows/list) — rebuilt here from
+        # generate_series, then min BFS depth from the per-site seeds via
+        # a recursive CTE. Every reachable page fetches exactly once
+        # with code 200 (no old-/bad- page is linked from the regex-
+        # matched frontier), so the full (key, status, execute_count,
+        # code, depth) frontier is value-checkable.
+        "crawl_bfs": """
+            WITH RECURSIVE params AS (
+                SELECT greatest(2, (SELECT count(*) FROM documents) // 100)
+                         AS num_sites,
+                       4 AS n_lists, 3 AS spl, 12 AS n_shows
+            ),
+            sites AS (
+                SELECT unnest(range(0, num_sites)) AS site FROM params
+            ),
+            lists AS (
+                SELECT site, unnest(range(0, (SELECT n_lists FROM params)))
+                         AS i
+                FROM sites
+            ),
+            shows AS (
+                SELECT site, unnest(range(0, (SELECT n_shows FROM params)))
+                         AS j
+                FROM sites
+            ),
+            edges AS (
+                -- list nav "Home" -> list-0
+                SELECT 'http://site' || site || '.test/list-' || i || '.html'
+                         AS src,
+                       'http://site' || site || '.test/list-0.html' AS dst
+                FROM lists
+                UNION ALL
+                -- list pager -> next list
+                SELECT 'http://site' || site || '.test/list-' || i || '.html',
+                       'http://site' || site || '.test/list-' || (i + 1)
+                         || '.html'
+                FROM lists, params WHERE i + 1 < n_lists
+                UNION ALL
+                -- list items -> shows
+                SELECT 'http://site' || site || '.test/list-' || i || '.html',
+                       'http://site' || site || '.test/show-'
+                         || (i * spl + k.k) || '.html'
+                FROM lists, params,
+                     (SELECT unnest(range(0, (SELECT spl FROM params)))
+                        AS k) k
+                UNION ALL
+                -- show nav "Home" -> list-0
+                SELECT 'http://site' || site || '.test/show-' || j || '.html',
+                       'http://site' || site || '.test/list-0.html'
+                FROM shows
+                UNION ALL
+                -- show related -> show (j+1) % n_shows
+                SELECT 'http://site' || site || '.test/show-' || j || '.html',
+                       'http://site' || site || '.test/show-'
+                         || ((j + 1) % n_shows) || '.html'
+                FROM shows, params
+                UNION ALL
+                -- show related -> show (j+7) % n_shows
+                SELECT 'http://site' || site || '.test/show-' || j || '.html',
+                       'http://site' || site || '.test/show-'
+                         || ((j + 7) % n_shows) || '.html'
+                FROM shows, params
+            ),
+            bfs AS (
+                SELECT 'http://site' || site || '.test/list-0.html' AS url,
+                       0 AS depth
+                FROM sites
+                UNION
+                SELECT e.dst, b.depth + 1
+                FROM bfs b JOIN edges e ON e.src = b.url
+                WHERE b.depth < 9
+            )
+            SELECT url AS key, url, 5::BIGINT AS status,
+                   1::BIGINT AS execute_count, 200::BIGINT AS code,
+                   min(depth)::BIGINT AS depth
+            FROM bfs GROUP BY url
+        """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(round(l_quantity) AS BIGINT))::DOUBLE AS sum_qty,
@@ -1001,6 +1094,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a CROSS JOIN embeddings b
             WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # LSH variant oracle: recompute the 6 hash-derived +-1 planes and
+        # each vector's sign-bucket on 1e-6-quantized integer coords
+        # (bit-exact vs the engine regardless of float summation order),
+        # then keep exact-cosine pairs that share a bucket.
+        "embedding_dup_lsh": """
+            WITH nd AS (
+                SELECT len(embedding) AS dim FROM embeddings LIMIT 1
+            ),
+            dims AS (
+                SELECT unnest(range(1, (SELECT dim FROM nd) + 1)) AS d
+            ),
+            w AS (
+                SELECT p.p, dims.d,
+                       CASE WHEN ((((p.p * (SELECT dim FROM nd) + dims.d)
+                                    * 2654435761) % 4294967296) // 65536)
+                                 % 2 = 0
+                            THEN 1 ELSE -1 END AS w
+                FROM (SELECT unnest(range(0, 6)) AS p) p, dims
+            ),
+            vals AS (
+                SELECT vec_id, d,
+                       CAST(round(embedding[d] * 1000000) AS BIGINT) AS val
+                FROM embeddings, dims
+            ),
+            proj AS (
+                SELECT vec_id, p, sum(val * w) AS proj
+                FROM vals JOIN w USING (d) GROUP BY vec_id, p
+            ),
+            bkt AS (
+                SELECT vec_id,
+                       sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END)
+                         AS bucket
+                FROM proj GROUP BY vec_id
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            JOIN bkt ba ON ba.vec_id = a.vec_id
+            JOIN bkt bb ON bb.vec_id = b.vec_id
+            WHERE ba.bucket = bb.bucket
               AND list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
         """,

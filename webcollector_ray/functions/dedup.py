@@ -260,7 +260,14 @@ def minhash_dedup_pairs(
                         a_out.append(ids[x])
                         b_out.append(ids[y])
                         j_out.append(j)
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_jaccard": j_out})
+        dt = df[id_col].dtype
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(a_out, dtype=dt),
+                "id_b": pd.Series(b_out, dtype=dt),
+                "est_jaccard": pd.Series(j_out, dtype="float64"),
+            }
+        )
 
     pairs = (
         exploded.map_batches(add_bucket, batch_format="pyarrow")
@@ -518,7 +525,14 @@ def simhash_dedup_pairs(ds, *, max_hamming: int = 3, text_col="text",
                         a_out.append(ids[x])
                         b_out.append(ids[y])
                         h_out.append(d)
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": h_out})
+        dt = df[id_col].dtype
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(a_out, dtype=dt),
+                "id_b": pd.Series(b_out, dtype=dt),
+                "hamming": pd.Series(h_out, dtype="int64"),
+            }
+        )
 
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")
@@ -588,12 +602,37 @@ def verify_pairs_exact_jaccard(pairs_ds, docs_ds, *, threshold: float,
 # ------------------------------------------------- embedding near-dup
 
 
+def rademacher_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic +-1 hyperplanes from a Knuth integer mix — exactly
+    reproducible in plain SQL (the embedding_dup_lsh oracle recomputes
+    them in DuckDB), unlike Gaussian RandomState draws. Sign-LSH only
+    needs symmetric random directions, so +-1 entries work as well as
+    Gaussians (Charikar 2002 applies to any sign-random projection)."""
+    idx = (
+        np.arange(n_planes, dtype=np.uint64)[:, None] * np.uint64(dim)
+        + np.arange(1, dim + 1, dtype=np.uint64)[None, :]
+    )
+    h = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+    return np.where(((h >> np.uint64(16)) % np.uint64(2)) == 0, 1, -1).T.astype(
+        np.int64
+    )  # (dim, n_planes)
+
+
 def embedding_dedup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 12,
                           emb_col="embedding", id_col="vec_id",
-                          dim: int = 64, seed: int = 7, max_bucket: int = 2000):
-    """Random-hyperplane LSH bucketing + exact cosine verify."""
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(dim, n_planes).astype(np.float64)
+                          dim: int = 64, seed: int = 7, max_bucket: int = 2000,
+                          plane_kind: str = "gaussian"):
+    """Random-hyperplane LSH bucketing + exact cosine verify.
+
+    plane_kind='gaussian': RandomState(seed) normals (default).
+    plane_kind='rademacher': hash-derived +-1 planes with projections
+    computed on 1e-6-quantized integer coordinates — bit-for-bit
+    reproducible by the SQL oracle regardless of summation order."""
+    if plane_kind == "rademacher":
+        planes = rademacher_planes(dim, n_planes)
+    else:
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(dim, n_planes).astype(np.float64)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         emb = np.stack(
@@ -601,7 +640,11 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 12,
         )
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         unit = emb / np.where(norms == 0, 1, norms)
-        signs = (unit @ planes) > 0
+        if plane_kind == "rademacher":
+            q = np.round(emb * 1e6).astype(np.int64)
+            signs = (q @ planes) > 0
+        else:
+            signs = (unit @ planes) > 0
         bucket = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
         return pa.table(
             {
@@ -611,20 +654,25 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 12,
             }
         )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        df = df.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
-        ids = df[id_col].to_numpy()
-        U = np.stack([np.asarray(u) for u in df["unit"]])
-        S = U @ U.T
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
         a_out, b_out, c_out = [], [], []
-        xs, ys = np.nonzero(np.triu(S >= threshold, k=1))
-        for x, y in zip(xs, ys):
-            a_out.append(ids[x])
-            b_out.append(ids[y])
-            c_out.append(float(S[x, y]))
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "cosine": c_out})
+        if len(df) >= 2:
+            df = df.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
+            ids = df[id_col].to_numpy()
+            U = np.stack([np.asarray(u) for u in df["unit"]])
+            S = U @ U.T
+            xs, ys = np.nonzero(np.triu(S >= threshold, k=1))
+            for x, y in zip(xs, ys):
+                a_out.append(int(ids[x]))
+                b_out.append(int(ids[y]))
+                c_out.append(float(S[x, y]))
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "cosine": pa.array(c_out, pa.float64()),
+            }
+        )
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
