@@ -44,3 +44,60 @@ def test_unknown_charset_falls_back():
     assert normalize_codec("not-a-charset") == "utf-8"
     b = b'<meta charset="bogus-enc">x'
     assert decode_html(b).endswith("x")
+
+
+# ---- statistical parity with juniversalchardet -------------------------
+# CharsetDetectorTest.java:34-49 pins these four; the meta-less page
+# fixtures exercise the same detector through the full guessEncoding path.
+
+RU_SHORT = "привет"
+RU_TEXT = (
+    "Широкая электрификация южных губерний даст мощный толчок "
+    "подъёму сельского хозяйства. " * 3
+)
+EL_TEXT = "Πάντ' ἀγαθὰ πράττω, ὦ φίλε."  # unmappables replaced like Java
+FR_TEXT = (
+    "le cœur déçu mais l'âme plutôt naïve, Louÿs rêva de crapaüter "
+    "en canoë au delà des îles " * 3
+)
+
+
+def _meta_less_page(codec: str, body: str) -> bytes:
+    html = f"<html><head><title>t</title></head><body><p>{body}</p></body></html>"
+    return html.encode(codec, errors="replace")
+
+
+def test_statistical_reference_cases():
+    # the exact four assertions of CharsetDetectorTest.testGuessEncoding
+    assert guess_encoding(RU_SHORT.encode("koi8_r")) == "KOI8-R"
+    assert guess_encoding(RU_SHORT.encode("cp1251")) == "WINDOWS-1251"
+    assert guess_encoding(EL_TEXT.encode("iso8859_7", errors="replace")) == "ISO-8859-7"
+    assert guess_encoding("hello".encode("cp1252")) == "UTF-8"
+
+
+def test_statistical_meta_less_pages():
+    assert guess_encoding(_meta_less_page("koi8_r", RU_TEXT)) == "KOI8-R"
+    assert guess_encoding(_meta_less_page("cp1251", RU_TEXT)) == "WINDOWS-1251"
+    assert guess_encoding(_meta_less_page("iso8859_5", RU_TEXT)) == "ISO-8859-5"
+    assert guess_encoding(_meta_less_page("iso8859_7", EL_TEXT)) == "ISO-8859-7"
+    assert guess_encoding(_meta_less_page("cp1252", FR_TEXT)) == "WINDOWS-1252"
+    # valid UTF-8 multibyte text is detected as UTF-8, not a SBCS
+    assert guess_encoding(_meta_less_page("utf-8", RU_TEXT)) == "UTF-8"
+
+
+def test_statistical_decode_roundtrip():
+    # the decoded page must reproduce the original body text
+    for codec in ("koi8_r", "cp1251", "iso8859_5"):
+        page = _meta_less_page(codec, RU_TEXT)
+        assert RU_TEXT.rstrip() in decode_html(page)
+
+
+def test_utf8_state_machine_rejects_overlong_and_surrogates():
+    from webcollector_ray.charset import _utf8_scan
+
+    assert _utf8_scan("привет".encode("utf-8")) == (True, 6)
+    assert _utf8_scan(b"abc")[0] is True
+    assert _utf8_scan(b"\xc0\xaf")[0] is False       # overlong '/'
+    assert _utf8_scan(b"\xed\xa0\x80")[0] is False   # surrogate
+    assert _utf8_scan(b"\xf5\x80\x80\x80")[0] is False  # > U+10FFFF lead
+    assert _utf8_scan(b"\x80")[0] is False           # lone continuation

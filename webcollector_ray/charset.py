@@ -6,15 +6,25 @@ Reference: util/CharsetDetector.java.
    `<meta charset=X>` form (CharsetDetector.java:35-70). NOTE the
    reference decodes the WHOLE body, not just CHUNK_SIZE — replicated.
 2. BOM sniff: UTF-8 / UTF-16LE / UTF-16BE (CharsetDetector.java:71-84).
-3. Statistical detection (juniversalchardet in the reference; here
-   charset_normalizer), default UTF-8 (CharsetDetector.java:92-106).
+3. Statistical detection, default UTF-8 (CharsetDetector.java:92-106).
+   The reference delegates to juniversalchardet (Mozilla's
+   universalchardet ported to Java); here the same composite approach
+   (Li & Momoi, "A composite approach to language/encoding detection",
+   Netscape 2001) is implemented directly: a UTF-8 validation state
+   machine first, then single-byte-charset probers that score each
+   candidate by decoded script membership, letter case shape and
+   language letter-frequency — covering the charsets pinned by
+   CharsetDetectorTest.java:34-49 (KOI8-R / WINDOWS-1251 / ISO-8859-5
+   Cyrillic, ISO-8859-7 / WINDOWS-1253 Greek, discounted WINDOWS-1252
+   Latin). Pure-ASCII input detects nothing and falls to UTF-8, like
+   juniversalchardet returning null.
 """
 
 from __future__ import annotations
 
 import codecs
 import re
-from typing import Optional
+from typing import Optional, Tuple
 
 _META_PATTERN = re.compile(
     r"<meta\s+([^>]*http-equiv=(\"|')?content-type(\"|')?[^>]*)>",
@@ -51,15 +61,152 @@ def _guess_by_meta(content: bytes) -> Optional[str]:
     return encoding
 
 
-def _guess_statistical(content: bytes) -> str:
-    try:
-        from charset_normalizer import from_bytes
+# ---- UTF-8 validation state machine (Mozilla nsUTF8Prober shape) ----
 
-        best = from_bytes(bytes(content)).best()
-        if best is not None and best.encoding:
-            return best.encoding
-    except Exception:
-        pass
+
+def _utf8_scan(content: bytes) -> Tuple[bool, int]:
+    """-> (is_valid_utf8, n_multibyte_sequences). Incremental DFA over
+    the byte stream; rejects overlongs/surrogates like a strict
+    decoder."""
+    need = 0
+    first = 0
+    pending = 0
+    n_multi = 0
+    for b in content:
+        if need == 0:
+            if b < 0x80:
+                continue
+            if 0xC2 <= b <= 0xDF:
+                need, first = 1, b
+            elif 0xE0 <= b <= 0xEF:
+                need, first = 2, b
+            elif 0xF0 <= b <= 0xF4:
+                need, first = 3, b
+            else:  # 0x80-0xC1 lone continuation / overlong lead
+                return False, n_multi
+            pending = need
+        else:
+            if not (0x80 <= b <= 0xBF):
+                return False, n_multi
+            # overlong / surrogate / out-of-range second-byte limits
+            if pending == need:  # first continuation byte
+                if first == 0xE0 and b < 0xA0:
+                    return False, n_multi
+                if first == 0xED and b > 0x9F:
+                    return False, n_multi
+                if first == 0xF0 and b < 0x90:
+                    return False, n_multi
+                if first == 0xF4 and b > 0x8F:
+                    return False, n_multi
+            need -= 1
+            if need == 0:
+                n_multi += 1
+    return need == 0, n_multi
+
+
+# ---- single-byte charset probers --------------------------------------
+
+# language letter-frequency strings, most-common first (public letter
+# frequency tables for Russian and Greek; Mozilla's sequence models are
+# built from the same orderings)
+_RU_FREQ = "оеаинтсрвлкмдпуяыьгзбчйхжшюцщэфъё"
+_EL_FREQ = "αοιετσνηυρπκμλωδγχθφβξζψς"
+_EL_ACCENT = "άέήίόύώϊϋΐΰ"
+_LATIN_EXT = "àáâãäåæçèéêëìíîïñòóôõöøùúûüýÿšžœßðþ"
+
+# (codec, frequent letters, full alphabet) per candidate, in the probe
+# order juniversalchardet's SBCS group uses for these charsets
+_SBCS_PROBERS = [
+    ("WINDOWS-1251", "cp1251", _RU_FREQ[:16], _RU_FREQ),
+    ("KOI8-R", "koi8_r", _RU_FREQ[:16], _RU_FREQ),
+    ("ISO-8859-5", "iso8859_5", _RU_FREQ[:16], _RU_FREQ),
+    ("ISO-8859-7", "iso8859_7", _EL_FREQ[:14], _EL_FREQ + _EL_ACCENT),
+    ("WINDOWS-1253", "cp1253", _EL_FREQ[:14], _EL_FREQ + _EL_ACCENT),
+    ("WINDOWS-1252", "cp1252", _LATIN_EXT[:12], _LATIN_EXT),
+]
+
+# Latin-1 is so often a wrong default that Mozilla discounts its prober
+_LATIN1_DISCOUNT = 0.70
+
+_SBCS_MIN_CONFIDENCE = 0.25
+
+
+def _sbcs_score(
+    decoded: str, frequent: str, alphabet: str, latin: bool = False
+) -> float:
+    """Score a candidate decoding: frequent lowercase letters of the
+    model language score high, rare-but-valid letters low, uppercase
+    (rare in running text) lower still, anything outside the script is
+    a strong negative. Normalized by the number of non-ASCII chars.
+
+    The `latin` flag models how the script mixes with ASCII: Latin
+    accents sit INSIDE ASCII words (cœur, déçu), while a Cyrillic or
+    Greek letter adjacent to an ASCII letter means the decoding is
+    almost surely wrong — this is what keeps French cp1252 from
+    probing as WINDOWS-1251 (both decode every high byte to "letters").
+    """
+    freq_set = set(frequent)
+    alpha_set = set(alphabet) | {c.upper() for c in alphabet}
+    total = 0
+    score = 0.0
+    prev_in = False
+    n = len(decoded)
+    for i, ch in enumerate(decoded):
+        if ord(ch) < 128:
+            prev_in = False
+            continue
+        total += 1
+        prev_ascii_alpha = i > 0 and decoded[i - 1].isascii() and decoded[i - 1].isalpha()
+        next_ascii_alpha = (
+            i + 1 < n and decoded[i + 1].isascii() and decoded[i + 1].isalpha()
+        )
+        ascii_neighbor = prev_ascii_alpha or next_ascii_alpha
+        if ch in freq_set:
+            score += 2.0
+            if prev_in:
+                score += 0.5  # adjacent in-model letters: word shape
+            prev_in = True
+        elif ch in alpha_set:
+            lower = ch.islower()
+            score += 1.0 if lower else 0.25
+            prev_in = lower
+        else:
+            score -= 2.0
+            prev_in = False
+            continue
+        if latin:
+            if ascii_neighbor:
+                score += 1.0
+        elif ascii_neighbor:
+            score -= 2.0
+    if total == 0:
+        return 0.0
+    return score / (2.5 * total)  # 1.0 == all frequent+adjacent
+
+
+def _guess_statistical(content: bytes) -> str:
+    """guessEncodingByMozilla equivalent: UTF-8 state machine, then the
+    single-byte prober group; None-equivalent (pure ASCII / nothing
+    confident) falls back to UTF-8."""
+    data = bytes(content)
+    valid_utf8, n_multi = _utf8_scan(data)
+    if valid_utf8:
+        # pure ASCII detects nothing (juniversalchardet returns null)
+        return "UTF-8"
+    best_name, best_conf = None, 0.0
+    for name, codec, frequent, alphabet in _SBCS_PROBERS:
+        try:
+            decoded = data.decode(codec, errors="replace")
+        except LookupError:  # pragma: no cover
+            continue
+        latin = name == "WINDOWS-1252"
+        conf = _sbcs_score(decoded, frequent, alphabet, latin=latin)
+        if latin:
+            conf *= _LATIN1_DISCOUNT
+        if conf > best_conf:
+            best_name, best_conf = name, conf
+    if best_name is not None and best_conf >= _SBCS_MIN_CONFIDENCE:
+        return best_name
     return "UTF-8"
 
 
