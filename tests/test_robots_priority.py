@@ -37,6 +37,38 @@ Disallow: /
     assert not p2.allowed("/anything")
 
 
+def test_robots_policy_rfc9309_wildcards():
+    text = """
+User-agent: *
+Disallow: /*.pdf
+Disallow: /cgi-*/run
+Disallow: /exact.html$
+Allow: /*.pdf$
+"""
+    p = RobotsPolicy.parse(text, "anybot")
+    # '*' spans any char run mid-pattern
+    assert not p.allowed("/docs/report.pdfx")       # /*.pdf (no anchor)
+    assert not p.allowed("/cgi-bin/run")
+    assert p.allowed("/cgi-bin/walk")
+    # '$' anchors the end; Allow /*.pdf$ is longer than Disallow /*.pdf
+    assert p.allowed("/docs/report.pdf")
+    # trailing-$ rule matches only the exact path
+    assert not p.allowed("/exact.html")
+    assert p.allowed("/exact.html?q=1")
+
+
+def test_robots_cache_keyed_by_scheme():
+    class FakeReader:
+        def get(self, url):
+            if url.startswith("https://"):
+                return {"code": 200, "html": b"User-agent: *\nDisallow: /\n"}
+            return None  # http robots 404s -> allow all
+
+    c = RobotsCache(FakeReader())
+    assert c.allowed("http://h.test/page.html")
+    assert not c.allowed("https://h.test/page.html")
+
+
 def test_robots_policy_empty_and_missing_group():
     assert RobotsPolicy.parse("", "*").allowed("/x")
     p = RobotsPolicy.parse("User-agent: other\nDisallow: /\n", "mybot")
@@ -145,6 +177,43 @@ def test_politeness_budget_same_results(ray_session):
 
 
 # ------------------------------------------------------- output helpers
+
+
+def test_politeness_host_single_block(ray_session):
+    """The politeness invariant: after routing, every host's rows live
+    in exactly one block — Ray Data never splits a block across
+    map_batches tasks, so two fetch actors can never interleave one
+    host and the per-actor token bucket is globally serializing."""
+    import ray
+    import ray.data as rd
+
+    from webcollector_ray.model import CrawlDatum, datums_to_table
+    from webcollector_ray.pipelines.crawler import RamCrawler
+    from webcollector_ray.sources.pagestore import SynthPageStore
+    from webcollector_ray.synth import SynthSpec
+
+    from webcollector_ray.config import CrawlerConfig
+
+    spec = SynthSpec(num_sites=6)
+    cfg = CrawlerConfig(politeness_budget_ms=1, fetch_concurrency=3)
+    c = RamCrawler(SynthPageStore(spec), config=cfg, deterministic_time=True)
+    datums = [
+        CrawlDatum(f"http://site{s}.test/show-{j}.html", execute_time=0)
+        for s in range(spec.num_sites)
+        for j in range(spec.shows_per_site)
+    ]
+    routed = c._route_by_host(rd.from_arrow(datums_to_table(datums)))
+    blocks = [ray.get(r) for r in routed.to_arrow_refs()]
+    host_block: dict = {}
+    for bi, t in enumerate(blocks):
+        if t is None or len(t) == 0:
+            continue
+        for u in t["url"].to_pylist():
+            host = u.split("/")[2]
+            assert host_block.setdefault(host, bi) == bi, (
+                f"host {host} split across blocks"
+            )
+    assert len(host_block) == spec.num_sites
 
 
 def test_fs_output_path():

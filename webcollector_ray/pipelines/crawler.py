@@ -250,15 +250,22 @@ class Crawler:
 
     # --- host-coherent routing for politeness (north_rule F4) ---
     def _route_by_host(self, generated):
-        """Sort the fetch list by (host, key) so batches are
-        host-coherent and each fetcher's per-host token bucket actually
-        serializes a host's fetches. Hot-host skew handling: hosts with
-        more than `host_salt_threshold` rows this depth get a salt
-        suffix (url-hash modulo ceil(n/threshold)) so one mega-host
-        spreads over several batches/actors instead of serializing the
-        whole depth — trading per-host rate precision (the budget then
-        applies per salt shard) for wall-clock, documented in
-        SURVEY.md §4 'skew / hot hosts'."""
+        """Route the fetch list so each host's rows land in EXACTLY ONE
+        output block: routes are hash-bucketed and each bucket becomes
+        one block via groupby(bucket).map_groups. Ray Data never splits
+        a block across map_batches tasks, so all of a host's fetches run
+        inside one ExecuteStage instance and its per-host token bucket
+        is globally serializing — two actors can never interleave one
+        host (the invariant the per-actor budget state depends on;
+        pinned by test_politeness_host_single_block).
+
+        Hot-host skew handling: hosts with more than
+        `host_salt_threshold` rows this depth get a salt suffix
+        (url-hash modulo ceil(n/threshold)) so one mega-host spreads
+        over several buckets/actors instead of serializing the whole
+        depth — deliberately trading per-host rate precision (the
+        budget then applies per salt shard) for wall-clock, documented
+        in SURVEY.md §4 'skew / hot hosts'."""
         generated = generated.materialize()
         threshold = self.config.host_salt_threshold
 
@@ -293,7 +300,11 @@ class Crawler:
 
         from ..urls import url_hash64
 
-        def add_host(batch: pa.Table) -> pa.Table:
+        n_buckets = max(self.config.fetch_concurrency * 2, 4)
+
+        def add_route(batch: pa.Table) -> pa.Table:
+            import zlib as _zlib
+
             routes = []
             for u in batch["url"].to_pylist():
                 h = host_of(u)
@@ -302,14 +313,23 @@ class Crawler:
                     routes.append(f"{h}#{url_hash64(u) % salts}")
                 else:
                     routes.append(h)
-            return batch.append_column("__host", pa.array(routes, pa.string()))
+            buckets = [
+                _zlib.crc32(r.encode()) % n_buckets for r in routes
+            ]
+            batch = batch.append_column("__host", pa.array(routes, pa.string()))
+            return batch.append_column(
+                "__hbucket", pa.array(buckets, pa.int32())
+            )
+
+        def one_block_per_bucket(df):
+            return df.sort_values(["__host", "key"], kind="mergesort").drop(
+                columns=["__host", "__hbucket"]
+            )
 
         return (
-            generated.map_batches(add_host, batch_format="pyarrow")
-            .sort(["__host", "key"])
-            .map_batches(
-                lambda b: b.drop_columns(["__host"]), batch_format="pyarrow"
-            )
+            generated.map_batches(add_route, batch_format="pyarrow")
+            .groupby("__hbucket")
+            .map_groups(one_block_per_bucket, batch_format="pandas")
         )
 
     def _filter_links_approx(self, link_seg):

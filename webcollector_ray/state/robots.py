@@ -6,17 +6,29 @@ north_rule extension: each fetch actor/worker holds a per-host robots
 policy cache (ST1-style state, built lazily from the page store) and
 consults it before every fetch.
 
-Parsing follows the public REP (RFC 9309) subset: group selection by
+Parsing follows the public REP (RFC 9309): group selection by
 User-agent (exact token match case-insensitive, else the '*' group),
-Allow/Disallow prefix rules, longest-prefix-wins with Allow winning
-ties, empty Disallow = allow-all, missing/failed robots.txt = allow
-everything.
+Allow/Disallow rules with '*' (any char run) and '$' (end anchor)
+pattern syntax, most-specific-match-wins ordered by pattern octet
+length with Allow winning ties (RFC 9309 §2.2.2), empty Disallow =
+allow-all, missing/failed robots.txt = allow everything.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+import re
+from typing import List, Optional, Pattern, Tuple
 from urllib.parse import urlsplit
+
+
+def _rule_regex(value: str) -> Pattern:
+    """RFC 9309 path pattern -> anchored-at-start regex: '*' matches any
+    char run; a trailing '$' anchors the end; a non-trailing '$' is a
+    literal (the spec gives '$' meaning only as the last character)."""
+    anchored = value.endswith("$")
+    body = value[:-1] if anchored else value
+    pat = ".*".join(re.escape(part) for part in body.split("*"))
+    return re.compile(pat + ("$" if anchored else ""))
 
 
 class RobotsPolicy:
@@ -25,8 +37,15 @@ class RobotsPolicy:
     __slots__ = ("rules",)
 
     def __init__(self, rules: List[Tuple[bool, str]]):
-        # (allow, path_prefix), pre-sorted by prefix length descending
-        self.rules = sorted(rules, key=lambda r: (-len(r[1]), not r[0]))
+        # (allow, raw_pattern, regex), pre-sorted by pattern octet
+        # length descending (most-specific first), Allow before
+        # Disallow among equals (RFC 9309 §2.2.2)
+        self.rules = [
+            (allow, value, _rule_regex(value))
+            for allow, value in sorted(
+                rules, key=lambda r: (-len(r[1]), not r[0])
+            )
+        ]
 
     @classmethod
     def parse(cls, text: str, user_agent: str = "*") -> "RobotsPolicy":
@@ -74,8 +93,8 @@ class RobotsPolicy:
     def allowed(self, path: str) -> bool:
         if not path.startswith("/"):
             path = "/" + path
-        for allow, prefix in self.rules:
-            if path.startswith(prefix):
+        for allow, _value, rx in self.rules:
+            if rx.match(path):
                 return allow
         return True
 
@@ -93,7 +112,10 @@ class RobotsCache:
         self._cache: dict = {}
 
     def _policy_for(self, scheme: str, netloc: str) -> RobotsPolicy:
-        pol = self._cache.get(netloc)
+        # scheme is part of the authority per RFC 9309 §2.3 — an http
+        # and an https origin may serve different robots.txt files
+        key = (scheme, netloc)
+        pol = self._cache.get(key)
         if pol is None:
             row = self.reader.get(f"{scheme}://{netloc}/robots.txt")
             if row is None or row["code"] != 200 or not row["html"]:
@@ -107,7 +129,7 @@ class RobotsCache:
                     pol = ALLOW_ALL
             if len(self._cache) >= self.max_hosts:
                 self._cache.clear()  # simple bound; refetch is cheap
-            self._cache[netloc] = pol
+            self._cache[key] = pol
         return pol
 
     def allowed(self, url: str) -> bool:
