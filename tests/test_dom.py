@@ -146,3 +146,54 @@ def test_nested_same_tag_and_case():
     assert d.select_first("#o") is not None
     assert d.select_first("#o #i").text() == "x"
     assert d.select_first("div div").id() == "i"
+
+
+# ---- extended selector surface (Jsoup pseudo-classes + siblings) ------
+
+_LIST_HTML = (
+    "<body><ul>"
+    '<li id="a">alpha</li><li id="b">beta</li><li id="c">gamma</li>'
+    '<li id="d">delta</li>'
+    "</ul>"
+    '<div id="x"><p>one</p><span>two</span><p>three</p></div></body>'
+)
+
+
+def test_selector_index_pseudos():
+    d = dom.parse(_LIST_HTML)
+    # Jsoup :eq(n) = element sibling index (0-based)
+    assert [e.id() for e in d.select("li:eq(1)")] == ["b"]
+    assert [e.id() for e in d.select("li:lt(2)")] == ["a", "b"]
+    assert [e.id() for e in d.select("li:gt(2)")] == ["d"]
+
+
+def test_selector_structural_pseudos():
+    d = dom.parse(_LIST_HTML)
+    assert [e.id() for e in d.select("li:first-child")] == ["a"]
+    assert [e.id() for e in d.select("li:last-child")] == ["d"]
+    assert [e.id() for e in d.select("li:nth-child(2)")] == ["b"]
+    assert [e.id() for e in d.select("li:nth-child(odd)")] == ["a", "c"]
+    assert [e.id() for e in d.select("li:nth-child(2n+1)")] == ["a", "c"]
+    assert [e.id() for e in d.select("li:nth-child(even)")] == ["b", "d"]
+
+
+def test_selector_sibling_combinators():
+    d = dom.parse(_LIST_HTML)
+    assert [e.id() for e in d.select("#a + li")] == ["b"]
+    assert [e.id() for e in d.select("#a ~ li")] == ["b", "c", "d"]
+    assert [e.text() for e in d.select("span + p")] == ["three"]
+    assert d.select("#d + li") == []
+
+
+def test_selector_contains_not_has():
+    d = dom.parse(_LIST_HTML)
+    assert [e.id() for e in d.select("li:contains(bet)")] == ["b"]
+    assert [e.id() for e in d.select("li:not(#a)")] == ["b", "c", "d"]
+    assert [e.id() for e in d.select("div:has(span)")] == ["x"]
+    assert d.select("ul:has(span)") == []
+
+
+def test_selector_group_and_nested_parens_safe():
+    d = dom.parse(_LIST_HTML)
+    got = [e.id() for e in d.select("li:eq(0), li:eq(3)")]
+    assert got == ["a", "d"]

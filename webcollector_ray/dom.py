@@ -12,9 +12,14 @@ of html.parser:
   spacing, StringUtil.normaliseWhitespace semantics) — the byte-identical
   extracted-text invariant is defined against THIS text();
 - a CSS selector subset: tag, *, #id, .class, [attr], [attr=v],
-  [attr^=v], [attr$=v], [attr*=v], descendant and child combinators,
-  selector groups — covering every selector the reference uses
-  (ContentExtractor.java:70,326; Links.java:93-148; Page.java:274-285);
+  [attr^=v], [attr$=v], [attr*=v], descendant / child / adjacent (+) /
+  general (~) sibling combinators, selector groups, and the Jsoup
+  pseudo-classes :eq(n) / :lt(n) / :gt(n) (element sibling index,
+  Jsoup Evaluator.IndexEquals semantics), :first-child / :last-child /
+  :nth-child(an+b|odd|even), :contains(text), :not(sel), :has(sel) —
+  covering every selector the reference uses
+  (ContentExtractor.java:70,326; Links.java:93-148; Page.java:274-285)
+  plus the first-hit user extensions beyond it;
 - `abs:` attribute resolution against the document base URI
   (Jsoup absUrl; model/Links.java:99-101);
 - compact `outer_html()` (no pretty-print; the reference's use is regex
@@ -419,19 +424,58 @@ _SIMPLE_RE = re.compile(
     | \#(?P<id>[\w-]+)
     | \.(?P<cls>[\w-]+)
     | \[(?P<attr>[\w-]+)(?:(?P<op>[\^\$\*]?=)(?P<q>["']?)(?P<val>[^\]"']*)(?P=q))?\]
+    | :(?P<pseudo>[a-zA-Z][a-zA-Z-]*)(?:\((?P<parg>[^()]*(?:\([^()]*\)[^()]*)*)\))?
     """,
     re.VERBOSE,
 )
 
+_NTH_RE = re.compile(r"^\s*(?:(?P<a>[+-]?\d*)n\s*(?P<b>[+-]\s*\d+)?|(?P<c>[+-]?\d+))\s*$")
+
+
+def _sibling_index(el: Element) -> int:
+    """0-based index among element siblings (Jsoup elementSiblingIndex)."""
+    p = el.parent
+    if p is None:
+        return 0
+    i = 0
+    for c in p.children:
+        if c is el:
+            return i
+        if isinstance(c, Element):
+            i += 1
+    return 0
+
+
+def _nth_matches(arg: str, idx1: int) -> bool:
+    """CSS an+b matching for a 1-based child index."""
+    arg = arg.strip().lower()
+    if arg == "odd":
+        return idx1 % 2 == 1
+    if arg == "even":
+        return idx1 % 2 == 0
+    m = _NTH_RE.match(arg)
+    if not m:
+        return False
+    if m.group("c") is not None:
+        return idx1 == int(m.group("c"))
+    a_s = m.group("a")
+    a = 1 if a_s in ("", "+") else (-1 if a_s == "-" else int(a_s))
+    b = int(m.group("b").replace(" ", "")) if m.group("b") else 0
+    if a == 0:
+        return idx1 == b
+    k, rem = divmod(idx1 - b, a)
+    return rem == 0 and k >= 0
+
 
 class _Compound:
-    __slots__ = ("tag", "ids", "classes", "attrs")
+    __slots__ = ("tag", "ids", "classes", "attrs", "pseudos")
 
     def __init__(self):
         self.tag: Optional[str] = None
         self.ids: List[str] = []
         self.classes: List[str] = []
         self.attrs: List[tuple] = []  # (name, op, value) op in {None,'=','^=','$=','*='}
+        self.pseudos: List[tuple] = []  # (name, arg)
 
     def matches(self, el: Element) -> bool:
         if self.tag and self.tag != "*" and el.tag != self.tag:
@@ -456,7 +500,37 @@ class _Compound:
                 return False
             if op == "*=" and val not in v:
                 return False
+        for name, arg in self.pseudos:
+            if not self._pseudo_matches(el, name, arg):
+                return False
         return True
+
+    @staticmethod
+    def _pseudo_matches(el: Element, name: str, arg: Optional[str]) -> bool:
+        if name in ("eq", "lt", "gt"):
+            try:
+                n = int((arg or "").strip())
+            except ValueError:
+                return False
+            idx = _sibling_index(el)
+            return (
+                idx == n if name == "eq" else idx < n if name == "lt" else idx > n
+            )
+        if name == "first-child":
+            return _sibling_index(el) == 0
+        if name == "last-child":
+            p = el.parent
+            return p is None or el is p.child_elements()[-1]
+        if name == "nth-child":
+            return _nth_matches(arg or "", _sibling_index(el) + 1)
+        if name == "contains":
+            return (arg or "").strip().lower() in el.text().lower()
+        if name == "not":
+            return not _parse_compound((arg or "").strip()).matches(el)
+        if name == "has":
+            sub = (arg or "").strip()
+            return bool(sub) and bool(_select(el, sub, include_self=False))
+        raise ValueError(f"unsupported css pseudo-class :{name}")
 
 
 def _parse_compound(s: str) -> _Compound:
@@ -477,23 +551,50 @@ def _parse_compound(s: str) -> _Compound:
             comp.attrs.append(
                 (m.group("attr").lower(), op if op else None, m.group("val") or "")
             )
+        elif m.group("pseudo"):
+            comp.pseudos.append((m.group("pseudo").lower(), m.group("parg")))
         pos = m.end()
     return comp
 
 
+def _tokenize_selector(sel: str) -> List[str]:
+    """Split into compound / combinator tokens; '>' '+' '~' and spaces
+    separate ONLY at bracket/paren depth 0 (so ':nth-child(2n+1)' and
+    '[href*=x]' stay whole)."""
+    toks: List[str] = []
+    buf = ""
+    depth = 0
+    for ch in sel:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if depth == 0 and ch in ">+~":
+            if buf.strip():
+                toks.append(buf.strip())
+            toks.append(ch)
+            buf = ""
+        elif depth == 0 and ch.isspace():
+            if buf.strip():
+                toks.append(buf.strip())
+                toks.append(" ")
+            buf = ""
+        else:
+            buf += ch
+    if buf.strip():
+        toks.append(buf.strip())
+    return toks
+
+
 def _parse_selector(sel: str) -> List[tuple]:
     """-> list of (combinator, compound); combinator of first is None,
-    then ' ' (descendant) or '>' (child)."""
-    toks = re.split(r"\s*(>)\s*|\s+", sel.strip())
+    then ' ' (descendant), '>' (child), '+' (adjacent sibling) or
+    '~' (general sibling)."""
     out: List[tuple] = []
     comb: Optional[str] = None
-    for t in toks:
-        if t is None or t == "":
-            if comb is None and out:
-                comb = " "
-            continue
-        if t == ">":
-            comb = ">"
+    for t in _tokenize_selector(sel.strip()):
+        if t in (">", "+", "~", " "):
+            comb = t if t != " " else (comb or " ")
             continue
         out.append((comb if out else None, _parse_compound(t)))
         comb = None
@@ -515,6 +616,15 @@ def _matches_chain(el: Element, chain: List[tuple], root: Element) -> bool:
             and _in_scope(p, root)
             and _matches_chain(p, rest, root)
         )
+    if comb in ("+", "~"):
+        p = el.parent
+        if p is None:
+            return False
+        sibs = p.child_elements()
+        i = sibs.index(el)
+        if comb == "+":
+            return i > 0 and _matches_chain(sibs[i - 1], rest, root)
+        return any(_matches_chain(s, rest, root) for s in sibs[:i])
     # descendant
     p = el.parent
     while p is not None and isinstance(p, Element) and _in_scope(p, root):
@@ -533,11 +643,31 @@ def _in_scope(el: Element, root: Element) -> bool:
     return False
 
 
-def _select(root: Element, css: str) -> List[Element]:
-    chains = [_parse_selector(part) for part in css.split(",") if part.strip()]
+def _split_groups(css: str) -> List[str]:
+    """Split a selector group on ',' at bracket/paren depth 0 only
+    (commas inside :contains(...) / [attr=...] stay intact)."""
+    parts: List[str] = []
+    buf = ""
+    depth = 0
+    for ch in css:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(buf)
+            buf = ""
+        else:
+            buf += ch
+    parts.append(buf)
+    return parts
+
+
+def _select(root: Element, css: str, include_self: bool = True) -> List[Element]:
+    chains = [_parse_selector(part) for part in _split_groups(css) if part.strip()]
     out: List[Element] = []
     candidates: List[Element] = []
-    if isinstance(root, Element) and not isinstance(root, Document):
+    if include_self and isinstance(root, Element) and not isinstance(root, Document):
         candidates.append(root)
     candidates.extend(n for n in root.descendants() if isinstance(n, Element))
     for el in candidates:
