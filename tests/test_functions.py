@@ -425,3 +425,23 @@ def test_cluster_pairs_minlabel(ray_session):
     )
     got = dict(zip(out["doc_id"], out["cluster"]))
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_cluster_minlabel_long_chain_log_rounds(ray_session):
+    # a 200-node path graph: star contraction must converge in
+    # O(log n) rounds, far under max_iters=12 (plain propagation
+    # would need ~200 rounds)
+    from webcollector_ray.functions.dedup import cluster_pairs_minlabel
+
+    n = 200
+    pairs = pa.table(
+        {
+            "id_a": pa.array(range(n - 1), pa.int64()),
+            "id_b": pa.array(range(1, n), pa.int64()),
+        }
+    )
+    out = cluster_pairs_minlabel(
+        rd.from_arrow(pairs), id_col="doc_id", max_iters=12
+    ).to_pandas()
+    assert len(out) == n
+    assert (out["cluster"] == 0).all()

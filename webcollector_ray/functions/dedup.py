@@ -32,6 +32,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -280,6 +282,115 @@ def minhash_dedup_pairs(
 # ------------------------------------------------ cluster by min-label
 
 
+def _cc_bucket_of(ids: np.ndarray, num_buckets: int) -> np.ndarray:
+    return (np.abs(ids * np.int64(0x9E3779B9)) % num_buckets).astype(np.int64)
+
+
+def _cc_split_table(t: pa.Table, buckets: np.ndarray, num_buckets: int):
+    order = np.argsort(buckets, kind="stable")
+    sorted_b = buckets[order]
+    bounds = np.searchsorted(sorted_b, np.arange(num_buckets + 1))
+    shuffled = t.take(pa.array(order))
+    out = []
+    for i in range(num_buckets):
+        lo, hi = bounds[i], bounds[i + 1]
+        out.append(shuffled.slice(lo, hi - lo) if hi > lo else None)
+    return out
+
+
+@ray.remote
+def _cc_split_edges(num_buckets: int, *blocks):
+    """Pair blocks -> per-bucket symmetric edge tables (node, peer)."""
+    parts_a, parts_b = [], []
+    for t in blocks:
+        if t is None or len(t) == 0:
+            continue
+        parts_a.append(t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64))
+        parts_b.append(t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    if not parts_a:
+        out = [None] * num_buckets
+        return out[0] if num_buckets == 1 else tuple(out)
+    a = np.concatenate(parts_a)
+    b = np.concatenate(parts_b)
+    node = np.concatenate([a, b])
+    peer = np.concatenate([b, a])
+    t = pa.table({"node": pa.array(node), "peer": pa.array(peer)})
+    out = _cc_split_table(t, _cc_bucket_of(node, num_buckets), num_buckets)
+    return out[0] if num_buckets == 1 else tuple(out)
+
+
+@ray.remote(num_returns=2)
+def _cc_init_bucket(*parts):
+    """-> (edges table, initial labels table) for one bucket; labels
+    start as the node id itself."""
+    tables = [t for t in parts if t is not None and len(t)]
+    if not tables:
+        empty_e = pa.table({"node": pa.array([], pa.int64()),
+                            "peer": pa.array([], pa.int64())})
+        empty_l = pa.table({"node": pa.array([], pa.int64()),
+                            "label": pa.array([], pa.int64())})
+        return empty_e, empty_l
+    edges = pa.concat_tables(tables)
+    nodes = np.unique(edges["node"].to_numpy(zero_copy_only=False))
+    labels = pa.table({"node": pa.array(nodes), "label": pa.array(nodes)})
+    return edges, labels
+
+
+@ray.remote
+def _cc_candidates(num_buckets: int, edges, labels, *star_in):
+    """One sender bucket -> per-destination candidate (node, label)
+    tables: own labels stay, and each edge (incl. star edges received
+    this round) forwards the source's current label to its target."""
+    lab = labels.to_pandas()
+    edge_parts = [edges.to_pandas()]
+    for s in star_in:
+        if s is not None and len(s):
+            edge_parts.append(s.to_pandas())
+    edg = pd.concat(edge_parts, ignore_index=True)
+    m = edg.merge(lab, on="node", how="inner")
+    node = np.concatenate(
+        [lab["node"].to_numpy(), m["peer"].to_numpy()]
+    ).astype(np.int64)
+    label = np.concatenate(
+        [lab["label"].to_numpy(), m["label"].to_numpy()]
+    ).astype(np.int64)
+    t = pa.table({"node": pa.array(node), "label": pa.array(label)})
+    out = _cc_split_table(t, _cc_bucket_of(node, num_buckets), num_buckets)
+    return out[0] if num_buckets == 1 else tuple(out)
+
+
+@ray.remote
+def _cc_reduce(num_buckets: int, *cand_parts):
+    """Min-reduce one destination bucket -> (new labels, (sum, count),
+    star-edge slices label->node for the NEXT round's star contraction:
+    the component center pushes its — only ever shrinking — label back
+    out to its satellites in one hop)."""
+    tables = [t for t in cand_parts if t is not None and len(t)]
+    if not tables:
+        empty_l = pa.table({"node": pa.array([], pa.int64()),
+                            "label": pa.array([], pa.int64())})
+        return (empty_l, (0, 0)) + tuple([None] * num_buckets)
+    df = pa.concat_tables(tables).to_pandas()
+    out = df.groupby("node", sort=False, as_index=False).agg(
+        label=("label", "min")
+    )
+    node = out["node"].to_numpy().astype(np.int64)
+    label = out["label"].to_numpy().astype(np.int64)
+    labels_tbl = pa.table({"node": pa.array(node), "label": pa.array(label)})
+    check = (int(label.sum()), len(label))
+    m = node != label
+    # both star directions: center -> satellite (pushes the shrinking
+    # component label out in one hop) and satellite -> center (hooks a
+    # smaller label learned at the rim straight onto the center)
+    src = np.concatenate([label[m], node[m]])
+    dst = np.concatenate([node[m], label[m]])
+    star = pa.table({"node": pa.array(src), "peer": pa.array(dst)})
+    star_slices = _cc_split_table(
+        star, _cc_bucket_of(src, num_buckets), num_buckets
+    )
+    return (labels_tbl, check) + tuple(star_slices)
+
+
 def cluster_pairs_minlabel(
     pairs_ds,
     *,
@@ -288,154 +399,73 @@ def cluster_pairs_minlabel(
     max_iters: int = 50,
 ):
     """Connected components over a near-dup pair list via distributed
-    min-label propagation: every node repeatedly adopts the smallest
-    label among itself and its neighbours until fixpoint (<= graph
-    diameter rounds; near-dup clusters are tiny, so 2-3 rounds).
+    min-label propagation with star contraction: every node repeatedly
+    adopts the smallest label among itself and its neighbours, and each
+    round the current component center pushes its label straight back to
+    its satellites (O(log diameter) rounds).
 
     pairs_ds: (id_a, id_b) edges (int ids). Returns (id, cluster) where
     cluster is the minimum member id of the component. No driver-side
-    union-find — each round is ONE bucketed groupby-min shuffle, so it
-    scales to pair lists that never fit one machine. Labels only ever
-    decrease, so sum+count equality is a valid convergence test."""
-    import pyarrow.compute as pc
+    union-find, and no Dataset machinery in the loop: edges are hash-
+    bucketed ONCE by a raw-task exchange (merge.py precedent — Ray
+    Data's sort-groupby costs ~0.1 s fixed per input block per round,
+    which dominated the fixpoint loop), then each round is exactly two
+    task waves (candidates -> min-reduce) with convergence checksums
+    riding back on tiny refs. Labels only ever decrease, so sum+count
+    equality is a valid convergence test."""
+    import ray as _ray
+    import ray.data as rd
 
-    label_t = pa.int64()
-
-    def to_edges(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["id_a"].to_pylist(), dtype=np.int64)
-        b = np.asarray(batch["id_b"].to_pylist(), dtype=np.int64)
-        node = np.concatenate([a, b])
-        peer = np.concatenate([b, a])
-        t = pa.table(
-            {
-                "node": pa.array(node),
-                "peer": pa.array(peer),
-                "label": pa.nulls(len(node), label_t),
-            }
+    block_refs = pairs_ds.to_arrow_refs()
+    ngroups = max(1, min(len(block_refs), num_buckets))
+    split_refs = []
+    for g in range(ngroups):
+        group = block_refs[g::ngroups]
+        refs = _cc_split_edges.options(num_returns=num_buckets).remote(
+            num_buckets, *group
         )
-        return _bucketed(t)
+        if num_buckets == 1:
+            refs = [refs]
+        split_refs.append(refs)
+    edge_refs, label_refs = [], []
+    for b in range(num_buckets):
+        e_r, l_r = _cc_init_bucket.remote(*[sr[b] for sr in split_refs])
+        edge_refs.append(e_r)
+        label_refs.append(l_r)
 
-    def _bucketed(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["node"].to_pylist(), dtype=np.int64)
-        bk = (np.abs(ids * np.int64(0x9E3779B9)) % num_buckets).astype(np.int32)
-        return t.append_column("__bucket", pa.array(bk))
-
-    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
-
-    def label_table(batch: pa.Table) -> pa.Table:
-        return _bucketed(
-            pa.table(
-                {
-                    "node": batch["node"],
-                    "peer": pa.nulls(len(batch), pa.int64()),
-                    "label": pc.cast(batch["label"], label_t),
-                }
-            )
-        )
-
-    # labels start as the node id itself (deduped per node)
-    labels = (
-        edges.map_batches(
-            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
-            batch_format="pyarrow",
-        )
-        .map_batches(label_table, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(
-            lambda df: df.groupby("node", sort=False, as_index=False)
-            .agg(label=("label", "min")),
-            batch_format="pandas",
-        )
-        .materialize()
-    )
-
-    def emit_candidates(df: pd.DataFrame) -> pd.DataFrame:
-        """Per sender-bucket: each node sends its label to every peer
-        (and keeps it). Candidates are keyed by the RECIPIENT, which
-        lives in a different bucket — the reduce below re-shuffles."""
-        lab = df[df["label"].notna()][["node", "label"]]
-        edg = df[df["peer"].notna()][["node", "peer"]]
-        m = edg.merge(lab, on="node", how="left")
-        send = pd.DataFrame({"node": m["peer"], "label": m["label"]})
-        out = pd.concat([lab, send], ignore_index=True).dropna()
-        out["node"] = out["node"].astype("int64")
-        out["label"] = out["label"].astype("int64")
-        return out
-
-    def min_reduce(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("node", sort=False, as_index=False).agg(
-            label=("label", "min")
-        )
-        out["label"] = out["label"].astype("int64")
-        return out
-
-    def checksum(ds) -> tuple:
-        t = ds.map_batches(
-            lambda b: pa.table(
-                {"s": [int(pc.sum(b["label"]).as_py() or 0)], "n": [len(b)]}
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()
-        return int(t["s"].sum()), int(t["n"].sum())
-
-    def label_edges(batch: pa.Table) -> pa.Table:
-        """Star contraction: (node <-> label) become edges too, so a
-        node reaches its component minimum through the star center in
-        O(log diameter) rounds instead of O(diameter)."""
-        node = np.asarray(batch["node"].to_pylist(), dtype=np.int64)
-        lab = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
-        m = node != lab
-        a = np.concatenate([node[m], lab[m]])
-        p = np.concatenate([lab[m], node[m]])
-        return _bucketed(
-            pa.table(
-                {
-                    "node": pa.array(a),
-                    "peer": pa.array(p),
-                    "label": pa.nulls(len(a), label_t),
-                }
-            )
-        )
-
-    import os as _os
-    _dbg = _os.environ.get("WCR_CC_DEBUG")
-    prev = checksum(labels)
+    star_in = [[None] * num_buckets for _ in range(num_buckets)]  # [dst][src]
+    prev = None
     for _round in range(max_iters):
-        if _dbg:
-            import time as _t
-            _t0 = _t.time()
-        joined = edges.union(
-            labels.map_batches(label_table, batch_format="pyarrow")
-        ).union(labels.map_batches(label_edges, batch_format="pyarrow"))
-        candidates = joined.groupby("__bucket").map_groups(
-            emit_candidates, batch_format="pandas"
-        )
-        labels = (
-            candidates.map_batches(
-                lambda b: _bucketed(
-                    pa.table({"node": b["node"], "label": b["label"]})
-                ),
-                batch_format="pyarrow",
+        cand = []  # [src][dst]
+        for b in range(num_buckets):
+            refs = _cc_candidates.options(num_returns=num_buckets).remote(
+                num_buckets, edge_refs[b], label_refs[b], *star_in[b]
             )
-            .groupby("__bucket")
-            .map_groups(
-                lambda d: min_reduce(d.drop(columns="__bucket")),
-                batch_format="pandas",
+            if num_buckets == 1:
+                refs = [refs]
+            cand.append(refs)
+        new_labels, check_refs = [], []
+        star_out = []  # [dst-as-src-next-round][...]
+        for d in range(num_buckets):
+            out = _cc_reduce.options(num_returns=2 + num_buckets).remote(
+                num_buckets, *[cand[s][d] for s in range(num_buckets)]
             )
-            # Ray's sort shuffle emits ~one block per INPUT block, so
-            # without this the label table gains blocks every round and
-            # per-round sort cost grows quadratically
-            .repartition(num_buckets)
-            .materialize()
-        )
-        cur = checksum(labels)
-        if _dbg:
-            print(f"CC round {_round}: {_t.time()-_t0:.2f}s sum={cur}", flush=True)
+            new_labels.append(out[0])
+            check_refs.append(out[1])
+            star_out.append(out[2:])
+        label_refs = new_labels
+        star_in = [
+            [star_out[src][dst] for src in range(num_buckets)]
+            for dst in range(num_buckets)
+        ]
+        checks = _ray.get(check_refs)
+        cur = (sum(c[0] for c in checks), sum(c[1] for c in checks))
         if cur == prev:
             break
         prev = cur
 
-    return labels.map_batches(
+    out = rd.from_arrow_refs(label_refs)
+    return out.map_batches(
         lambda b: pa.table({id_col: b["node"], "cluster": b["label"]}),
         batch_format="pyarrow",
     )

@@ -21,19 +21,24 @@ a URL reported seen has actually been added with probability
 
 from __future__ import annotations
 
-import hashlib
 from typing import List, Sequence
 
 import numpy as np
+import pandas as pd
 
 import ray
 
 
 def hash64_batch(keys: Sequence[str]) -> np.ndarray:
-    out = np.empty(len(keys), dtype=np.uint64)
-    for i, k in enumerate(keys):
-        out[i] = int.from_bytes(hashlib.md5(k.encode()).digest()[:8], "big")
-    return out
+    """Stable vectorized 64-bit string hash (pandas' fixed-key siphash,
+    C-speed, identical across processes). The bloom state is in-memory
+    per-crawl, so the hash function is internal — it only has to agree
+    between the driver and every worker within one run."""
+    if not len(keys):
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(
+        np.asarray(keys, dtype=object), categorize=False
+    ).astype(np.uint64)
 
 
 @ray.remote(num_cpus=0.1)
