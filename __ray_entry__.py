@@ -583,6 +583,44 @@ def _q_revenue_by_supp_nation(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_customers_no_orders(sf_dir: str):
+    # distributed ANTI join (TPC-H Q22 shape): customers with no order
+    # since 2000-01-01, both sides big — the predicate is pushed into
+    # the scan, then an existence check via the bucketed hash exchange
+    from webcollector_ray.functions.joins import hash_join
+
+    cutoff = pd.Timestamp("2000-01-01")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", how="anti",
+        num_buckets=16,
+    )
+
+
+def _q_suppliers_with_orders(sf_dir: str):
+    # distributed SEMI join: suppliers that shipped at least one lineitem
+    from webcollector_ray.functions.joins import hash_join
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
+    return hash_join(
+        supp, li, on="s_suppkey", right_on="l_suppkey", how="semi",
+        num_buckets=16,
+    )
+
+
 def _q_docs_top_chars(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
@@ -794,6 +832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_nation": _q_orders_by_nation,
         "revenue_by_supp_nation": _q_revenue_by_supp_nation,
+        "customers_no_orders": _q_customers_no_orders,
+        "suppliers_with_orders": _q_suppliers_with_orders,
         "docs_top_chars": _q_docs_top_chars,
         "distinct_langs": _q_distinct_langs,
         # crawl engine (SURVEY.md §2-§3) + multimodal plumbing
@@ -955,6 +995,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id ASC LIMIT 50"
         ),
+        "customers_no_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '2000-01-01'
+            )
+        """,
+        "suppliers_with_orders": """
+            SELECT s_suppkey, s_name FROM supplier s
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+            )
+        """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         # flagship crawl oracle: the synth web's link graph is a closed
         # form of (num_sites, 4 lists, 3 shows/list) — rebuilt here from

@@ -144,6 +144,27 @@ def test_ngram_jaccard_and_verify(ray_session):
     assert got == {(0, 1)}
 
 
+def test_verify_pairs_paths_identical(ray_session):
+    # the broadcast-candidates path and the bucketed-join path must be
+    # interchangeable (broadcast_limit=0 forces the join path)
+    docs = [
+        (0, BASE_TEXT),
+        (1, BASE_TEXT),
+        (2, BASE_TEXT.replace("lazy", "sleepy")),
+        (3, "other words " * 10),
+    ]
+    ds = _docs(docs)
+    pairs = minhash_dedup_pairs(ds, threshold=0.3)
+    a = verify_pairs_exact_jaccard(pairs, ds, threshold=0.0).to_pandas()
+    b = verify_pairs_exact_jaccard(
+        pairs, ds, threshold=0.0, broadcast_limit=0
+    ).to_pandas()
+    key = ["id_a", "id_b"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a[key + ["jaccard"]].equals(b[key + ["jaccard"]])
+
+
 def test_verify_pairs_join_matches_direct(ray_session):
     # the bucketed-join text attach must yield exactly the jaccard a
     # direct computation gives (guards the de-broadcast rewrite)
