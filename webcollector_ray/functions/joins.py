@@ -48,17 +48,18 @@ def _join_reduce(fn, empty, *parts):
     return fn(pa.concat_tables(tabs, promote_options="permissive"))
 
 
-def _exchange_join(lt, rt, join_bucket, empty: pa.Table, num_buckets: int,
-                   max_split_tasks: int = 32):
-    """The joins' physical shuffle: a DIRECT two-wave raw-task hash
-    exchange (merge.py precedent) instead of Ray Data's sort-based
-    groupby — the sort costs ~0.1 s fixed per input block (sampling +
-    per-block sort + merge tasks), which dominates join wall time on
-    many-block inputs; the exchange is one split wave + one reduce wave
-    and caps output at num_buckets blocks."""
+def exchange_reduce(ds, reduce_fn, empty: pa.Table, num_buckets: int,
+                    max_split_tasks: int = 32):
+    """Generic DIRECT two-wave raw-task hash exchange (merge.py
+    precedent): the input Dataset must carry an int `__bucket` column;
+    each bucket's rows are concatenated and handed to `reduce_fn`
+    (pa.Table -> pa.Table) in one task. Replaces Ray Data's sort-based
+    groupby where the sort's ~0.1 s fixed cost per input block
+    (sampling + per-block sort + merge tasks) dominates wall time;
+    output is capped at num_buckets blocks."""
     import ray.data as rd
 
-    blocks = list(lt.to_arrow_refs()) + list(rt.to_arrow_refs())
+    blocks = list(ds.to_arrow_refs())
     if not blocks:
         return rd.from_arrow(empty)
     ngroups = max(1, min(len(blocks), max_split_tasks))
@@ -71,12 +72,21 @@ def _exchange_join(lt, rt, join_bucket, empty: pa.Table, num_buckets: int,
         if num_buckets == 1:
             refs = [refs]
         split_refs.append(refs)
-    fn_ref = ray.put(join_bucket)
+    fn_ref = ray.put(reduce_fn)
     out_refs = [
         _join_reduce.remote(fn_ref, empty, *[sr[b] for sr in split_refs])
         for b in range(num_buckets)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+def _exchange_join(lt, rt, join_bucket, empty: pa.Table, num_buckets: int,
+                   max_split_tasks: int = 32):
+    """The joins' physical shuffle: both tagged sides through ONE
+    exchange_reduce."""
+    return exchange_reduce(
+        lt.union(rt), join_bucket, empty, num_buckets, max_split_tasks
+    )
 
 
 def _split_sides(group: pa.Table, left_cols, right_cols):

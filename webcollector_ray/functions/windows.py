@@ -19,7 +19,58 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Sum
+
+def _win_bucketed(g: "pd.DataFrame", key_col: str, num_buckets: int) -> pa.Table:
+    """Partial frame -> Arrow with a __bucket column keyed on
+    (key, window_start)."""
+    import numpy as np
+
+    k = g[key_col].to_numpy()
+    w = g["window_start"].to_numpy().astype(np.int64)
+    if np.issubdtype(k.dtype, np.integer):
+        mix = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    else:
+        import pandas as _pd
+
+        mix = _pd.util.hash_array(k, categorize=False)
+    bk = ((mix ^ w.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+    t = pa.Table.from_pandas(g, preserve_index=False)
+    return t.append_column("__bucket", pa.array(bk))
+
+
+def _win_exchange(partials, in_schema, key_col, value_col, num_buckets):
+    """Final window aggregation through the raw-task hash exchange
+    (joins.exchange_reduce): one reduce task per bucket does a single
+    vectorized pandas groupby-sum over all its (key, window) groups —
+    no sort-based shuffle, no per-group dispatch."""
+    from .joins import exchange_reduce
+
+    types = dict(zip(in_schema.names, in_schema.types))
+    key_t = types[key_col]
+    sum_t = (
+        pa.int64() if pa.types.is_integer(types[value_col]) else pa.float64()
+    )
+    empty = pa.table(
+        {
+            key_col: pa.nulls(0, key_t),
+            "window_start": pa.nulls(0, pa.int64()),
+            "n_events": pa.nulls(0, pa.int64()),
+            "sum_value": pa.nulls(0, sum_t),
+        }
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["__bucket"]).to_pandas()
+        out = df.groupby([key_col, "window_start"], sort=False, as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return pa.Table.from_pandas(
+            out[[key_col, "window_start", "n_events", "sum_value"]],
+            preserve_index=False,
+        )
+
+    return exchange_reduce(partials, reduce_fn, empty, num_buckets)
 
 
 def tumbling_window_agg(
@@ -29,23 +80,34 @@ def tumbling_window_agg(
     ts_col: str = "ts",
     value_col: str = "value",
     window_sec: int = 3600,
+    num_buckets: int = 32,
 ):
     """-> (key, window_start:int64 epoch-sec, n_events, sum_value)."""
 
-    def add_window(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        # combiner: collapse the batch to one row per (key, window)
+        # BEFORE the shuffle — the wide groupby then moves partials,
+        # not events
         us = pc.cast(batch[ts_col], pa.int64())  # timestamp[us] -> micros
-        wnd = pc.multiply(
-            pc.divide(us, window_sec * 1_000_000), window_sec
+        wnd = pc.cast(
+            pc.multiply(pc.divide(us, window_sec * 1_000_000), window_sec),
+            pa.int64(),
         )
-        return batch.append_column("window_start", pc.cast(wnd, pa.int64()))
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_numpy(zero_copy_only=False),
+                "window_start": wnd.to_numpy(zero_copy_only=False),
+                value_col: batch[value_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby([key_col, "window_start"], sort=False).agg(
+            n_events=(value_col, "size"), sum_value=(value_col, "sum")
+        ).reset_index()
+        return _win_bucketed(g, key_col, num_buckets)
 
-    return (
-        events.map_batches(add_window, batch_format="pyarrow")
-        .groupby([key_col, "window_start"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum(value_col, alias_name="sum_value"),
-        )
+    return _win_exchange(
+        events.map_batches(partial, batch_format="pyarrow"),
+        events.schema(), key_col, value_col, num_buckets,
     )
 
 
@@ -57,6 +119,7 @@ def hopping_window_agg(
     value_col: str = "value",
     window_sec: int = 3600,
     hop_sec: int = 900,
+    num_buckets: int = 32,
 ):
     """Sliding/hopping windows: event t belongs to every window
     [k*hop, k*hop + window) with k in
@@ -69,7 +132,7 @@ def hopping_window_agg(
     w_us = window_sec * 1_000_000
     h_us = hop_sec * 1_000_000
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def explode_partial(batch: pa.Table) -> pa.Table:
         t_us = pc.cast(batch[ts_col], pa.int64()).to_numpy(
             zero_copy_only=False
         )
@@ -82,22 +145,24 @@ def hopping_window_agg(
             np.cumsum(counts) - counts, counts
         )
         ks = np.repeat(k_min, counts) + offs
-        out = pa.table(
+        # combiner: one partial row per (key, window) per batch — the
+        # shuffle then moves partials, not the window/hop-times-exploded
+        # event rows
+        df = pd.DataFrame(
             {
-                key_col: batch[key_col].take(pa.array(idx)),
-                "window_start": pa.array(ks * hop_sec, pa.int64()),
-                value_col: batch[value_col].take(pa.array(idx)),
+                key_col: batch[key_col].to_numpy(zero_copy_only=False)[idx],
+                "window_start": ks * hop_sec,
+                value_col: batch[value_col].to_numpy(zero_copy_only=False)[idx],
             }
         )
-        return out
+        g = df.groupby([key_col, "window_start"], sort=False).agg(
+            n_events=(value_col, "size"), sum_value=(value_col, "sum")
+        ).reset_index()
+        return _win_bucketed(g, key_col, num_buckets)
 
-    return (
-        events.map_batches(explode, batch_format="pyarrow")
-        .groupby([key_col, "window_start"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum(value_col, alias_name="sum_value"),
-        )
+    return _win_exchange(
+        events.map_batches(explode_partial, batch_format="pyarrow"),
+        events.schema(), key_col, value_col, num_buckets,
     )
 
 
