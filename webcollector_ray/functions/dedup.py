@@ -56,17 +56,23 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         ]
         return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
-    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([text_col, id_col], kind="mergesort")
-        return df.drop_duplicates(text_col, keep="first")
-
-    out = (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(dedupe, batch_format="pandas")
+    schema = ds.schema()
+    empty = pa.table(
+        {nm: pa.nulls(0, t) for nm, t in zip(schema.names, schema.types)}
     )
-    return out.map_batches(
-        lambda b: b.drop_columns(["__bucket"]), batch_format="pyarrow"
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop(columns=["__bucket"])
+        df = df.sort_values([text_col, id_col], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.drop_duplicates(text_col, keep="first"), preserve_index=False
+        )
+
+    from .joins import exchange_reduce
+
+    return exchange_reduce(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        dedupe, empty, num_buckets,
     )
 
 
@@ -194,14 +200,23 @@ def _distinct_pairs(pairs, num_buckets: int = 32):
         bk = ((a * np.int64(0x9E3779B9) + b) % num_buckets).astype(np.int32)
         return batch.append_column("__bucket", pa.array(np.abs(bk)))
 
-    def dd(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["id_a", "id_b"], kind="mergesort")
-        return df.drop_duplicates(["id_a", "id_b"]).drop(columns="__bucket")
+    schema = pairs.schema()
+    empty = pa.table(
+        {nm: pa.nulls(0, t) for nm, t in zip(schema.names, schema.types)}
+    )
 
-    return (
-        pairs.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(dd, batch_format="pandas")
+    def dd(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop(columns="__bucket")
+        df = df.sort_values(["id_a", "id_b"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["id_a", "id_b"]), preserve_index=False
+        )
+
+    from .joins import exchange_reduce
+
+    return exchange_reduce(
+        pairs.map_batches(add_bucket, batch_format="pyarrow"),
+        dd, empty, num_buckets,
     )
 
 
@@ -271,10 +286,23 @@ def minhash_dedup_pairs(
             }
         )
 
-    pairs = (
-        exploded.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+    id_t = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    empty = pa.table(
+        {
+            "id_a": pa.nulls(0, id_t),
+            "id_b": pa.nulls(0, id_t),
+            "est_jaccard": pa.nulls(0, pa.float64()),
+        }
+    )
+
+    from .joins import exchange_reduce
+
+    pairs = exchange_reduce(
+        exploded.map_batches(add_bucket, batch_format="pyarrow"),
+        lambda t: pa.Table.from_pandas(
+            bucket_pairs(t.to_pandas()), preserve_index=False
+        ),
+        empty, num_buckets,
     )
     return _distinct_pairs(pairs)
 
@@ -564,11 +592,24 @@ def simhash_dedup_pairs(ds, *, max_hamming: int = 3, text_col="text",
             }
         )
 
-    pairs = (
+    id_t = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    empty = pa.table(
+        {
+            "id_a": pa.nulls(0, id_t),
+            "id_b": pa.nulls(0, id_t),
+            "hamming": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    from .joins import exchange_reduce
+
+    pairs = exchange_reduce(
         ds.map_batches(explode, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow"),
+        lambda t: pa.Table.from_pandas(
+            bucket_pairs(t.to_pandas()), preserve_index=False
+        ),
+        empty, num_buckets,
     )
     return _distinct_pairs(pairs)
 

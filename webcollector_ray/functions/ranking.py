@@ -1,8 +1,9 @@
 """Grouped ranking: top-N per key — the `row_number() OVER (PARTITION
 BY k ORDER BY v DESC)` shape Ray Data has no primitive for.
 
-Hash-bucket the keys, ONE groupby shuffle, vectorized per-bucket
-pandas (sort + groupby-head) — never one map_groups group per key.
+Hash-bucket the keys, ONE raw-task hash exchange (joins.exchange_reduce),
+vectorized per-bucket pandas (sort + groupby-head) — never one
+map_groups group per key, never a sort-based Dataset shuffle.
 """
 
 from __future__ import annotations
@@ -41,16 +42,24 @@ def top_n_per_group(
     sort_cols = [key_col, order_col] + ([tie_col] if tie_col else [])
     asc = [True, not descending] + ([True] if tie_col else [])
 
-    def bucket_topn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["__bucket"]).sort_values(
+    schema = ds.schema()
+    empty_cols = {
+        nm: pa.nulls(0, t) for nm, t in zip(schema.names, schema.types)
+    }
+    empty_cols["rank"] = pa.nulls(0, pa.int64())
+    empty = pa.table(empty_cols)
+
+    def bucket_topn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop(columns=["__bucket"]).sort_values(
             sort_cols, ascending=asc, kind="mergesort"
         )
         out = df.groupby(key_col, sort=False).head(n).copy()
         out["rank"] = out.groupby(key_col, sort=False).cumcount() + 1
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(bucket_topn, batch_format="pandas")
+    from .joins import exchange_reduce
+
+    return exchange_reduce(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        bucket_topn, empty, num_buckets,
     )

@@ -212,11 +212,21 @@ def session_windows(
         out["n_events"] = out["n_events"].astype("int64")
         return out[[key_col, "n_sessions", "n_events"]]
 
-    return (
-        events.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(
-            lambda d: per_bucket(d.drop(columns="__bucket")),
-            batch_format="pandas",
-        )
+    from .joins import exchange_reduce
+
+    key_t = dict(zip(events.schema().names, events.schema().types))[key_col]
+    empty = pa.table(
+        {
+            key_col: pa.nulls(0, key_t),
+            "n_sessions": pa.nulls(0, pa.int64()),
+            "n_events": pa.nulls(0, pa.int64()),
+        }
+    )
+    return exchange_reduce(
+        events.map_batches(add_bucket, batch_format="pyarrow"),
+        lambda t: pa.Table.from_pandas(
+            per_bucket(t.to_pandas().drop(columns="__bucket")),
+            preserve_index=False,
+        ),
+        empty, num_buckets,
     )
