@@ -1151,6 +1151,63 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
         """,
+        # robots-path oracle: BFS over the subgraph robots permits —
+        # show pages are Disallowed, so they are discovered (one FAILED
+        # row each, never retried at max_execute_count=0) but extract no
+        # links; only list->list edges propagate reachability.
+        "crawl_robots": """
+            WITH RECURSIVE params AS (
+                SELECT greatest(2, (SELECT count(*) FROM documents) // 100)
+                         AS num_sites,
+                       4 AS n_lists, 3 AS spl
+            ),
+            sites AS (
+                SELECT unnest(range(0, num_sites)) AS site FROM params
+            ),
+            lists AS (
+                SELECT site, unnest(range(0, (SELECT n_lists FROM params)))
+                         AS i
+                FROM sites
+            ),
+            list_edges AS (
+                SELECT 'http://site' || site || '.test/list-' || i || '.html'
+                         AS src,
+                       'http://site' || site || '.test/list-0.html' AS dst
+                FROM lists
+                UNION ALL
+                SELECT 'http://site' || site || '.test/list-' || i || '.html',
+                       'http://site' || site || '.test/list-' || (i + 1)
+                         || '.html'
+                FROM lists, params WHERE i + 1 < n_lists
+            ),
+            bfs AS (
+                SELECT 'http://site' || site || '.test/list-0.html' AS url,
+                       0 AS depth
+                FROM sites
+                UNION
+                SELECT e.dst, b.depth + 1
+                FROM bfs b JOIN list_edges e ON e.src = b.url
+                WHERE b.depth < 9
+            ),
+            fetched_lists AS (SELECT DISTINCT url FROM bfs),
+            denied_shows AS (
+                SELECT DISTINCT
+                       'http://site' || l.site || '.test/show-'
+                         || (l.i * p.spl + k.k) || '.html' AS url
+                FROM lists l, params p,
+                     (SELECT unnest(range(0, (SELECT spl FROM params)))
+                        AS k) k
+                WHERE 'http://site' || l.site || '.test/list-' || l.i
+                        || '.html' IN (SELECT url FROM fetched_lists)
+            )
+            SELECT * FROM (
+                SELECT 1::BIGINT AS status, true AS robots_denied,
+                       (SELECT count(*) FROM denied_shows)::BIGINT AS n
+                UNION ALL
+                SELECT 5::BIGINT, false,
+                       (SELECT count(*) FROM fetched_lists)::BIGINT
+            ) ORDER BY status, robots_denied
+        """,
         # LSH variant oracle: recompute the 6 hash-derived +-1 planes and
         # each vector's sign-bucket on 1e-6-quantized integer coords
         # (bit-exact vs the engine regardless of float summation order),

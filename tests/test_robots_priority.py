@@ -216,6 +216,36 @@ def test_politeness_host_single_block(ray_session):
     assert len(host_block) == spec.num_sites
 
 
+def test_politeness_global_rate_wall_clock(ray_session):
+    """Behavioral pin of the GLOBAL per-host rate: 16 same-host seeds
+    under a 40 ms budget must take >= 15 * 40 ms of wall time within
+    the depth. If two actors ever split the host, each would hold its
+    own token bucket and the wall time would halve."""
+    import time
+
+    from webcollector_ray.config import CrawlerConfig
+    from webcollector_ray.pipelines.crawler import RamCrawler
+    from webcollector_ray.sources.pagestore import SynthPageStore
+    from webcollector_ray.synth import SynthSpec
+
+    spec = SynthSpec(num_sites=1)
+    # fetch_concurrency must leave CPU headroom for the routing
+    # exchange's own tasks on the 4-cpu test cluster
+    cfg = CrawlerConfig(
+        politeness_budget_ms=40, fetch_concurrency=2, merge_num_buckets=4,
+    )
+    c = RamCrawler(SynthPageStore(spec), config=cfg)
+    c.add_seed(
+        [f"http://site0.test/show-{j}.html" for j in range(spec.shows_per_site)]
+    )
+    c.add_regex(r"-no-follow-")  # fetch only the seeds
+    t0 = time.time()
+    res = c.start(1)
+    elapsed = time.time() - t0
+    assert res.depths[0].fetch_success == spec.shows_per_site
+    assert elapsed >= 0.6, f"host interleaved across actors? {elapsed:.2f}s"
+
+
 def test_fs_output_path():
     from webcollector_ray.functions.output import fs_output_path
 

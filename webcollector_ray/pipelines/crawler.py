@@ -326,10 +326,15 @@ class Crawler:
                 columns=["__host", "__hbucket"]
             )
 
+        # materialize: the next stage is a stateful ACTOR pool that can
+        # reserve every cluster CPU — if this routing shuffle were still
+        # lazy it would starve behind the pool and deadlock the depth.
+        # Frontier rows are compact (no html), so this is cheap.
         return (
             generated.map_batches(add_route, batch_format="pyarrow")
             .groupby("__hbucket")
             .map_groups(one_block_per_bucket, batch_format="pandas")
+            .materialize()
         )
 
     def _filter_links_approx(self, link_seg):
