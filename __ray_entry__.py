@@ -376,10 +376,14 @@ def _q_events_sessions(sf_dir: str):
 
 
 def _q_events_top100(sf_dir: str):
+    from webcollector_ray.functions.ranking import global_top_n
+
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "value"]
     )
-    return ev.sort(["value", "event_id"], descending=[True, False]).limit(100)
+    # distributed top-k: local per-batch top-100 + one reduce, no
+    # whole-table sort shuffle
+    return global_top_n(ev, order_col="value", n=100, tie_col="event_id")
 
 
 def _q_lineitem_pricing(sf_dir: str):
@@ -622,10 +626,12 @@ def _q_suppliers_with_orders(sf_dir: str):
 
 
 def _q_docs_top_chars(sf_dir: str):
+    from webcollector_ray.functions.ranking import global_top_n
+
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
-    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(50)
+    return global_top_n(ds, order_col="n_chars", n=50, tie_col="doc_id")
 
 
 def _q_distinct_langs(sf_dir: str):

@@ -15,6 +15,52 @@ import pandas as pd
 import pyarrow as pa
 
 
+def global_top_n(
+    ds,
+    *,
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tie_col: str | None = None,
+):
+    """Global top-n WITHOUT a full sort: each batch keeps its local
+    top-n (vectorized pandas sort-head), then one final reduce over the
+    n x num_blocks survivors. At 10^10 rows this moves n rows per block
+    instead of shuffling the entire dataset through a distributed sort.
+    Deterministic: ties on order_col break by tie_col ascending."""
+    sort_cols = [order_col] + ([tie_col] if tie_col else [])
+    asc = [not descending] + ([True] if tie_col else [])
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            sort_cols, ascending=asc, kind="mergesort"
+        ).head(n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    import ray
+    import ray.data as rd
+
+    @ray.remote
+    def final_reduce(*blocks):
+        tabs = [t for t in blocks if t is not None and len(t)]
+        if not tabs:
+            return None
+        df = pa.concat_tables(tabs).to_pandas().sort_values(
+            sort_cols, ascending=asc, kind="mergesort"
+        ).head(n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    local = ds.map_batches(local_topn, batch_format="pyarrow")
+    out_ref = final_reduce.remote(*local.to_arrow_refs())
+    out = ray.get(out_ref)
+    if out is None:
+        schema = ds.schema()
+        out = pa.table(
+            {nm: pa.nulls(0, t) for nm, t in zip(schema.names, schema.types)}
+        )
+    return rd.from_arrow(out)
+
+
 def top_n_per_group(
     ds,
     *,
