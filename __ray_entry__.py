@@ -212,8 +212,25 @@ def _q_docs_by_lang(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
     )
-    return ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # combiner: ~5 langs per batch — the shuffle moves partials
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "lang"
+    ).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"),
     )
 
 
@@ -636,8 +653,17 @@ def _q_docs_top_chars(sf_dir: str):
 
 def _q_distinct_langs(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
-    return ds.groupby("lang").aggregate(Count(alias_name="n"))\
-             .select_columns(["lang"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        # per-batch distinct before the tiny global distinct
+        return pa.table({"lang": batch["lang"].unique()})
+
+    return (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["lang"])
+    )
 
 
 def _knn_queries(sf_dir: str, n: int = 3) -> np.ndarray:

@@ -271,31 +271,32 @@ class Crawler:
 
         hot: dict = {}
         if threshold > 0:
-            # hot-host census: tiny result (only hosts over threshold)
-            def host_counts(batch: pa.Table) -> pa.Table:
+            # hot-host census: one raw-task wave over the (already
+            # materialized) frontier blocks, per-block Counters merged
+            # on the driver — the merged dict is tiny (distinct hosts),
+            # and no Dataset groupby execution is spent on it
+            @ray.remote
+            def _host_counts(block):
                 import collections
 
-                c = collections.Counter(
-                    host_of(u) for u in batch["url"].to_pylist()
-                )
-                return pa.table(
-                    {
-                        "__host": list(c.keys()),
-                        "n": pa.array(list(c.values()), pa.int64()),
-                    }
+                if (
+                    block is None
+                    or len(block) == 0
+                    or "url" not in block.column_names
+                ):
+                    return collections.Counter()
+                return collections.Counter(
+                    host_of(u) for u in block["url"].to_pylist()
                 )
 
-            from ray.data.aggregate import Sum as _Sum
-
-            counts = (
-                generated.map_batches(host_counts, batch_format="pyarrow")
-                .groupby("__host")
-                .aggregate(_Sum("n", alias_name="n"))
-            ).to_pandas()
+            total: dict = {}
+            for c in ray.get(
+                [_host_counts.remote(r) for r in generated.to_arrow_refs()]
+            ):
+                for h, n in c.items():
+                    total[h] = total.get(h, 0) + n
             hot = {
-                r["__host"]: int(r["n"] // threshold) + 1
-                for _, r in counts.iterrows()
-                if r["n"] > threshold
+                h: n // threshold + 1 for h, n in total.items() if n > threshold
             }
 
         from ..urls import url_hash64

@@ -123,6 +123,13 @@ class ExecuteStage:
         return Page(datum, content_type=row["content_type"], content=content)
 
     def _politeness(self, url: str) -> None:
+        # Scope note: the token-bucket state lives for one depth (actor
+        # pools are recreated per depth), so the budget is enforced
+        # WITHIN a depth; between depths the merge/generate exchange
+        # inserts a gap that in practice exceeds any realistic budget.
+        # Within a depth the invariant is global: host-coherent routing
+        # puts all of a host's rows in one block = one actor
+        # (crawler._route_by_host; test_politeness_host_single_block).
         budget = self.config.politeness_budget_ms
         if budget > 0:
             host = host_of(url)
