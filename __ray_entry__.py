@@ -887,7 +887,211 @@ _NTOK = (
 )
 
 
+def _lang_id_oracle_sql() -> str:
+    """Lang-ID heuristic re-derived in SQL, generated from the SAME
+    _PROFILES stopword sets the engine uses (so they cannot drift):
+    script-ratio branches on the first 2000 chars, then stopword-hit
+    ratio over \\p{L}+ words of the first 4000, argmax with profile-
+    order tie-break, 'und' below the 0.02 floor."""
+    from webcollector_ray.functions.textstats import _PROFILES
+
+    vals = []
+    for pri, (lang, stops) in enumerate(_PROFILES.items(), start=1):
+        for w in sorted(stops):
+            vals.append(f"('{lang}', {pri}, '{w}')")
+    values_sql = ",\n                ".join(vals)
+    return rf"""
+        WITH tx AS (
+            SELECT doc_id,
+                   substr(text, 1, 2000) AS t2,
+                   substr(text, 1, 4000) AS t4,
+                   greatest(least(len(text), 2000), 1) AS d2
+            FROM documents
+        ),
+        script AS (
+            SELECT doc_id, t4,
+                len(regexp_extract_all(t2, '[\x{{4E00}}-\x{{9FFF}}]'))::DOUBLE
+                  / d2 AS cjk,
+                len(regexp_extract_all(t2, '[\x{{3040}}-\x{{30FF}}]'))::DOUBLE
+                  / d2 AS kana,
+                len(regexp_extract_all(t2, '[\x{{0400}}-\x{{04FF}}]'))::DOUBLE
+                  / d2 AS cyr
+            FROM tx
+        ),
+        words AS (
+            SELECT doc_id, lower(unnest(regexp_extract_all(t4, '\p{{L}}+')))
+                     AS w
+            FROM script WHERE cjk <= 0.1 AND kana <= 0.05 AND cyr <= 0.3
+        ),
+        wc AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+        stops(lang, pri, w) AS (VALUES {values_sql}),
+        scores AS (
+            SELECT words.doc_id, s.lang, s.pri, count(*)::DOUBLE AS hits
+            FROM words JOIN stops s ON words.w = s.w
+            GROUP BY words.doc_id, s.lang, s.pri
+        ),
+        best AS (
+            SELECT sc.doc_id, sc.lang, sc.hits / wc.nw AS score,
+                   row_number() OVER (
+                       PARTITION BY sc.doc_id
+                       ORDER BY sc.hits / wc.nw DESC, sc.pri ASC
+                   ) AS rn
+            FROM scores sc JOIN wc ON sc.doc_id = wc.doc_id
+        ),
+        pred AS (
+            SELECT s.doc_id,
+                CASE WHEN s.cjk > 0.1 THEN 'zh'
+                     WHEN s.kana > 0.05 THEN 'ja'
+                     WHEN s.cyr > 0.3 THEN 'ru'
+                     WHEN b.score > 0.02 THEN b.lang
+                     ELSE 'und' END AS lang_pred
+            FROM script s
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        )
+        SELECT lang_pred, count(*)::BIGINT AS n_docs
+        FROM pred GROUP BY lang_pred
+    """
+
+
+def _mulmod64_sql(h_expr: str, const: int) -> str:
+    """(h * const) mod 2^64 without HUGEINT overflow: split the 64-bit
+    constant into 32-bit halves (each partial product stays < 2^97)."""
+    hi, lo = const >> 32, const & 0xFFFFFFFF
+    return (
+        f"CAST(((( ({h_expr})::HUGEINT * {hi}) % 4294967296) * 4294967296"
+        f" + ({h_expr})::HUGEINT * {lo}) % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _minhash_oracle_sqls() -> dict[str, str]:
+    """dedup_minhash / dedup_ngram_verified oracles, generated from the
+    SAME MinHasher the engine uses: per-word md5-64 hashes, the
+    position-mix shingle hash (numpy's mod-2^64 wrap replicated via
+    split multiplication), the 64 permutation (a, b) constants inlined
+    as VALUES, banding as 4-signature-quad equality (the engine's md5
+    band hash is equality-preserving up to negligible collisions), then
+    est-jaccard and — for the verified variant — exact word-trigram
+    Jaccard, all in SQL."""
+    from webcollector_ray.functions.dedup import _POS_MIX, MinHasher
+
+    mh = MinHasher(num_perm=64, shingle_k=3, seed=42)
+    perm_vals = ",\n            ".join(
+        f"({j}, {int(mh.a[j])}, {int(mh.b[j])})" for j in range(64)
+    )
+    m0, m1, m2 = (int(_POS_MIX[0]), int(_POS_MIX[1]), int(_POS_MIX[2]))
+    # (a*sh mod 2^64 + b) mod 2^64 mod Mersenne — numpy wrap semantics
+    permv = (
+        "CAST((((s.sh::HUGEINT * (p.a // 4294967296)) % 4294967296)"
+        " * 4294967296"
+        " + s.sh::HUGEINT * (p.a % 4294967296) + p.b)"
+        " % 18446744073709551616 % 2305843009213693951 AS UBIGINT)"
+    )
+    prefix = rf"""
+        WITH docs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                       '\s+') AS words
+            FROM documents
+        ),
+        wpos AS (
+            SELECT doc_id, unnest(words) AS w,
+                   unnest(range(1, len(words) + 1)) AS i,
+                   len(words) AS nw
+            FROM docs
+        ),
+        wh AS (
+            SELECT doc_id, i, nw,
+                   CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+            FROM wpos
+        ),
+        sh_long AS (
+            SELECT a.doc_id,
+                   xor({_mulmod64_sql('a.h', m0)},
+                       xor({_mulmod64_sql('b.h', m1)},
+                           {_mulmod64_sql('c.h', m2)})) AS sh
+            FROM wh a
+            JOIN wh b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN wh c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            WHERE a.nw >= 3
+        ),
+        sh_short AS (
+            SELECT doc_id,
+                   CAST(concat('0x',
+                        substr(md5(array_to_string(words, ' ')), 1, 16))
+                        AS UBIGINT) AS sh
+            FROM docs WHERE len(words) < 3
+        ),
+        shingles AS (
+            SELECT * FROM sh_long UNION ALL SELECT * FROM sh_short
+        ),
+        perms(j, a, b) AS (VALUES
+            {perm_vals}
+        ),
+        sig AS (
+            SELECT s.doc_id, p.j, min({permv}) AS v
+            FROM shingles s, perms p
+            GROUP BY s.doc_id, p.j
+        ),
+        bandv AS (
+            SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS quad
+            FROM sig GROUP BY doc_id, j // 4
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bandv a JOIN bandv b
+              ON a.band = b.band AND a.quad = b.quad
+             AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT c.id_a, c.id_b,
+                   sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS e
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+            GROUP BY c.id_a, c.id_b
+        )
+    """
+    minhash = prefix + "SELECT id_a, id_b FROM est WHERE e >= 0.5"
+    ngram = prefix + r""",
+        grams AS (
+            SELECT DISTINCT a.doc_id,
+                   a.w || chr(31) || b.w || chr(31) || c.w AS g
+            FROM wpos a
+            JOIN wpos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN wpos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            WHERE a.nw >= 3
+            UNION
+            SELECT doc_id, array_to_string(words, chr(31)) AS g
+            FROM docs WHERE len(words) < 3
+        ),
+        gsize AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        cand04 AS (SELECT id_a, id_b FROM est WHERE e >= 0.4),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS i
+            FROM cand04 c
+            JOIN grams x ON x.doc_id = c.id_a
+            JOIN grams y ON y.doc_id = c.id_b AND y.g = x.g
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT c.id_a, c.id_b
+        FROM cand04 c
+        JOIN inter USING (id_a, id_b)
+        JOIN gsize ga ON ga.doc_id = c.id_a
+        JOIN gsize gb ON gb.doc_id = c.id_b
+        WHERE inter.i::DOUBLE / (ga.n + gb.n - inter.i) >= 0.5
+    """
+    return {"dedup_minhash": minhash, "dedup_ngram_verified": ngram}
+
+
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_static()
+    out["lang_id_counts"] = _lang_id_oracle_sql()
+    out.update(_minhash_oracle_sqls())
+    return out
+
+
+def _oracle_sql_static() -> dict[str, str]:
     return {
         "doc_token_counts": (
             f"SELECT doc_id, {_NTOK}::BIGINT AS n_tokens FROM documents"
@@ -1042,6 +1246,89 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        # simhash near-dup pairs, fully re-derived: per-word md5 bit
+        # majority vote -> 64-bit signature -> all pairs with hamming
+        # distance <= 3 (the engine's 4x16-bit chunk blocking finds
+        # exactly this set by pigeonhole, so blocking needs no oracle)
+        "dedup_simhash": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                           '\s+')) AS w
+                FROM documents
+                WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+            ),
+            wh AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT)
+                         AS h
+                FROM words
+            ),
+            bits AS (
+                SELECT doc_id, b.b,
+                       sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END)
+                         AS acc
+                FROM wh, (SELECT unnest(range(0, 64)) AS b) b
+                GROUP BY doc_id, b.b
+            ),
+            sims AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN acc > 0
+                                THEN (1::HUGEINT << b) ELSE 0 END)
+                            AS UBIGINT) AS sim
+                FROM bits GROUP BY doc_id
+            ),
+            sims_all AS (
+                SELECT d.doc_id, COALESCE(s.sim, 0) AS sim
+                FROM documents d LEFT JOIN sims s USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sims_all a JOIN sims_all b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        """,
+        # winnowing fingerprint (Schleimer/Wilkerson/Aiken 2003): the md5
+        # word-window hashes, 4 smallest folded with x*1000003+h mod 2^64
+        # — exactly the engine kernel, re-derived in SQL (HUGEINT keeps
+        # the modular fold exact)
+        "doc_rolling_fp": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                           '\s+') AS words
+                FROM documents
+            ),
+            wins AS (
+                SELECT w.doc_id,
+                       CAST(concat('0x', substr(md5(
+                           array_to_string(w.words[t.i:t.i+7], ' ')
+                       ), 1, 16)) AS UBIGINT) AS h
+                FROM w, LATERAL (
+                    SELECT unnest(range(1, greatest(1, len(w.words) - 7) + 1))
+                             AS i
+                ) t
+            ),
+            agg AS (
+                SELECT doc_id, list(h ORDER BY h)[1:4] AS hs
+                FROM wins GROUP BY doc_id
+            )
+            SELECT doc_id, lpad(lower(hex(f4)), 16, '0') AS rolling_fp
+            FROM agg,
+            LATERAL (SELECT hs[1] AS f1) a,
+            LATERAL (SELECT CASE WHEN len(hs) >= 2
+                THEN CAST((f1::HUGEINT * 1000003 + hs[2])
+                          % 18446744073709551616 AS UBIGINT)
+                ELSE f1 END AS f2) b,
+            LATERAL (SELECT CASE WHEN len(hs) >= 3
+                THEN CAST((f2::HUGEINT * 1000003 + hs[3])
+                          % 18446744073709551616 AS UBIGINT)
+                ELSE f2 END AS f3) c,
+            LATERAL (SELECT CASE WHEN len(hs) >= 4
+                THEN CAST((f3::HUGEINT * 1000003 + hs[4])
+                          % 18446744073709551616 AS UBIGINT)
+                ELSE f3 END AS f4) d
+        """,
         # flagship crawl oracle: the synth web's link graph is a closed
         # form of (num_sites, 4 lists, 3 shows/list) — rebuilt here from
         # generate_series, then min BFS depth from the per-site seeds via

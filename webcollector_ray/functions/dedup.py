@@ -109,15 +109,28 @@ def _pos_mix(k: int) -> np.ndarray:
     return np.concatenate([_POS_MIX, extra])
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 18)
+def _word_hash64(w: str) -> int:
+    """64-bit word hash = first 8 bytes of md5 — stable across
+    processes AND re-derivable in plain SQL (the dedup_minhash /
+    dedup_ngram_verified oracles recompute it in DuckDB; crc32 is not
+    available there). The LRU cache exploits vocabulary reuse, so the
+    per-word md5 cost is paid once per distinct word per process."""
+    return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashes of word k-shingles: per-word crc32 combined with
+    """Hashes of word k-shingles: per-word md5-64 combined with
     position-dependent 64-bit mixing — vectorized over all shingles
     (no per-shingle string building), stable across processes."""
     words = (text or "").lower().split()
     if len(words) < k:
         joined = " ".join(words)
-        return np.array([zlib.crc32(joined.encode())], dtype=np.uint64)
-    wh = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
+        return np.array([_word_hash64(joined)], dtype=np.uint64)
+    wh = np.array([_word_hash64(w) for w in words], dtype=np.uint64)
     n = len(words) - k + 1
     mix = _pos_mix(k)
     with np.errstate(over="ignore"):
