@@ -1084,10 +1084,112 @@ def _minhash_oracle_sqls() -> dict[str, str]:
     return {"dedup_minhash": minhash, "dedup_ngram_verified": ngram}
 
 
+def _crawl_extract_oracle_sql() -> str:
+    """CEPF extraction over the synth web, fully re-derived: the page
+    words are a pure LCG function of (site, page, paragraph) seeds
+    (synth.py _words), so the SQL regenerates the exact word streams
+    (md5 seed, split-multiplied LCG steps mod 2^64), reassembles the
+    golden article text/title/time, and checks the engine's extracted
+    output (title, time, content_md5) byte-for-byte — the project's
+    core byte-identical-extraction invariant, driver-verified."""
+    from webcollector_ray.synth import _WORDS
+
+    n = len(_WORDS)
+    words_vals = ", ".join(f"('{w}', {i})" for i, w in enumerate(_WORDS))
+    a_const, c_const = 6364136223846793005, 1442695040888963407
+    ahi, alo = a_const >> 32, a_const & 0xFFFFFFFF
+    step = (
+        f"CAST((((x::HUGEINT * {ahi}) % 4294967296) * 4294967296"
+        f" + x::HUGEINT * {alo} + {c_const})"
+        f" % 18446744073709551616 AS UBIGINT)"
+    )
+    return rf"""
+        WITH RECURSIVE params AS (
+            SELECT greatest(2, (SELECT count(*) FROM documents) // 100)
+                     AS num_sites,
+                   4 AS n_lists, 12 AS n_shows, 3 AS n_paras, 40 AS wpp
+        ),
+        sites AS (
+            SELECT unnest(range(0, num_sites)) AS site FROM params
+        ),
+        shows AS (
+            SELECT site, unnest(range(0, (SELECT n_shows FROM params))) AS j
+            FROM sites
+        ),
+        seeds AS (
+            SELECT site, j, p.p AS p,
+                   's' || site || '/show' || j || '/p' || p.p AS seed,
+                   (SELECT wpp FROM params) AS n_words
+            FROM shows,
+                 (SELECT unnest(range(0, (SELECT n_paras FROM params)))
+                    AS p) p
+            UNION ALL
+            SELECT site, j, -1 AS p,
+                   's' || site || '/show' || j || '/title' AS seed,
+                   5 AS n_words
+            FROM shows
+        ),
+        lcg AS (
+            SELECT site, j, p, seed, n_words, 0 AS i,
+                   CAST(concat('0x', substr(md5(seed), 1, 16)) AS UBIGINT)
+                     AS x
+            FROM seeds
+            UNION ALL
+            SELECT site, j, p, seed, n_words, i + 1, {step}
+            FROM lcg WHERE i < n_words
+        ),
+        wordlist(w, idx) AS (VALUES {words_vals}),
+        stream AS (
+            SELECT l.site, l.j, l.p, l.i, wl.w
+            FROM lcg l JOIN wordlist wl ON wl.idx = (l.x >> 33) % {n}
+            WHERE l.i >= 1
+        ),
+        content AS (
+            SELECT site, j, array_to_string(list(w ORDER BY p, i), ' ')
+                     AS txt
+            FROM stream WHERE p >= 0 GROUP BY site, j
+        ),
+        title AS (
+            SELECT site, j,
+                   array_to_string(
+                     list(upper(substr(w, 1, 1)) || substr(w, 2)
+                          ORDER BY i), ' ') AS title
+            FROM stream WHERE p = -1 GROUP BY site, j
+        ),
+        show_rows AS (
+            SELECT 'http://site' || c.site || '.test/show-' || c.j
+                     || '.html' AS url,
+                   t.title,
+                   -- reference getTime regex hour group ([0-2]?[1-9])
+                   -- cannot match an hour ending in 0 (ContentExtractor
+                   -- .java:201), so those pages fall back to getDate
+                   CASE WHEN (11 + c.j % 12) % 10 = 0
+                        THEN printf('2016-03-%02d', 1 + c.j % 27)
+                        ELSE printf('2016-03-%02d %02d:%02d:%02d',
+                                    1 + c.j % 27, 11 + c.j % 12,
+                                    10 + c.j % 49, 11 + c.j % 48)
+                   END AS "time",
+                   md5(c.txt) AS content_md5
+            FROM content c JOIN title t ON t.site = c.site AND t.j = c.j
+        ),
+        list_rows AS (
+            SELECT 'http://site' || site || '.test/list-' || i.i
+                     || '.html' AS url,
+                   NULL::VARCHAR AS title, NULL::VARCHAR AS "time",
+                   md5('') AS content_md5
+            FROM sites,
+                 (SELECT unnest(range(0, (SELECT n_lists FROM params)))
+                    AS i) i
+        )
+        SELECT * FROM show_rows UNION ALL SELECT * FROM list_rows
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_static()
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out.update(_minhash_oracle_sqls())
+    out["crawl_extract"] = _crawl_extract_oracle_sql()
     return out
 
 
