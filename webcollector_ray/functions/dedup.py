@@ -521,18 +521,13 @@ _LSH_STAGE_CACHE: dict = {}
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams (md5 word hashes, vectorized
-    bit accumulation)."""
+    """64-bit SimHash over word unigrams (cached md5 word hashes — the
+    same _word_hash64 the minhash shingles use, so the vocabulary cache
+    is shared — vectorized bit accumulation)."""
     words = (text or "").lower().split()
     if not words:
         return 0
-    hs = np.array(
-        [
-            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-            for w in words
-        ],
-        dtype=np.uint64,
-    )
+    hs = np.array([_word_hash64(w) for w in words], dtype=np.uint64)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int64
     )
