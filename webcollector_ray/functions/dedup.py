@@ -159,6 +159,23 @@ class MinHasher:
         )
         return vals.min(axis=0)
 
+    def signatures_batch(self, texts) -> np.ndarray:
+        """Signatures for a whole batch in ONE numpy pass: all docs'
+        shingles concatenated, one (total_shingles, num_perm) modmul,
+        per-doc mins via minimum.reduceat — the per-doc python/numpy
+        dispatch overhead dominated the actor's profile on short docs."""
+        shs = [_shingle_hashes(t, self.shingle_k) for t in texts]
+        if not shs:
+            return np.zeros((0, self.num_perm), dtype=np.uint64)
+        lens = np.array([len(s) for s in shs])
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sh = np.concatenate(shs)
+        with np.errstate(over="ignore"):
+            vals = (
+                sh[:, None] * self.a[None, :] + self.b[None, :]
+            ) % np.uint64(_MERSENNE)
+        return np.minimum.reduceat(vals, starts, axis=0)
+
     @staticmethod
     def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
         return float((sig_a == sig_b).mean())
@@ -179,10 +196,10 @@ class MinHashLSHStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
+        sigs = self.mh.signatures_batch(texts)  # (n_docs, num_perm)
         out_band, out_hash, out_id, out_sig = [], [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.mh.signature(t)
-            sig_bytes = sig.astype("<u8").tobytes()
+        for row, i in enumerate(ids):
+            sig_bytes = sigs[row].astype("<u8").tobytes()
             for b in range(self.bands):
                 chunk = sig_bytes[
                     b * 8 * self.rows_per_band : (b + 1) * 8 * self.rows_per_band
@@ -248,35 +265,68 @@ def minhash_dedup_pairs(
     num_buckets: int = 64,
 ):
     """documents -> distinct verified near-dup pairs (id_a < id_b,
-    est_jaccard >= threshold). LSH band buckets are HASH-BUCKETED for
-    the shuffle (reduce unit = bucket, not band-group: millions of
+    est_jaccard >= threshold).
+
+    Shuffle-volume shape: band rows carry NO signature payload (the
+    naive layout ships the full num_perm*8-byte signature on every band
+    row — 16x duplication, ~8 KB/doc through the exchange). Signatures
+    are materialized once per doc and joined onto the (rare) candidate
+    pairs via the bucketed exchange; est-jaccard verification is then a
+    vectorized per-batch comparison. LSH band buckets are HASH-BUCKETED
+    for the shuffle (reduce unit = bucket, not band-group: millions of
     1-2-doc band groups would drown in per-group overhead)."""
+    from .joins import exchange_reduce, hash_join
 
-    # stateless tasks + per-worker-process stage cache: scales to the
-    # whole pool with no actor spin-up; the permutation params are a
-    # pure function of the arguments so every process agrees
-    stage_key = (num_perm, bands, shingle_k, text_col, id_col)
+    rows_per_band = num_perm // bands
+    stage_key = (num_perm, shingle_k)
 
-    def explode_lsh(batch: pa.Table) -> pa.Table:
-        stage = _LSH_STAGE_CACHE.get(stage_key)
-        if stage is None:
-            stage = MinHashLSHStage(
-                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-                text_col=text_col, id_col=id_col,
-            )
-            _LSH_STAGE_CACHE[stage_key] = stage
-        return stage(batch)
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        mh = _LSH_STAGE_CACHE.get(stage_key)
+        if mh is None:
+            mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+            _LSH_STAGE_CACHE[stage_key] = mh
+        sigs = mh.signatures_batch(batch[text_col].to_pylist())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "sig": pa.array(
+                    [sigs[i].astype("<u8").tobytes() for i in range(len(sigs))],
+                    pa.binary(),
+                ),
+            }
+        )
 
-    exploded = ds.map_batches(explode_lsh, batch_format="pyarrow")
+    sigs_ds = ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        h = np.asarray(batch["band_hash"].to_pylist(), dtype=np.int64)
-        bd = np.asarray(batch["band"].to_pylist(), dtype=np.int64)
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for i, sig_bytes in zip(ids, batch["sig"].to_pylist()):
+            for b in range(bands):
+                chunk = sig_bytes[
+                    b * 8 * rows_per_band : (b + 1) * 8 * rows_per_band
+                ]
+                out_band.append(b)
+                out_hash.append(
+                    int.from_bytes(hashlib.md5(chunk).digest()[:8], "big")
+                    & 0x7FFF_FFFF_FFFF_FFFF
+                )
+                out_id.append(i)
+        h = np.asarray(out_hash, dtype=np.int64)
+        bd = np.asarray(out_band, dtype=np.int64)
         bk = np.abs((h ^ (bd * np.int64(0x9E3779B9))) % num_buckets)
-        return batch.append_column("__bucket", pa.array(bk.astype(np.int32)))
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(h),
+                id_col: pa.array(out_id),
+                "__bucket": pa.array(bk.astype(np.int32)),
+            }
+        )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a_out, b_out, j_out = [], [], []
+    def bucket_cands(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        a_out, b_out = [], []
         for _, g in df.groupby(["band", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
@@ -284,42 +334,103 @@ def minhash_dedup_pairs(
             if len(g) > max_bucket:  # no silent caps: trim pathological buckets
                 g = g.head(max_bucket)
             ids = g[id_col].to_numpy()
-            sigs = [np.frombuffer(s, dtype="<u8") for s in g["sig"]]
             for x in range(len(ids)):
                 for y in range(x + 1, len(ids)):
-                    j = MinHasher.est_jaccard(sigs[x], sigs[y])
-                    if j >= threshold:
-                        a_out.append(ids[x])
-                        b_out.append(ids[y])
-                        j_out.append(j)
+                    a_out.append(ids[x])
+                    b_out.append(ids[y])
         dt = df[id_col].dtype
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(a_out, dtype=dt),
-                "id_b": pd.Series(b_out, dtype=dt),
-                "est_jaccard": pd.Series(j_out, dtype="float64"),
-            }
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "id_a": pd.Series(a_out, dtype=dt),
+                    "id_b": pd.Series(b_out, dtype=dt),
+                }
+            ),
+            preserve_index=False,
         )
 
     id_t = dict(zip(ds.schema().names, ds.schema().types))[id_col]
-    empty = pa.table(
-        {
-            "id_a": pa.nulls(0, id_t),
-            "id_b": pa.nulls(0, id_t),
-            "est_jaccard": pa.nulls(0, pa.float64()),
-        }
+    empty = pa.table({"id_a": pa.nulls(0, id_t), "id_b": pa.nulls(0, id_t)})
+
+    cand = exchange_reduce(
+        sigs_ds.map_batches(band_rows, batch_format="pyarrow"),
+        bucket_cands, empty, num_buckets,
+    )
+    cand = _distinct_pairs(cand).materialize()
+
+    def _est_filter(batch: pa.Table, sa, sb) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if sa:
+            A = np.frombuffer(b"".join(sa), dtype="<u8").reshape(len(sa), -1)
+            B = np.frombuffer(b"".join(sb), dtype="<u8").reshape(len(sb), -1)
+            est = (A == B).mean(axis=1)
+        else:
+            est = np.zeros(0)
+        out = batch.append_column("est_jaccard", pa.array(est, pa.float64()))
+        return out.filter(pc.greater_equal(out["est_jaccard"], threshold))
+
+    # candidates are orders of magnitude rarer than docs: below the
+    # bound, ship ONLY their signatures once through the object store
+    # (O(candidates)); above it, attach via two bucketed joins — the
+    # same hybrid as verify_pairs_exact_jaccard.
+    sig_broadcast_limit = 200_000
+    if cand.count() <= sig_broadcast_limit:
+        @ray.remote
+        def _pair_ids(*blocks):
+            ids = set()
+            for t in blocks:
+                if t is not None and len(t):
+                    ids.update(t["id_a"].to_pylist())
+                    ids.update(t["id_b"].to_pylist())
+            return ids
+
+        ids_ref = _pair_ids.remote(*cand.to_arrow_refs())
+
+        @ray.remote
+        def _sig_map(ids, *blocks):
+            m = {}
+            for t in blocks:
+                for i, s in zip(t[id_col].to_pylist(), t["sig"].to_pylist()):
+                    if i in ids:
+                        m[i] = s
+            return m
+
+        smap_ref = _sig_map.remote(ids_ref, *sigs_ds.to_arrow_refs())
+
+        def verify_bc(batch: pa.Table) -> pa.Table:
+            m = ray.get(smap_ref)
+            sa = [m[i] for i in batch["id_a"].to_pylist()]
+            sb = [m[i] for i in batch["id_b"].to_pylist()]
+            return _est_filter(batch, sa, sb)
+
+        return cand.map_batches(verify_bc, batch_format="pyarrow")
+
+    def renamed(suffix):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"id_{suffix}": batch[id_col], f"sig_{suffix}": batch["sig"]}
+            )
+
+        return f
+
+    with_a = hash_join(
+        cand,
+        sigs_ds.map_batches(renamed("a"), batch_format="pyarrow"),
+        on="id_a", num_buckets=num_buckets,
+    )
+    with_ab = hash_join(
+        with_a,
+        sigs_ds.map_batches(renamed("b"), batch_format="pyarrow"),
+        on="id_b", num_buckets=num_buckets,
     )
 
-    from .joins import exchange_reduce
+    def verify_join(batch: pa.Table) -> pa.Table:
+        sa = batch["sig_a"].to_pylist()
+        sb = batch["sig_b"].to_pylist()
+        return _est_filter(batch.drop_columns(["sig_a", "sig_b"]), sa, sb)
 
-    pairs = exchange_reduce(
-        exploded.map_batches(add_bucket, batch_format="pyarrow"),
-        lambda t: pa.Table.from_pandas(
-            bucket_pairs(t.to_pandas()), preserve_index=False
-        ),
-        empty, num_buckets,
-    )
-    return _distinct_pairs(pairs)
+    return with_ab.map_batches(verify_join, batch_format="pyarrow")
 
 
 # ------------------------------------------------ cluster by min-label
