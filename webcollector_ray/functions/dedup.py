@@ -181,46 +181,6 @@ class MinHasher:
         return float((sig_a == sig_b).mean())
 
 
-class MinHashLSHStage:
-    """map_batches actor: text -> exploded (band, band_hash, id, sig)."""
-
-    def __init__(self, num_perm=64, bands=16, shingle_k=3,
-                 text_col="text", id_col="doc_id", seed=42):
-        assert num_perm % bands == 0
-        self.mh = MinHasher(num_perm, shingle_k, seed)
-        self.bands = bands
-        self.rows_per_band = num_perm // bands
-        self.text_col = text_col
-        self.id_col = id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        sigs = self.mh.signatures_batch(texts)  # (n_docs, num_perm)
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for row, i in enumerate(ids):
-            sig_bytes = sigs[row].astype("<u8").tobytes()
-            for b in range(self.bands):
-                chunk = sig_bytes[
-                    b * 8 * self.rows_per_band : (b + 1) * 8 * self.rows_per_band
-                ]
-                out_band.append(b)
-                out_hash.append(
-                    int.from_bytes(hashlib.md5(chunk).digest()[:8], "big")
-                    & 0x7FFF_FFFF_FFFF_FFFF
-                )
-                out_id.append(i)
-                out_sig.append(sig_bytes)
-        return pa.table(
-            {
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
-                self.id_col: pa.array(out_id),
-                "sig": pa.array(out_sig, pa.binary()),
-            }
-        )
-
-
 def _distinct_pairs(pairs, num_buckets: int = 32):
     """Distinct (id_a, id_b) across an exploded pair stream. Hash-bucket
     by pair, dedupe vectorized per bucket — NEVER one group per pair
