@@ -519,8 +519,25 @@ def _q_events_by_type(sf_dir: str):
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     ).map_batches(lambda b: _cents(b, "value", "cents"), batch_format="pyarrow")
-    out = ev.groupby("event_type").aggregate(
-        Count(alias_name="n_events"), Sum("cents", alias_name="sum_value")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # combiner: ~5 event types per batch — shuffle moves partials
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "cents": batch["cents"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("event_type", sort=False).agg(
+            n_events=("cents", "size"), sum_value=("cents", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ev.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
     )
 
     def uncent(batch: pa.Table) -> pa.Table:

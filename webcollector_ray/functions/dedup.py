@@ -863,12 +863,17 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 12,
             }
         )
 
-    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        # one reduce task may hold several LSH sign-buckets: pair within
+        # each bucket group, vectorized
+        df = t.to_pandas()
         a_out, b_out, c_out = [], [], []
-        if len(df) >= 2:
-            df = df.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
-            ids = df[id_col].to_numpy()
-            U = np.stack([np.asarray(u) for u in df["unit"]])
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
+            ids = g[id_col].to_numpy()
+            U = np.stack([np.asarray(u) for u in g["unit"]])
             S = U @ U.T
             xs, ys = np.nonzero(np.triu(S >= threshold, k=1))
             for x, y in zip(xs, ys):
@@ -883,8 +888,27 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 12,
             }
         )
 
-    return (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+    from .joins import exchange_reduce
+
+    def add_xbucket(batch: pa.Table) -> pa.Table:
+        bk = (
+            batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+        ) % np.uint64(64)
+        return batch.append_column(
+            "__bucket", pa.array(bk.astype(np.int32))
+        )
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    return exchange_reduce(
+        ds.map_batches(bucketize, batch_format="pyarrow").map_batches(
+            add_xbucket, batch_format="pyarrow"
+        ),
+        bucket_pairs, empty, 64,
     )

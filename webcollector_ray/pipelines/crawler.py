@@ -319,23 +319,29 @@ class Crawler:
             ]
             batch = batch.append_column("__host", pa.array(routes, pa.string()))
             return batch.append_column(
-                "__hbucket", pa.array(buckets, pa.int32())
+                "__bucket", pa.array(buckets, pa.int32())
             )
 
-        def one_block_per_bucket(df):
-            return df.sort_values(["__host", "key"], kind="mergesort").drop(
-                columns=["__host", "__hbucket"]
+        from ..functions.joins import exchange_reduce
+        from ..model import FRONTIER_SCHEMA
+
+        def one_block_per_bucket(t: "pa.Table") -> "pa.Table":
+            df = t.to_pandas().sort_values(
+                ["__host", "key"], kind="mergesort"
+            ).drop(columns=["__host", "__bucket"])
+            return pa.Table.from_pandas(df, preserve_index=False).select(
+                FRONTIER_SCHEMA.names
             )
 
-        # materialize: the next stage is a stateful ACTOR pool that can
-        # reserve every cluster CPU — if this routing shuffle were still
-        # lazy it would starve behind the pool and deadlock the depth.
-        # Frontier rows are compact (no html), so this is cheap.
-        return (
-            generated.map_batches(add_route, batch_format="pyarrow")
-            .groupby("__hbucket")
-            .map_groups(one_block_per_bucket, batch_format="pandas")
-            .materialize()
+        # the raw-task exchange replaces a per-depth sort shuffle; its
+        # output is materialized refs, so the stateful ACTOR pool that
+        # follows (which can reserve every cluster CPU) never starves a
+        # still-lazy upstream and the depth cannot deadlock. Frontier
+        # rows are compact (no html), so this is cheap.
+        empty = FRONTIER_SCHEMA.empty_table()
+        return exchange_reduce(
+            generated.map_batches(add_route, batch_format="pyarrow"),
+            one_block_per_bucket, empty, n_buckets,
         )
 
     def _filter_links_approx(self, link_seg):
