@@ -326,9 +326,20 @@ class Crawler:
         from ..model import FRONTIER_SCHEMA
 
         def one_block_per_bucket(t: "pa.Table") -> "pa.Table":
+            # INTERLEAVE hosts (round-robin by per-host rank) instead of
+            # grouping each host contiguously: consecutive same-host
+            # fetches are then separated by the other hosts' work, so
+            # the per-host token bucket rarely has to sleep — per-task
+            # wall time drops from sum(host_pages)*budget to
+            # ~max(total_work, max_host_pages*budget). The invariant is
+            # untouched: a host still lives in exactly one block/task.
             df = t.to_pandas().sort_values(
                 ["__host", "key"], kind="mergesort"
-            ).drop(columns=["__host", "__bucket"])
+            )
+            df["__rank"] = df.groupby("__host", sort=False).cumcount()
+            df = df.sort_values(
+                ["__rank", "__host", "key"], kind="mergesort"
+            ).drop(columns=["__host", "__bucket", "__rank"])
             return pa.Table.from_pandas(df, preserve_index=False).select(
                 FRONTIER_SCHEMA.names
             )
