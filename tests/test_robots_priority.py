@@ -81,7 +81,7 @@ def test_robots_policy_empty_and_missing_group():
 def test_robots_cache_from_synth_store():
     spec = SynthSpec(num_sites=2, robots_rules=["Disallow: /show-"])
     reader = PageStoreReader(SynthPageStore(spec).handle())
-    cache = RobotsCache(reader)
+    cache = RobotsCache(reader, shared=False)  # isolate the len() check
     assert cache.allowed("http://site0.test/list-0.html")
     assert not cache.allowed("http://site0.test/show-3.html")
     # host without robots (out of range) -> allow all

@@ -164,6 +164,29 @@ class PageStoreReader:
             self.num_buckets = handle["num_buckets"]
             self.cache_buckets = cache_buckets
             self._cache: "OrderedDict[int, _Lookup]" = OrderedDict()
+        self._store_key = self._make_store_key(handle)
+
+    @staticmethod
+    def _make_store_key(handle: dict):
+        """Hashable identity of the STORE, stable across (de)serialized
+        handle copies and across depths — used to key process-lifetime
+        caches (e.g. robots policies) without cross-crawl collisions."""
+        kind = handle["kind"]
+        if kind == "broadcast":
+            return ("broadcast", handle["ref"][0].hex())
+        if kind == "bucketed":
+            return ("bucketed", handle["dir"])
+        spec = handle["spec"]
+        return (
+            "synth",
+            spec.num_sites, spec.lists_per_site, spec.shows_per_list,
+            spec.paragraphs_per_show, spec.words_per_paragraph,
+            spec.redirects_per_site, spec.failures_per_site,
+            tuple(spec.robots_rules) if spec.robots_rules else None,
+        )
+
+    def store_key(self):
+        return self._store_key
 
     def _bucket_lookup(self, b: int) -> _Lookup:
         lk = self._cache.get(b)

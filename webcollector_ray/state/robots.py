@@ -102,19 +102,31 @@ class RobotsPolicy:
 ALLOW_ALL = RobotsPolicy([])
 
 
+# process-lifetime policy store: Ray worker processes outlive the
+# per-depth actor pools, so robots.txt is fetched once per (scheme,
+# host, user-agent) per WORKER, not once per depth (policies are
+# assumed stable for the duration of a crawl)
+_PROC_POLICY_CACHE: dict = {}
+
+
 class RobotsCache:
     """Per-worker lazy host -> RobotsPolicy cache over a PageStoreReader."""
 
-    def __init__(self, reader, user_agent: str = "*", max_hosts: int = 10000):
+    def __init__(self, reader, user_agent: str = "*", max_hosts: int = 10000,
+                 shared: bool = True):
         self.reader = reader
         self.user_agent = user_agent
         self.max_hosts = max_hosts
-        self._cache: dict = {}
+        self._cache = _PROC_POLICY_CACHE if shared else {}
+        # store identity + UA in the key so concurrent crawls / tests
+        # in one worker process never share policies across webs
+        store_key = getattr(reader, "store_key", lambda: id(reader))()
+        self._key_prefix = (store_key, user_agent)
 
     def _policy_for(self, scheme: str, netloc: str) -> RobotsPolicy:
         # scheme is part of the authority per RFC 9309 §2.3 — an http
         # and an https origin may serve different robots.txt files
-        key = (scheme, netloc)
+        key = (self._key_prefix, scheme, netloc)
         pol = self._cache.get(key)
         if pol is None:
             row = self.reader.get(f"{scheme}://{netloc}/robots.txt")
