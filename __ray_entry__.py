@@ -43,6 +43,7 @@ from webcollector_ray.functions.similarity import (
     cosine_pairs_exact,
     knn_brute,
     knn_ivf,
+    knn_ivf_pivot,
 )
 from webcollector_ray.functions.textstats import (
     LangIdStage,
@@ -698,8 +699,11 @@ def _q_knn_brute(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
+    # pivot-mode IVF: hash-selected cells make the whole index (pivot
+    # pick, assignment, per-query probe) re-derivable in the SQL oracle;
+    # knn_ivf (kmeans) is the quality path, pinned by pytest recall
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    top = knn_ivf(ds, _knn_queries(sf_dir), k=10, n_cells=16, nprobe=4)
+    top = knn_ivf_pivot(ds, _knn_queries(sf_dir), k=10, n_cells=16, nprobe=4)
     return top[["query_id", "rank", "vec_id"]]
 
 
@@ -1576,6 +1580,67 @@ def _oracle_sql_static() -> dict[str, str]:
                 SELECT query_id, vec_id,
                        row_number() OVER (
                            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+                       ) AS rnk
+                FROM s
+            )
+            SELECT query_id, rnk::BIGINT AS "rank", vec_id
+            FROM r WHERE rnk <= 10
+        """,
+        # pivot-mode IVF re-derived end to end: cells = embeddings of
+        # the 16 vec_ids with smallest (id * 0x9E3779B97F4A7C15) mod
+        # 2^64 ranked in hash order; every vector joins its argmax-
+        # cosine cell (ties to lower rank, = np.argmax first-max);
+        # each query probes its 4 nearest cells, then exact top-10
+        # within the probed cells only (per-query, not the union).
+        "knn_ivf": """
+            WITH pivots AS (
+                SELECT vec_id, embedding,
+                       row_number() OVER (
+                           ORDER BY (vec_id::HUGEINT * 11400714819323198485)
+                                        % 18446744073709551616::HUGEINT,
+                                    vec_id
+                       ) AS prank
+                FROM embeddings
+                QUALIFY prank <= 16
+            ), assign AS (
+                SELECT e.vec_id, p.prank AS cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        e.embedding::DOUBLE[],
+                                        p.embedding::DOUBLE[]) DESC,
+                                    p.prank ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN pivots p
+                QUALIFY rn = 1
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 3
+            ), qcells AS (
+                SELECT q.query_id, p.prank AS cell,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                                        q.qe::DOUBLE[],
+                                        p.embedding::DOUBLE[]) DESC,
+                                    p.prank ASC
+                       ) AS rn
+                FROM q CROSS JOIN pivots p
+                QUALIFY rn <= 4
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe::DOUBLE[],
+                                              e.embedding::DOUBLE[])
+                         AS cosine
+                FROM q
+                JOIN qcells c ON c.query_id = q.query_id
+                JOIN assign a ON a.cell = c.cell
+                JOIN embeddings e ON e.vec_id = a.vec_id
+            ), r AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id ASC
                        ) AS rnk
                 FROM s
             )

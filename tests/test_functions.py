@@ -222,6 +222,38 @@ def test_knn_ivf_recall(ray_session):
     assert len(brute & approx) >= 3  # decent recall on tiny data
 
 
+def test_knn_ivf_pivot_matches_numpy_reference(ray_session):
+    """Pivot-mode IVF is fully deterministic: re-derive pivot pick,
+    assignment and per-query probe in pure numpy (same rules as the SQL
+    oracle) and demand an exact match — including that a query never
+    receives a vector that lives outside its own probed cells."""
+    from webcollector_ray.functions.similarity import knn_ivf_pivot
+
+    ds, M = _emb_ds(n=200)
+    # float32 round-trip first: the Dataset column is list<float32>
+    M32 = M.astype(np.float32).astype(np.float64)
+    queries = M32[[5, 17]]
+    n_cells, nprobe, k = 8, 3, 5
+
+    ids = np.arange(len(M32), dtype=np.int64)
+    h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    piv_ids = ids[np.lexsort((ids, h))[:n_cells]]
+    Mu = M32 / np.linalg.norm(M32, axis=1, keepdims=True)
+    C = Mu[piv_ids]
+    assign = (Mu @ C.T).argmax(axis=1)
+    qu = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    expected = {}
+    for qi in range(len(qu)):
+        cells = np.lexsort((np.arange(n_cells), -(qu[qi] @ C.T)))[:nprobe]
+        cand = ids[np.isin(assign, cells)]
+        s = Mu[cand] @ qu[qi]
+        expected[qi] = cand[np.lexsort((cand, -s))[:k]].tolist()
+
+    top = knn_ivf_pivot(ds, queries, k=k, n_cells=n_cells, nprobe=nprobe)
+    for qi, exp in expected.items():
+        assert top[top["query_id"] == qi]["vec_id"].tolist() == exp
+
+
 def _events():
     import pandas as pd
 

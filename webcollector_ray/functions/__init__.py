@@ -14,5 +14,10 @@ from .dedup import (  # noqa: F401
     simhash_dedup_pairs,
     verify_pairs_exact_jaccard,
 )
-from .similarity import IVFIndex, knn_brute, knn_ivf  # noqa: F401
+from .similarity import (  # noqa: F401
+    IVFIndex,
+    knn_brute,
+    knn_ivf,
+    knn_ivf_pivot,
+)
 from .windows import session_windows, tumbling_window_agg  # noqa: F401

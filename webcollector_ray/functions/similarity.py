@@ -159,6 +159,66 @@ class IVFIndex:
         return (_unit(X) @ self.centroids.T).argmax(axis=1)
 
 
+def _per_query_cells(q_unit: np.ndarray, C: np.ndarray, nprobe: int):
+    """For each query, its `nprobe` nearest cells by cosine, ties broken
+    by the lower cell rank (matches SQL ORDER BY cos DESC, rank ASC)."""
+    cell_sims = q_unit @ C.T
+    out = []
+    for qi in range(q_unit.shape[0]):
+        order = np.lexsort((np.arange(C.shape[0]), -cell_sims[qi]))
+        out.append(np.sort(order[:nprobe]))
+    return out
+
+
+def _ivf_search(ds, C: np.ndarray, q_unit: np.ndarray, qcells, k: int,
+                emb_col: str, id_col: str) -> pd.DataFrame:
+    """Shared IVF probe: ONE map_batches pass assigns each vector to its
+    cell (argmax cosine vs centroids; np.argmax's first-max rule = ties
+    to the lower cell rank) and emits per-query local top-k over only
+    that query's probed cells — per-query semantics, NOT the union
+    filter (a query never matches a vector that lives solely in another
+    query's cells). Driver reduce is k * num_batches rows, as
+    knn_brute."""
+    ref = ray.put((C, [np.asarray(c) for c in qcells], q_unit))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        Cb, cells, q = ray.get(ref)
+        out_q: List[int] = []
+        out_id: List[int] = []
+        out_s: List[float] = []
+        if len(batch):
+            ids = np.asarray(batch[id_col].to_pylist())
+            emb = _unit(_to_matrix(batch[emb_col]))
+            assign = (emb @ Cb.T).argmax(axis=1)
+            sims = emb @ q.T
+            for qi in range(q.shape[0]):
+                m = np.isin(assign, cells[qi])
+                if not m.any():
+                    continue
+                s = sims[m, qi]
+                mids = ids[m]
+                order = np.lexsort((mids, -s))[:k]
+                out_q.extend([qi] * len(order))
+                out_id.extend(mids[order].tolist())
+                out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = cand.groupby("query_id").head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", id_col, "cosine"]]
+
+
 def knn_ivf(
     ds,
     queries: np.ndarray,
@@ -170,30 +230,68 @@ def knn_ivf(
     id_col: str = "vec_id",
     train_sample: int = 2048,
 ):
-    """Approximate top-k: restrict the brute pass to vectors whose cell
-    is among each query's `nprobe` nearest cells."""
+    """Approximate top-k with kmeans-trained cells: bounded
+    `limit(train_sample)` sample trains the index, then one assign +
+    per-query probe pass (see _ivf_search)."""
     sample = ds.limit(train_sample).to_pandas()
     X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[emb_col]])
     index = IVFIndex.train(X, n_cells=n_cells)
     q_unit = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-    # cells to probe per query (union over queries for the filter pass)
-    cell_sims = q_unit @ index.centroids.T
-    probe_cells = set()
-    per_query_cells: List[set] = []
-    for qi in range(q_unit.shape[0]):
-        cells = set(np.argsort(-cell_sims[qi])[:nprobe].tolist())
-        per_query_cells.append(cells)
-        probe_cells |= cells
-    idx_ref = ray.put(index.centroids)
-    probe_ref = ray.put(probe_cells)
+    qcells = _per_query_cells(q_unit, index.centroids, nprobe)
+    return _ivf_search(ds, index.centroids, q_unit, qcells, k, emb_col, id_col)
 
-    def cell_filter(batch: pa.Table) -> pa.Table:
-        C = ray.get(idx_ref)
-        probes = ray.get(probe_ref)
-        emb = _unit(_to_matrix(batch[emb_col]))
-        assign = (emb @ C.T).argmax(axis=1)
-        mask = np.isin(assign, list(probes))
-        return batch.filter(pa.array(mask))
 
-    restricted = ds.map_batches(cell_filter, batch_format="pyarrow")
-    return knn_brute(restricted, queries, k, emb_col=emb_col, id_col=id_col)
+_PIVOT_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def knn_ivf_pivot(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Oracle-checkable IVF: cells are the embeddings of the `n_cells`
+    ids with the smallest multiplicative hash
+    (id * 0x9E3779B97F4A7C15 mod 2^64 — a deterministic uniform pick,
+    re-derivable in SQL as (vec_id::HUGEINT * m) % 2^64), ranked in
+    hash order. No iterative training, so pivot selection, cell
+    assignment (argmax cosine, ties to lower rank) and per-query probe
+    are all expressible as DuckDB SQL — this is the oracled variant;
+    `knn_ivf` (kmeans) is the quality path.
+
+    Scale shape: pivot selection is a per-block top-`n_cells` local
+    pick + one tiny driver reduce (n_blocks * n_cells rows); at
+    10^10 rows the block pick reads each block once and the reduce
+    stays KBs. The probe is the same single assign+topk pass as
+    knn_ivf."""
+
+    def local_pivots(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 emb_col: batch[emb_col],
+                 "__h": pa.array([], pa.uint64())}
+            )
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        h = ids.astype(np.uint64) * _PIVOT_MULT
+        order = np.lexsort((ids, h))[:n_cells]
+        t = pa.table(
+            {id_col: batch[id_col].take(pa.array(order)),
+             emb_col: batch[emb_col].take(pa.array(order))}
+        )
+        return t.append_column("__h", pa.array(h[order], pa.uint64()))
+
+    piv = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(local_pivots, batch_format="pyarrow")
+        .to_pandas()
+    )
+    piv = piv.sort_values(["__h", id_col], kind="mergesort").head(n_cells)
+    C = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in piv[emb_col]]))
+    q_unit = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    qcells = _per_query_cells(q_unit, C, nprobe)
+    return _ivf_search(ds, C, q_unit, qcells, k, emb_col, id_col)
