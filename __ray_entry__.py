@@ -806,14 +806,20 @@ def _q_crawl_extract(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    # one row per (media, channel): pooled-pixel mean/std — integer
+    # pixel sums keep both sides' float math exact before the rounding
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     media = rd.from_arrow(synth_media_table(n=min(n_docs, 256)))
     out = media_pipeline(media, fake=True).to_pandas()
-    out["feat_md5"] = [
-        hashlib.md5(np.asarray(f, dtype=np.float64).tobytes()).hexdigest()
-        for f in out["features"]
-    ]
-    return out[["media_id", "feat_md5"]]
+    rows = []
+    for mid, f in zip(out["media_id"], out["features"]):
+        for c in range(3):
+            rows.append(
+                (int(mid), c, round(float(f[c]), 6), round(float(f[3 + c]), 6))
+            )
+    return pd.DataFrame(
+        rows, columns=["media_id", "channel", "f_mean", "f_std"]
+    ).astype({"media_id": "int64", "channel": "int64"})
 
 
 def _q_media_frames(sf_dir: str):
@@ -828,10 +834,16 @@ def _q_media_frames(sf_dir: str):
         batch_size=32,
         concurrency=2,
     ).to_pandas()
+    # md5 over the LOWERCASE HEX of the frame bytes (not raw bytes):
+    # DuckDB's md5() is VARCHAR-only, so the oracle hashes the same
+    # hex string the engine does — still a byte-exact pin
     out["px_md5"] = [
-        hashlib.md5(np.asarray(p, dtype=np.uint8).tobytes()).hexdigest()
+        hashlib.md5(
+            np.asarray(p, dtype=np.uint8).tobytes().hex().encode()
+        ).hexdigest()
         for p in out["pixels"]
     ]
+    out["frame"] = out["frame"].astype("int64")
     return out[["media_id", "frame", "px_md5"]]
 
 
@@ -1206,11 +1218,108 @@ def _crawl_extract_oracle_sql() -> str:
     """
 
 
+def _media_oracle_sqls() -> dict[str, str]:
+    """media_features / media_frames / media_audio re-derived in SQL.
+
+    The fake decode kernels (functions/multimodal.py) draw every pixel
+    byte / audio sample from ((seed + j + 1) * 0x9E3779B97F4A7C15)
+    mod 2^64 with seed = md5-le64 of the payload's lowercase hex — and
+    the fixture payloads are themselves md5('media-<i>') digests
+    repeated 8x, so the whole pipeline regenerates from `range(n)`:
+    seed = md5_number_upper(repeat(md5('media-'||i), 8)). Pixel bytes
+    are the stream's top byte; the resize avg-pool and uint8 truncation
+    are exact integer arithmetic on both sides."""
+    M = 0x9E3779B97F4A7C15
+
+    def stream(seed_expr: str, j_expr: str) -> str:
+        wrapped = (
+            f"((({seed_expr})::HUGEINT + ({j_expr}) + 1)"
+            " % 18446744073709551616)"
+        )
+        return _mulmod64_sql(wrapped, M)
+
+    seed_img = "md5_number_upper(repeat(md5('media-' || m.i), 8))"
+    seed_frame = (
+        "md5_number_upper(repeat(md5('media-' || m.i), 8)"
+        " || printf('%08x', f.frame))"
+    )
+    byte_img = f"(({stream(seed_img, 'j.j')}) // 72057594037927936)"
+    byte_frame = f"(({stream(seed_frame, 'j.j')}) // 72057594037927936)"
+    x_audio = stream(seed_img, "j.j")
+
+    features = f"""
+        WITH media AS (
+            SELECT unnest(range(0, least(
+                (SELECT count(*) FROM documents), 256))) AS i
+        ), px AS (
+            SELECT m.i AS media_id, j.j AS j,
+                   {byte_img}::BIGINT AS b
+            FROM media m, (SELECT unnest(range(0, 768)) AS j) j
+        ), pooled AS (
+            -- j = (y*16 + x)*3 + c; 4x4 avg-pool, uint8 cast = floor
+            SELECT media_id, (j % 3) AS channel,
+                   ((j // 48) // 4) AS py, (((j % 48) // 3) // 4) AS px_,
+                   (sum(b) // 16)::BIGINT AS p
+            FROM px GROUP BY 1, 2, 3, 4
+        )
+        SELECT media_id::BIGINT AS media_id, channel::BIGINT AS channel,
+               round(avg(p), 6) AS f_mean,
+               round(sqrt(avg(p * p) - avg(p) * avg(p)), 6) AS f_std
+        FROM pooled GROUP BY media_id, channel
+    """
+
+    frames = f"""
+        WITH media AS (
+            SELECT unnest(range(0, least(
+                (SELECT count(*) FROM documents), 128))) AS i
+        ), fr AS (
+            SELECT unnest([0, 4]) AS frame
+        ), px AS (
+            SELECT m.i AS media_id, f.frame AS frame, j.j AS j,
+                   {byte_frame}::BIGINT AS b
+            FROM media m, fr f, (SELECT unnest(range(0, 192)) AS j) j
+        )
+        SELECT media_id::BIGINT AS media_id, frame::BIGINT AS frame,
+               md5(string_agg(printf('%02x', b), '' ORDER BY j)) AS px_md5
+        FROM px GROUP BY media_id, frame
+    """
+
+    audio = f"""
+        WITH media AS (
+            SELECT unnest(range(0, least(
+                (SELECT count(*) FROM documents), 128))) AS i
+        ), w AS (
+            SELECT m.i AS media_id, j.j AS j,
+                   2.0 * (({x_audio})::DOUBLE
+                          / 18446744073709551616::DOUBLE) - 1.0 AS wave
+            FROM media m, (SELECT unnest(range(0, 4096)) AS j) j
+        ), s AS (
+            SELECT media_id, j, wave, (wave < 0) AS neg,
+                   lag(wave < 0) OVER (
+                       PARTITION BY media_id ORDER BY j) AS prev_neg
+            FROM w
+        )
+        SELECT media_id::BIGINT AS media_id,
+               round(4096 / 8000.0, 6) AS duration_s,
+               round(sqrt(avg(wave * wave)), 6) AS rms,
+               sum(CASE WHEN neg <> prev_neg THEN 1 ELSE 0 END)::BIGINT
+                 AS zero_crossings
+        FROM s GROUP BY media_id
+    """
+
+    return {
+        "media_features": features,
+        "media_frames": frames,
+        "media_audio": audio,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_static()
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out.update(_minhash_oracle_sqls())
     out["crawl_extract"] = _crawl_extract_oracle_sql()
+    out.update(_media_oracle_sqls())
     return out
 
 

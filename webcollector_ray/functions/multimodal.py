@@ -36,11 +36,35 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+_STREAM_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _seed64(s: str) -> int:
+    """md5-derived 64-bit seed: little-endian first 8 digest bytes
+    (= DuckDB's md5_number_upper, so the SQL oracle gets the same
+    value)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def _hash_stream(seeds: np.ndarray, n: int) -> np.ndarray:
+    """(len(seeds), n) uint64 matrix; element j of row i is
+    ((seed_i + j + 1) * 0x9E3779B97F4A7C15) mod 2^64 — one wrap-around
+    multiply per element, vectorized over the whole batch, and
+    re-derivable in SQL via split multiplication (the fake kernels
+    below feed the media_* driver oracles)."""
+    j = np.arange(1, n + 1, dtype=np.uint64)
+    return (seeds[:, None] + j[None, :]) * _STREAM_MULT
+
+
+def _hash_bytes(seeds: np.ndarray, n: int) -> np.ndarray:
+    """Top byte of each stream element -> (len(seeds), n) uint8."""
+    return (_hash_stream(seeds, n) >> np.uint64(56)).astype(np.uint8)
+
+
 def _fake_decode(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
-    """Deterministic pseudo-pixels from the payload digest."""
-    seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "big")
-    rng = np.random.RandomState(seed)
-    return rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    """Deterministic pseudo-pixels from the payload's hex digest."""
+    seed = np.array([_seed64((payload or b"").hex())], dtype=np.uint64)
+    return _hash_bytes(seed, h * w * c).reshape(h, w, c)
 
 
 class DecodeStage:
@@ -58,18 +82,17 @@ class DecodeStage:
                 "this container; construct DecodeStage(fake=True) for the "
                 "deterministic test path"
             )
-        pixels, heights, widths = [], [], []
-        for payload in batch["payload"].to_pylist():
-            arr = _fake_decode(payload, self.h, self.w)
-            pixels.append(arr.ravel())
-            heights.append(arr.shape[0])
-            widths.append(arr.shape[1])
+        seeds = np.array(
+            [_seed64((p or b"").hex()) for p in batch["payload"].to_pylist()],
+            dtype=np.uint64,
+        )
+        pix = _hash_bytes(seeds, self.h * self.w * 3)
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "pixels": pa.array([p.tolist() for p in pixels], pa.list_(pa.uint8())),
-                "height": pa.array(heights, pa.int32()),
-                "width": pa.array(widths, pa.int32()),
+                "pixels": pa.array([p.tolist() for p in pix], pa.list_(pa.uint8())),
+                "height": pa.array([self.h] * len(seeds), pa.int32()),
+                "width": pa.array([self.w] * len(seeds), pa.int32()),
             }
         )
 
@@ -146,22 +169,22 @@ class FrameSampleStage:
                 "container; construct FrameSampleStage(fake=True) for the "
                 "deterministic test path"
             )
-        ids, frames, pixels = [], [], []
+        ids, frames, seeds = [], [], []
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
             for f in range(0, self.num_frames, self.every):
-                arr = _fake_decode(
-                    (payload or b"") + f.to_bytes(4, "big"), self.h, self.w
-                )
                 ids.append(mid)
                 frames.append(f)
-                pixels.append(arr.ravel().tolist())
+                # frame seed: payload hex + 8-hex-char frame index
+                seeds.append(_seed64((payload or b"").hex() + format(f, "08x")))
+        pix = _hash_bytes(np.asarray(seeds, dtype=np.uint64), self.h * self.w * 3)
+        pixels = [p.tolist() for p in pix]
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "frame": pa.array(frames, pa.int32()),
-                "pixels": pa.array(pixels, pa.list_(pa.uint8())),
+                "pixels": pa.array(pixels if ids else [], pa.list_(pa.uint8())),
                 "height": pa.array([self.h] * len(ids), pa.int32()),
                 "width": pa.array([self.w] * len(ids), pa.int32()),
             }
@@ -186,16 +209,17 @@ class AudioFeatureStage:
                 "in this container; construct AudioFeatureStage(fake=True) "
                 "for the deterministic test path"
             )
-        durs, rms, zc = [], [], []
-        for payload in batch["payload"].to_pylist():
-            seed = int.from_bytes(
-                hashlib.md5(payload or b"").digest()[:4], "big"
-            )
-            rng = np.random.RandomState(seed)
-            wave = rng.randn(self.n).astype(np.float64)
-            durs.append(self.n / self.sr)
-            rms.append(float(np.sqrt((wave**2).mean())))
-            zc.append(int((np.diff(np.signbit(wave)) != 0).sum()))
+        seeds = np.array(
+            [_seed64((p or b"").hex()) for p in batch["payload"].to_pylist()],
+            dtype=np.uint64,
+        )
+        # uniform [-1, 1) samples from the hash stream (rows, n)
+        u = _hash_stream(seeds, self.n).astype(np.float64) / 2.0**64
+        wave = 2.0 * u - 1.0
+        durs = [self.n / self.sr] * len(seeds)
+        rms = np.sqrt((wave**2).mean(axis=1)).tolist()
+        neg = wave < 0
+        zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1).astype(np.int64).tolist()
         return pa.table(
             {
                 "media_id": batch["media_id"],
