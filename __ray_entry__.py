@@ -45,6 +45,12 @@ from webcollector_ray.functions.similarity import (
     knn_ivf,
     knn_ivf_pivot,
 )
+from webcollector_ray.functions.sketches import (
+    approx_distinct_hll,
+    quantiles_by_key,
+    stratified_sample,
+    vocab_top_words,
+)
 from webcollector_ray.functions.textstats import (
     LangIdStage,
     bpe_ish_token_count_batch,
@@ -805,6 +811,30 @@ def _q_crawl_extract(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_events_distinct_users_hll(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return approx_distinct_hll(ds, "user_id", p=12)
+
+
+def _q_events_quantiles(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return quantiles_by_key(ds, key_col="event_type", value_col="value")
+
+
+def _q_vocab_top_words(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_top_words(ds, text_col="text", n=200)
+
+
+def _q_docs_stratified_sample(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "doc_id"]
+    )
+    return stratified_sample(ds, strata_col="lang", id_col="doc_id", k=20)
+
+
 def _q_media_features(sf_dir: str):
     # one row per (media, channel): pooled-pixel mean/std — integer
     # pixel sums keep both sides' float math exact before the rounding
@@ -908,6 +938,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
+        # sketches / sampling (training-pipeline surface)
+        "events_distinct_users_hll": _q_events_distinct_users_hll,
+        "events_quantiles": _q_events_quantiles,
+        "vocab_top_words": _q_vocab_top_words,
+        "docs_stratified_sample": _q_docs_stratified_sample,
     }
 
 
@@ -1314,12 +1349,86 @@ def _media_oracle_sqls() -> dict[str, str]:
     }
 
 
+def _sketch_oracle_sqls() -> dict[str, str]:
+    """Sketch/sampling oracles. The HLL one re-derives the REGISTER
+    ARRAY itself: same md5-le64 hash (md5_number_upper), index = top 12
+    bits (integer division by 2^52), rank = 52-bit leading-zero count
+    via length(bin(w)), then the identical alpha-corrected estimate
+    with the small-range linear-counting branch — an approximate sketch
+    checked value-exact."""
+    alpha_e = "(0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 / z"
+    hll = f"""
+        WITH h AS (
+            SELECT md5_number_upper(user_id::VARCHAR) AS h FROM events
+        ), r AS (
+            SELECT (h // 4503599627370496) AS idx,
+                   CASE WHEN (h % 4503599627370496) = 0 THEN 53
+                        ELSE 53 - length(bin(h % 4503599627370496))
+                   END AS rank
+            FROM h
+        ), regs AS (
+            SELECT idx, max(rank) AS mr FROM r GROUP BY idx
+        ), allregs AS (
+            SELECT coalesce(regs.mr, 0) AS mr
+            FROM (SELECT unnest(range(0, 4096)) AS i) i
+            LEFT JOIN regs ON regs.idx = i.i
+        ), agg AS (
+            SELECT sum(power(2.0, -mr)) AS z,
+                   sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS v,
+                   sum(mr)::BIGINT AS rsum
+            FROM allregs
+        )
+        SELECT round(CASE WHEN {alpha_e} <= 2.5 * 4096 AND v > 0
+                     THEN 4096 * ln(4096 / v)
+                     ELSE {alpha_e} END, 6) AS estimate,
+               (4096 - v)::BIGINT AS nonzero_registers,
+               rsum AS register_sum
+        FROM agg
+    """
+    quantiles = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    """
+    vocab = r"""
+        WITH words AS (
+            SELECT unnest(regexp_split_to_array(
+                lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                '\s+')) AS word
+            FROM documents
+            WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ), c AS (
+            SELECT word, count(*)::BIGINT AS n FROM words GROUP BY word
+        )
+        SELECT word, n FROM c ORDER BY n DESC, word ASC LIMIT 200
+    """
+    strat = """
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5_number_upper(doc_id::VARCHAR), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+    """
+    return {
+        "events_distinct_users_hll": hll,
+        "events_quantiles": quantiles,
+        "vocab_top_words": vocab,
+        "docs_stratified_sample": strat,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_static()
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out.update(_minhash_oracle_sqls())
     out["crawl_extract"] = _crawl_extract_oracle_sql()
     out.update(_media_oracle_sqls())
+    out.update(_sketch_oracle_sqls())
     return out
 
 

@@ -1,0 +1,76 @@
+"""Sketch / sampling operators (functions/sketches.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from webcollector_ray.functions.sketches import (
+    approx_distinct_hll,
+    quantiles_by_key,
+    stratified_sample,
+    vocab_top_words,
+)
+
+
+def test_hll_estimate_accuracy(ray_session):
+    # 5000 distinct ids, each appearing twice -> estimate ~5000
+    ids = list(range(5000)) * 2
+    ds = rd.from_arrow(pa.table({"uid": pa.array(ids, pa.int64())}))
+    out = approx_distinct_hll(ds, "uid", p=12)
+    est = float(out["estimate"][0])
+    assert abs(est - 5000) / 5000 < 0.05
+    assert int(out["nonzero_registers"][0]) > 1000
+
+
+def test_hll_deterministic_and_order_free(ray_session):
+    ids = [f"u{i}" for i in range(777)]
+    a = approx_distinct_hll(
+        rd.from_arrow(pa.table({"u": ids})), "u"
+    )
+    b = approx_distinct_hll(
+        rd.from_arrow(pa.table({"u": ids[::-1]})).repartition(7), "u"
+    )
+    assert a["estimate"][0] == b["estimate"][0]
+    assert a["register_sum"][0] == b["register_sum"][0]
+
+
+def test_quantiles_by_key_matches_numpy(ray_session):
+    rng = np.random.RandomState(3)
+    keys = ["a"] * 100 + ["b"] * 57
+    vals = rng.randn(157)
+    ds = rd.from_arrow(
+        pa.table({"k": keys, "v": pa.array(vals, pa.float64())})
+    ).repartition(5)
+    out = quantiles_by_key(ds, key_col="k", value_col="v").to_pandas()
+    out = out.set_index("k").sort_index()
+    for key, n0, n1 in (("a", 0, 100), ("b", 100, 157)):
+        sub = vals[n0:n1]
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            assert out.loc[key, col] == round(
+                float(np.quantile(sub, q, method="linear")), 6
+            )
+
+
+def test_vocab_top_words(ray_session):
+    texts = ["the cat sat", "the dog", "THE the cat", None, "  "]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    out = vocab_top_words(ds, text_col="text", n=3).to_pandas()
+    got = list(zip(out["word"], out["n"]))
+    assert got == [("the", 4), ("cat", 2), ("dog", 1)]
+
+
+def test_stratified_sample_deterministic_k_per_stratum(ray_session):
+    df = pd.DataFrame(
+        {
+            "lang": ["en"] * 50 + ["de"] * 30 + ["fr"] * 2,
+            "doc_id": list(range(82)),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(6)
+    a = stratified_sample(ds, strata_col="lang", id_col="doc_id", k=5)
+    b = stratified_sample(
+        rd.from_pandas(df.iloc[::-1]), strata_col="lang", id_col="doc_id", k=5
+    )
+    assert a.groupby("lang").size().to_dict() == {"de": 5, "en": 5, "fr": 2}
+    pd.testing.assert_frame_equal(a, b)

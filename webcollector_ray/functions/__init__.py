@@ -20,4 +20,10 @@ from .similarity import (  # noqa: F401
     knn_ivf,
     knn_ivf_pivot,
 )
+from .sketches import (  # noqa: F401
+    approx_distinct_hll,
+    quantiles_by_key,
+    stratified_sample,
+    vocab_top_words,
+)
 from .windows import session_windows, tumbling_window_agg  # noqa: F401

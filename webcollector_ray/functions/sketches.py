@@ -1,0 +1,282 @@
+"""Distributed sketches & corpus sampling — training-pipeline
+operators beyond the reference's surface (SURVEY.md §2 "beyond"):
+
+- approx_distinct_hll: HyperLogLog distinct count (Flajolet et al.,
+  "HyperLogLog: the analysis of a near-optimal cardinality estimation
+  algorithm", AofA 2007). Deterministic md5-derived hashes, so the
+  driver's DuckDB oracle re-derives the exact register array and the
+  exact estimate — an *oracled* approximate sketch.
+- quantiles_by_key: exact per-key quantiles (percentile_cont/linear
+  semantics) over the bucketed hash exchange.
+- vocab_top_words: corpus vocabulary / heavy hitters — per-batch
+  partial counts, word-hash bucket exchange, distributed top-n.
+- stratified_sample: deterministic k-per-stratum sample by smallest
+  md5 hash (reproducible train/eval splits).
+
+Distribution shapes: HLL moves one m-byte register row per block plus
+a tiny driver max-merge; vocab moves (distinct-words x 1) partial rows
+per block through ONE hash exchange then n x num_buckets survivors;
+quantiles move each key's values to one bucket task (exact quantiles
+are inherently per-key-collocated — for keys whose values exceed a
+task's memory, switch to a mergeable t-digest; documented trade-off);
+stratified sampling moves k rows per (stratum, block).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .joins import exchange_reduce
+from .ranking import global_top_n
+
+# same multiplicative-hash / md5-le64 conventions as the media kernels
+# and the minhash oracle: DuckDB md5_number_upper(s) == little-endian
+# first 8 digest bytes.
+
+
+def _md5le64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def hll_alpha(m: int) -> float:
+    # the standard bias constant for m >= 128 (Flajolet §4)
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def approx_distinct_hll(ds, col: str, p: int = 12):
+    """HyperLogLog distinct-count over `col` (values hashed as their
+    string representation, md5-le64 — the same hash the SQL oracle
+    computes with md5_number_upper).
+
+    p in [12, 18]: register index = top p hash bits, rank = leading
+    zeros of the remaining 64-p bits + 1. The 64-p <= 52 bound keeps
+    np.frexp exact for the bit-length computation. Small-range
+    correction (linear counting) applied below 2.5*m as in the paper.
+
+    Returns a one-row pandas DataFrame
+    (estimate, nonzero_registers, register_sum) — register_sum pins
+    the full register array against the oracle, estimate is the HLL
+    value both sides compute from it."""
+    if not (12 <= p <= 18):
+        raise ValueError("p must be in [12, 18]")
+    m = 1 << p
+    shift = np.uint64(64 - p)
+    wmask = np.uint64((1 << (64 - p)) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        regs = np.zeros(m, dtype=np.uint8)
+        if len(batch):
+            # registers depend only on the value SET — hash each
+            # distinct value once (the md5 loop is the SQL-parity cost)
+            vals = pc.unique(batch[col].combine_chunks()).to_pylist()
+            h = np.array(
+                [_md5le64(str(v)) for v in vals], dtype=np.uint64
+            )
+            idx = (h >> shift).astype(np.int64)
+            w = h & wmask
+            # bit_length via frexp (exact: w < 2^52)
+            bl = np.frexp(w.astype(np.float64))[1]
+            rank = (64 - p) - bl + 1
+            np.maximum.at(regs, idx, rank.astype(np.uint8))
+        return pa.table({"registers": pa.array([regs.tolist()], pa.list_(pa.uint8()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts):
+        R = np.maximum.reduce(
+            np.stack([np.asarray(r, dtype=np.uint8) for r in parts["registers"]])
+        )
+    else:
+        R = np.zeros(m, dtype=np.uint8)
+    Z = float(np.sum(np.power(2.0, -R.astype(np.float64))))
+    E = hll_alpha(m) * m * m / Z
+    V = int((R == 0).sum())
+    if E <= 2.5 * m and V > 0:
+        E = m * float(np.log(m / V))
+    return pd.DataFrame(
+        {
+            "estimate": [round(E, 6)],
+            "nonzero_registers": [np.int64(m - V)],
+            "register_sum": [np.int64(R.sum())],
+        }
+    )
+
+
+# ------------------------------------------------------- exact quantiles
+
+
+def quantiles_by_key(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    num_buckets: int = 16,
+    ndigits: int = 6,
+):
+    """Exact per-key quantiles with percentile_cont (linear
+    interpolation) semantics: h = (n-1)*q, v[floor(h)] lerped toward
+    v[floor(h)+1].
+
+    One key-hash bucket exchange; inside a bucket the per-key quantile
+    is a vectorized pandas groupby-quantile. Partitioning assumption:
+    one key's values fit a bucket task (exact quantiles require
+    co-located values); for hot keys beyond that, a mergeable sketch
+    (t-digest) is the scale path."""
+    qlist = list(qs)
+    qnames = [f"p{int(q * 100)}" for q in qlist]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        keys = batch[key_col].to_pylist()
+        b = np.array(
+            [zlib.crc32(str(k).encode()) % num_buckets for k in keys],
+            dtype=np.int32,
+        )
+        return batch.select([key_col, value_col]).append_column(
+            "__bucket", pa.array(b)
+        )
+
+    empty = pa.table(
+        {key_col: pa.array([], pa.string()),
+         **{qn: pa.array([], pa.float64()) for qn in qnames}}
+    )
+
+    def bucket_quantiles(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, value_col]).to_pandas()
+        g = (
+            df.groupby(key_col, sort=True)[value_col]
+            .quantile(qlist, interpolation="linear")
+            .unstack()
+        )
+        out = {key_col: pa.array(g.index.tolist(), pa.string())}
+        for q, qn in zip(qlist, qnames):
+            out[qn] = pa.array(
+                [round(float(v), ndigits) for v in g[q]], pa.float64()
+            )
+        return pa.table(out)
+
+    tagged = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return exchange_reduce(tagged, bucket_quantiles, empty, num_buckets)
+
+
+# ------------------------------------------------------------ vocabulary
+
+
+def vocab_top_words(ds, *, text_col: str = "text", n: int = 200,
+                    num_buckets: int = 32):
+    """Corpus vocabulary / heavy hitters: the n most frequent
+    whitespace tokens of lower(text) (the repo-wide tokenization the
+    token-count oracles use), ties broken by word ascending.
+
+    Partial counts per batch (Counter -> (word, n) rows), ONE
+    word-hash bucket exchange summing partials, then the distributed
+    global top-n (local top per bucket block + single tiny reduce) —
+    the full word set is never collected anywhere."""
+    import zlib
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            if t:
+                c.update(t.lower().split())
+        words = list(c.keys())
+        b = np.array(
+            [zlib.crc32(w.encode()) % num_buckets for w in words],
+            dtype=np.int32,
+        )
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], pa.int64()),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    empty = pa.table(
+        {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def bucket_sum(t: pa.Table) -> pa.Table:
+        df = t.select(["word", "n"]).to_pandas()
+        g = df.groupby("word", sort=False, as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = exchange_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        bucket_sum, empty, num_buckets,
+    )
+    return global_top_n(counts, order_col="n", n=n, tie_col="word")
+
+
+# ----------------------------------------------------- stratified sample
+
+
+def stratified_sample(ds, *, strata_col: str, id_col: str, k: int):
+    """Deterministic k-per-stratum sample: within each stratum keep the
+    k rows with the smallest md5-le64(str(id)) (ties by id) — a
+    reproducible split the oracle re-ranks with md5_number_upper.
+
+    Local per-batch top-k per stratum, then one tiny reduce over
+    k x strata x blocks survivors; the dataset itself is never
+    shuffled."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.select([strata_col, id_col]).append_column(
+                "__h", pa.array([], pa.uint64())
+            )
+        ids = batch[id_col].to_pylist()
+        h = np.array([_md5le64(str(i)) for i in ids], dtype=np.uint64)
+        df = pd.DataFrame(
+            {
+                strata_col: batch[strata_col].to_pylist(),
+                id_col: ids,
+                "__h": h,
+            }
+        )
+        df = (
+            df.sort_values([strata_col, "__h", id_col], kind="mergesort")
+            .groupby(strata_col, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    import ray
+
+    @ray.remote
+    def reduce(*blocks):
+        tabs = [t for t in blocks if t is not None and len(t)]
+        if not tabs:
+            return None
+        df = pa.concat_tables(tabs, promote_options="permissive").to_pandas()
+        df = (
+            df.sort_values([strata_col, "__h", id_col], kind="mergesort")
+            .groupby(strata_col, sort=False)
+            .head(k)
+            .drop(columns="__h")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    local_ds = ds.map_batches(local, batch_format="pyarrow")
+    out = ray.get(reduce.remote(*local_ds.to_arrow_refs()))
+    if out is None:
+        schema = ds.schema()
+        types = dict(zip(schema.names, schema.types))
+        out = pa.table(
+            {c: pa.nulls(0, types[c]) for c in (strata_col, id_col)}
+        )
+    return out.to_pandas().sort_values(
+        [strata_col, id_col], kind="mergesort"
+    ).reset_index(drop=True)
