@@ -52,6 +52,24 @@ def test_quantiles_by_key_matches_numpy(ray_session):
             )
 
 
+def test_quantiles_by_key_int_keys(ray_session):
+    # key dtype must survive the exchange (regression: output was
+    # hardcoded string, crashing on int64 keys)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([7, 7, 7, 42], pa.int64()),
+                "v": pa.array([1.0, 2.0, 3.0, 10.0], pa.float64()),
+            }
+        )
+    ).repartition(2)
+    out = quantiles_by_key(ds, key_col="k", value_col="v").to_pandas()
+    out = out.set_index("k").sort_index()
+    assert out.index.dtype == np.int64
+    assert out.loc[7, "p50"] == 2.0
+    assert out.loc[42, "p50"] == 10.0
+
+
 def test_vocab_top_words(ray_session):
     texts = ["the cat sat", "the dog", "THE the cat", None, "  "]
     ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))

@@ -134,6 +134,8 @@ def quantiles_by_key(
     (t-digest) is the scale path."""
     qlist = list(qs)
     qnames = [f"p{int(q * 100)}" for q in qlist]
+    schema = ds.schema()
+    key_type = dict(zip(schema.names, schema.types))[key_col]
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         import zlib
@@ -148,7 +150,7 @@ def quantiles_by_key(
         )
 
     empty = pa.table(
-        {key_col: pa.array([], pa.string()),
+        {key_col: pa.array([], key_type),
          **{qn: pa.array([], pa.float64()) for qn in qnames}}
     )
 
@@ -159,7 +161,7 @@ def quantiles_by_key(
             .quantile(qlist, interpolation="linear")
             .unstack()
         )
-        out = {key_col: pa.array(g.index.tolist(), pa.string())}
+        out = {key_col: pa.array(g.index.tolist(), key_type)}
         for q, qn in zip(qlist, qnames):
             out[qn] = pa.array(
                 [round(float(v), ndigits) for v in g[q]], pa.float64()
