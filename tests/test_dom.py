@@ -197,3 +197,27 @@ def test_selector_group_and_nested_parens_safe():
     d = dom.parse(_LIST_HTML)
     got = [e.id() for e in d.select("li:eq(0), li:eq(3)")]
     assert got == ["a", "d"]
+
+
+def test_comments_kept_in_html_invisible_to_text():
+    h = ("<!DOCTYPE html><html><body><div id=x>before"
+         "<!-- published 2021-03-04 -->after</div>"
+         "<!--[if IE]>legacy<![endif]--></body></html>")
+    d = dom.parse(h)
+    x = d.select_first("#x")
+    # Jsoup Comment semantics: html() keeps it, text() does not
+    assert "<!-- published 2021-03-04 -->" in x.outer_html()
+    assert x.text() == "beforeafter"
+    assert d.select("#x")  # selectors unaffected by comment children
+    # document serialization re-emits the doctype, no #document wrapper
+    out = d.outer_html()
+    assert out.startswith("<!DOCTYPE html>")
+    assert "<!--[if IE]>legacy<![endif]-->" in out
+    assert "#document" not in out
+
+
+def test_comment_before_content_parks_in_head():
+    d = dom.parse("<!-- a --><p>hi</p>")
+    # the comment must not flip the parser into body mode
+    assert d.body().text() == "hi"
+    assert "<!-- a -->" in d.head().outer_html()

@@ -25,8 +25,9 @@ of html.parser:
 - compact `outer_html()` (no pretty-print; the reference's use is regex
   scanning for timestamps, ContentExtractor.java:216).
 
-Comments and doctypes are dropped (Jsoup keeps comment nodes but the
-reference never reads them).
+Comments are kept as CommentNode (in `outer_html()`, invisible to
+`text()` and selectors — Jsoup Comment semantics); the doctype is kept
+on `Document.doctype` and re-emitted by `Document.outer_html()`.
 """
 
 from __future__ import annotations
@@ -104,6 +105,23 @@ class TextNode(Node):
 
     def __repr__(self):
         return f"TextNode({self.raw!r})"
+
+
+class CommentNode(Node):
+    """Jsoup Comment node: kept in the tree and in html() output
+    (Comment.outerHtmlHead emits ``<!--data-->``) but invisible to
+    Element.text() — the reference's timestamp regex scans
+    ``outer_html()`` (contentextractor/ContentExtractor.java:216), so a
+    date inside an HTML comment must stay findable."""
+
+    __slots__ = ("raw",)
+
+    def __init__(self, raw: str):
+        super().__init__()
+        self.raw = raw
+
+    def __repr__(self):
+        return f"CommentNode({self.raw!r})"
 
 
 class Element(Node):
@@ -257,6 +275,8 @@ def _node_html(c: Node, buf: List[str]) -> None:
         c._html(buf)
     elif isinstance(c, TextNode):
         buf.append(escape(c.raw, quote=False))
+    elif isinstance(c, CommentNode):
+        buf.append(f"<!--{c.raw}-->")
 
 
 class Elements(list):
@@ -288,11 +308,20 @@ class Elements(list):
 
 
 class Document(Element):
-    __slots__ = ("base_uri",)
+    __slots__ = ("base_uri", "doctype")
 
     def __init__(self, base_uri: str = ""):
         super().__init__("#document")
         self.base_uri = base_uri
+        self.doctype: str = ""  # raw decl text, e.g. "DOCTYPE html"
+
+    def _html(self, buf: List[str]) -> None:
+        # serialize without the synthetic #document wrapper (Jsoup
+        # Document.outerHtml = doctype + children)
+        if self.doctype:
+            buf.append(f"<!{self.doctype}>")
+        for c in self.children:
+            _node_html(c, buf)
 
     def html_el(self) -> Element:
         for c in self.child_elements():
@@ -393,6 +422,17 @@ class _TreeBuilder(HTMLParser):
                 del self.stack[i:]
                 return
         # unmatched end tag: ignore
+
+    def handle_comment(self, data):
+        # comments never flip head->body (they are metadata-transparent)
+        if not self.stack and not self.in_body:
+            self.head_el.append(CommentNode(data))
+        else:
+            self._cur().append(CommentNode(data))
+
+    def handle_decl(self, decl):
+        if decl.strip().lower().startswith("doctype"):
+            self.doc.doctype = decl
 
     def handle_data(self, data):
         if not self.stack and not self.in_body:
