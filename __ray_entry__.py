@@ -41,6 +41,7 @@ from webcollector_ray.functions.dedup import (
 from webcollector_ray.functions.multimodal import media_pipeline, synth_media_table
 from webcollector_ray.functions.similarity import (
     cosine_pairs_exact,
+    kmeans_fixed,
     knn_brute,
     knn_ivf,
     knn_ivf_pivot,
@@ -48,6 +49,7 @@ from webcollector_ray.functions.similarity import (
 from webcollector_ray.functions.sketches import (
     approx_distinct_hll,
     quantiles_by_key,
+    quantiles_sketch_by_key,
     stratified_sample,
     vocab_top_words,
 )
@@ -823,6 +825,25 @@ def _q_events_quantiles(sf_dir: str):
     return quantiles_by_key(ds, key_col="event_type", value_col="value")
 
 
+def _q_events_quantiles_sketch(sf_dir: str):
+    # mergeable fixed-bin histogram — the hot-key scale path for
+    # quantiles_by_key; every float step mirrors the SQL expression
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return quantiles_sketch_by_key(
+        ds, key_col="event_type", value_col="value"
+    )
+
+
+def _q_embeddings_kmeans(sf_dir: str):
+    # deterministic 2-iteration Lloyd over fixed-point sums; the full
+    # fixpoint (init -> assign -> update x2 -> final assign) is
+    # re-derived by the chained-CTE oracle
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_fixed(ds, k=8, iters=2)
+
+
 def _q_vocab_top_words(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return vocab_top_words(ds, text_col="text", n=200)
@@ -941,6 +962,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches / sampling (training-pipeline surface)
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_quantiles": _q_events_quantiles,
+        "events_quantiles_sketch": _q_events_quantiles_sketch,
+        "embeddings_kmeans": _q_embeddings_kmeans,
         "vocab_top_words": _q_vocab_top_words,
         "docs_stratified_sample": _q_docs_stratified_sample,
     }
@@ -1414,9 +1437,124 @@ def _sketch_oracle_sqls() -> dict[str, str]:
             FROM documents
         ) WHERE rn <= 20
     """
+    # fixed-bin histogram sketch: bin index, cumulative pick and lower
+    # edge are the exact IEEE-double expressions the Ray kernel runs
+    quantiles_sketch = """
+        WITH mm AS (
+            SELECT min(value) AS mn, max(value) AS mx FROM events
+        ),
+        binned AS (
+            SELECT e.event_type,
+                   least(floor((e.value - mm.mn) * 256 / (mm.mx - mm.mn)),
+                         255)::BIGINT AS bin
+            FROM events e, mm
+        ),
+        counts AS (
+            SELECT event_type, bin, count(*) AS n
+            FROM binned GROUP BY event_type, bin
+        ),
+        cum AS (
+            SELECT event_type, bin,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+                   sum(n) OVER (PARTITION BY event_type) AS total
+            FROM counts
+        ),
+        picks AS (
+            SELECT q.q, c.event_type, min(c.bin) AS i
+            FROM cum c CROSS JOIN (VALUES (0.5), (0.9), (0.99)) q(q)
+            WHERE c.c >= ceil(q.q * c.total)
+            GROUP BY q.q, c.event_type
+        )
+        SELECT p.event_type,
+               round(max(CASE WHEN q = 0.5
+                   THEN mm.mn + (mm.mx - mm.mn) * i / 256 END), 6) AS p50,
+               round(max(CASE WHEN q = 0.9
+                   THEN mm.mn + (mm.mx - mm.mn) * i / 256 END), 6) AS p90,
+               round(max(CASE WHEN q = 0.99
+                   THEN mm.mn + (mm.mx - mm.mn) * i / 256 END), 6) AS p99
+        FROM picks p, mm
+        GROUP BY p.event_type
+    """
+    # deterministic 2-iteration Lloyd k-means: init = 8 smallest ids;
+    # assignment ties to the lower cluster; centroid update via
+    # order-free fixed-point int64 sums (floor(v * 2^20)) so the
+    # distributed sum equals the SQL sum bit-for-bit; empty clusters
+    # keep their previous centroid (coalesce)
+    kmeans = """
+        WITH dims AS (SELECT unnest(range(1, 65)) AS dim),
+        init AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cluster,
+                   embedding::DOUBLE[] AS emb
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+        ),
+        a1 AS (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    e.embedding::DOUBLE[], c.emb) DESC,
+                                c.cluster ASC) AS rn
+            FROM embeddings e CROSS JOIN init c
+            QUALIFY rn = 1
+        ),
+        s1 AS (
+            SELECT a1.cluster, d.dim,
+                   sum(floor(e.embedding[d.dim]::DOUBLE
+                             * 1048576.0)::BIGINT) AS s,
+                   count(*) AS n
+            FROM a1 JOIN embeddings e USING (vec_id) CROSS JOIN dims d
+            GROUP BY a1.cluster, d.dim
+        ),
+        c1 AS (
+            SELECT i.cluster,
+                   list(coalesce(s1.s::DOUBLE / (s1.n * 1048576.0),
+                                 i.emb[d.dim]) ORDER BY d.dim) AS emb
+            FROM init i CROSS JOIN dims d
+            LEFT JOIN s1 ON s1.cluster = i.cluster AND s1.dim = d.dim
+            GROUP BY i.cluster
+        ),
+        a2 AS (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    e.embedding::DOUBLE[], c.emb) DESC,
+                                c.cluster ASC) AS rn
+            FROM embeddings e CROSS JOIN c1 c
+            QUALIFY rn = 1
+        ),
+        s2 AS (
+            SELECT a2.cluster, d.dim,
+                   sum(floor(e.embedding[d.dim]::DOUBLE
+                             * 1048576.0)::BIGINT) AS s,
+                   count(*) AS n
+            FROM a2 JOIN embeddings e USING (vec_id) CROSS JOIN dims d
+            GROUP BY a2.cluster, d.dim
+        ),
+        c2 AS (
+            SELECT c1.cluster,
+                   list(coalesce(s2.s::DOUBLE / (s2.n * 1048576.0),
+                                 c1.emb[d.dim]) ORDER BY d.dim) AS emb
+            FROM c1 CROSS JOIN dims d
+            LEFT JOIN s2 ON s2.cluster = c1.cluster AND s2.dim = d.dim
+            GROUP BY c1.cluster
+        ),
+        af AS (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    e.embedding::DOUBLE[], c.emb) DESC,
+                                c.cluster ASC) AS rn
+            FROM embeddings e CROSS JOIN c2 c
+            QUALIFY rn = 1
+        )
+        SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n_vecs,
+               min(vec_id) AS min_vec
+        FROM af GROUP BY cluster
+    """
     return {
         "events_distinct_users_hll": hll,
         "events_quantiles": quantiles,
+        "events_quantiles_sketch": quantiles_sketch,
+        "embeddings_kmeans": kmeans,
         "vocab_top_words": vocab,
         "docs_stratified_sample": strat,
     }

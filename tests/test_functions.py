@@ -498,3 +498,24 @@ def test_cluster_minlabel_long_chain_log_rounds(ray_session):
     ).to_pandas()
     assert len(out) == n
     assert (out["cluster"] == 0).all()
+
+
+def test_kmeans_fixed_partition_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from webcollector_ray.functions.similarity import kmeans_fixed
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(300, 8).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float32())),
+    })
+    a = kmeans_fixed(rd.from_arrow(t).repartition(2), k=4, iters=2)
+    b = kmeans_fixed(rd.from_arrow(t).repartition(9), k=4, iters=2)
+    # fixed-point centroid sums are order-free -> identical assignments
+    assert a.equals(b)
+    assert a["n_vecs"].sum() == 300
+    assert set(a["cluster"]) == {1, 2, 3, 4}

@@ -92,3 +92,28 @@ def test_stratified_sample_deterministic_k_per_stratum(ray_session):
     )
     assert a.groupby("lang").size().to_dict() == {"de": 5, "en": 5, "fr": 2}
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_quantiles_sketch_partition_invariant_and_bounded_error(ray_session):
+    from webcollector_ray.functions.sketches import quantiles_sketch_by_key
+
+    rng = np.random.RandomState(7)
+    keys = np.where(rng.rand(4000) < 0.7, "hot", "cold")
+    vals = rng.randn(4000) * 10
+    t = pa.table({"k": pa.array(keys.tolist(), pa.string()),
+                  "v": pa.array(vals, pa.float64())})
+    a = quantiles_sketch_by_key(
+        rd.from_arrow(t).repartition(3), key_col="k", value_col="v"
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    b = quantiles_sketch_by_key(
+        rd.from_arrow(t).repartition(11), key_col="k", value_col="v"
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    # integer bin counts merge order-free -> identical across layouts
+    assert a.equals(b)
+    binw = (vals.max() - vals.min()) / 256
+    for key in ("hot", "cold"):
+        sub = vals[keys == key]
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            exact = float(np.quantile(sub, q))
+            est = float(a.set_index("k").loc[key, col])
+            assert abs(est - exact) <= 2 * binw

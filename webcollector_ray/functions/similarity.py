@@ -295,3 +295,140 @@ def knn_ivf_pivot(
     q_unit = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     qcells = _per_query_cells(q_unit, C, nprobe)
     return _ivf_search(ds, C, q_unit, qcells, k, emb_col, id_col)
+
+
+def kmeans_fixed(
+    ds,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 20,
+):
+    """Deterministic fixed-iteration Lloyd k-means over the embedding
+    column — the corpus-clustering operator a training-data mixer uses
+    (and the explicit form of the mini-kmeans IVFIndex.train uses on a
+    sample). Returns one row per cluster: (cluster, n_vecs, min_vec).
+
+    Every step is cross-engine exact so a DuckDB oracle re-derives the
+    whole fixpoint, not just row counts:
+
+    - init: centroids = embeddings of the k smallest ids, cluster 1..k
+      in id order;
+    - assignment: argmax cosine(v, c), ties to the LOWER cluster id
+      (np.argmax first-max == SQL row_number ORDER BY cos DESC, cluster);
+    - update: per-dimension FIXED-POINT sums ``floor(v * 2^scale_bits)``
+      as int64 — integer addition is order-free, so the distributed sum
+      equals the SQL sum bit-for-bit regardless of block order; the new
+      centroid is ``int_sum / (count * 2^scale_bits)`` in float64.
+      An empty cluster keeps its previous centroid.
+
+    Distribution shape: one map_batches pass per iteration emitting one
+    k x (D+1) partial int64 matrix per block plus a tiny driver reduce
+    (the classic distributed-Lloyd layout); centroids travel in the
+    task closure (k*D doubles). Nothing is all-to-all and no pass
+    materializes the dataset."""
+    SCALE = float(1 << scale_bits)
+
+    def local_init(batch: pa.Table) -> pa.Table:
+        # k smallest ids per block; tiny driver reduce picks global k
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")[:k]
+        return pa.table(
+            {id_col: batch[id_col].take(pa.array(order)),
+             emb_col: batch[emb_col].take(pa.array(order))}
+        )
+
+    seed = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(local_init, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col, kind="mergesort")
+        .head(k)
+    )
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in seed[emb_col]])
+    D = C.shape[1]
+
+    def assign_to(Cit: np.ndarray):
+        Cn = np.linalg.norm(Cit, axis=1)
+        Cn = np.where(Cn == 0, 1.0, Cn)
+
+        def f(V: np.ndarray) -> np.ndarray:
+            Vn = np.linalg.norm(V, axis=1)
+            Vn = np.where(Vn == 0, 1.0, Vn)
+            sim = (V @ Cit.T) / Vn[:, None] / Cn[None, :]
+            return sim.argmax(axis=1)  # first max == lowest cluster
+
+        return f
+
+    for _ in range(iters):
+        afn = assign_to(C)
+
+        def partial_sums(batch: pa.Table, _afn=afn) -> pa.Table:
+            S = np.zeros((k, D), dtype=np.int64)
+            cnt = np.zeros(k, dtype=np.int64)
+            if len(batch):
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64)
+                     for v in batch[emb_col].to_pylist()]
+                )
+                a = _afn(V)
+                F = np.floor(V * SCALE).astype(np.int64)
+                np.add.at(S, a, F)
+                np.add.at(cnt, a, 1)
+            flat = np.concatenate([S.ravel(), cnt])
+            return pa.table({"p": pa.array([flat.tolist()],
+                                           pa.list_(pa.int64()))})
+
+        parts = (
+            ds.select_columns([emb_col])
+            .map_batches(partial_sums, batch_format="pyarrow")
+            .to_pandas()
+        )
+        tot = np.sum(
+            np.stack([np.asarray(p, dtype=np.int64) for p in parts["p"]]),
+            axis=0,
+        )
+        S = tot[: k * D].reshape(k, D)
+        cnt = tot[k * D:]
+        newC = C.copy()
+        nz = cnt > 0
+        newC[nz] = S[nz] / (cnt[nz, None] * SCALE)
+        C = newC
+
+    afn = assign_to(C)
+
+    def final_partial(batch: pa.Table, _afn=afn) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"cluster": pa.array([], pa.int64()),
+                 "n_vecs": pa.array([], pa.int64()),
+                 "min_vec": pa.array([], pa.int64())}
+            )
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for v in batch[emb_col].to_pylist()]
+        )
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        a = _afn(V)
+        df = (
+            pd.DataFrame({"cluster": a + 1, "vec_id": ids})
+            .groupby("cluster", sort=True)
+            .agg(n_vecs=("vec_id", "size"), min_vec=("vec_id", "min"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(final_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cluster", sort=True)
+        .agg(n_vecs=("n_vecs", "sum"), min_vec=("min_vec", "min"))
+        .reset_index()
+    )
+    out["cluster"] = out["cluster"].astype("int64")
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["min_vec"] = out["min_vec"].astype("int64")
+    return out

@@ -172,6 +172,121 @@ def quantiles_by_key(
     return exchange_reduce(tagged, bucket_quantiles, empty, num_buckets)
 
 
+# ------------------------------------- mergeable histogram quantile sketch
+
+
+def quantiles_sketch_by_key(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    num_bins: int = 256,
+    num_buckets: int = 16,
+    ndigits: int = 6,
+):
+    """Approximate per-key quantiles via a fixed-bin histogram sketch —
+    the scale path `quantiles_by_key` documents for keys whose values
+    exceed one task's memory: per-key state is a bounded `num_bins`
+    int64 vector, and integer bin counts merge order-free, so a hot
+    key costs O(num_bins) no matter how many rows it has.
+
+    Two passes: a tiny global min/max reduce (order-free exact), then
+    per-batch vectorized (key, bin) partial counts through ONE key-hash
+    bucket exchange. The estimate for quantile q is the LOWER EDGE of
+    the first bin whose cumulative count reaches ceil(q * n_key) —
+    every arithmetic step (bin index ``floor((v - mn) * B / (mx -
+    mn))``, edge ``mn + (mx - mn) * i / B``) is the same IEEE-double
+    expression the SQL oracle evaluates, so the sketch is value-exact
+    re-derivable, not just row-count checked.
+
+    Error bound: one bin width = (max - min) / num_bins."""
+    import pyarrow.compute as pc
+
+    qlist = list(qs)
+    qnames = [f"p{int(q * 100)}" for q in qlist]
+    schema = ds.schema()
+    key_type = dict(zip(schema.names, schema.types))[key_col]
+
+    # pass 1: global min/max (tiny per-block rows -> driver reduce)
+    def mm(batch: pa.Table) -> pa.Table:
+        col = batch[value_col]
+        return pa.table(
+            {
+                "mn": pa.array([pc.min(col).as_py()], pa.float64()),
+                "mx": pa.array([pc.max(col).as_py()], pa.float64()),
+            }
+        )
+
+    mmdf = ds.map_batches(mm, batch_format="pyarrow").to_pandas().dropna()
+    if mmdf.empty:
+        return pa.table(
+            {key_col: pa.array([], key_type),
+             **{qn: pa.array([], pa.float64()) for qn in qnames}}
+        )
+    mn = float(mmdf["mn"].min())
+    mx = float(mmdf["mx"].max())
+    width = mx - mn
+    B = num_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        keys = batch[key_col].to_pylist()
+        v = np.asarray(batch[value_col].to_pylist(), dtype=np.float64)
+        if width > 0:
+            bins = np.minimum(
+                np.floor((v - mn) * B / width), B - 1
+            ).astype(np.int64)
+        else:
+            bins = np.zeros(len(v), dtype=np.int64)
+        df = (
+            pd.DataFrame({key_col: keys, "bin": bins})
+            .groupby([key_col, "bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        b = np.array(
+            [zlib.crc32(str(k).encode()) % num_buckets for k in df[key_col]],
+            dtype=np.int32,
+        )
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return t.set_column(
+            t.schema.get_field_index(key_col), key_col,
+            pa.array(df[key_col].tolist(), key_type),
+        ).append_column("__bucket", pa.array(b))
+
+    empty = pa.table(
+        {key_col: pa.array([], key_type),
+         **{qn: pa.array([], pa.float64()) for qn in qnames}}
+    )
+
+    def bucket_estimate(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, "bin", "n"]).to_pandas()
+        df = (
+            df.groupby([key_col, "bin"], sort=True)["n"].sum().reset_index()
+        )
+        out_keys: list = []
+        out_cols: dict = {qn: [] for qn in qnames}
+        for key, g in df.groupby(key_col, sort=True):
+            counts = g.set_index("bin")["n"]
+            total = int(counts.sum())
+            cum = counts.cumsum()
+            out_keys.append(key)
+            for q, qn in zip(qlist, qnames):
+                target = np.ceil(q * total)
+                i = int(cum.index[np.searchsorted(cum.values, target)])
+                edge = mn + width * i / B if width > 0 else mn
+                out_cols[qn].append(round(float(edge), ndigits))
+        return pa.table(
+            {key_col: pa.array(out_keys, key_type),
+             **{qn: pa.array(out_cols[qn], pa.float64()) for qn in qnames}}
+        )
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow")
+    return exchange_reduce(tagged, bucket_estimate, empty, num_buckets)
+
+
 # ------------------------------------------------------------ vocabulary
 
 
