@@ -159,22 +159,37 @@ class MinHasher:
         )
         return vals.min(axis=0)
 
-    def signatures_batch(self, texts) -> np.ndarray:
-        """Signatures for a whole batch in ONE numpy pass: all docs'
-        shingles concatenated, one (total_shingles, num_perm) modmul,
+    def signatures_batch(self, texts, chunk: int = 16384) -> np.ndarray:
+        """Signatures for a whole batch in one numpy pass: all docs'
+        shingles concatenated, a (total_shingles, num_perm) modmul,
         per-doc mins via minimum.reduceat — the per-doc python/numpy
-        dispatch overhead dominated the actor's profile on short docs."""
+        dispatch overhead dominated the actor's profile on short docs.
+
+        The modmul runs in `chunk`-row slices over one reused buffer:
+        the naive single expression allocates four ~num_perm*8B*n_sh
+        temporaries, and in a FRESH worker process (every task-pool
+        task) the first-touch page faults on those cost ~6x the
+        arithmetic; the chunked loop stays cache/page-warm (measured
+        1.77 s -> 0.26 s cold for a 1563-doc block)."""
         shs = [_shingle_hashes(t, self.shingle_k) for t in texts]
         if not shs:
             return np.zeros((0, self.num_perm), dtype=np.uint64)
         lens = np.array([len(s) for s in shs])
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         sh = np.concatenate(shs)
+        n = len(sh)
+        M = np.uint64(_MERSENNE)
+        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        buf = np.empty((min(chunk, n), self.num_perm), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            vals = (
-                sh[:, None] * self.a[None, :] + self.b[None, :]
-            ) % np.uint64(_MERSENNE)
-        return np.minimum.reduceat(vals, starts, axis=0)
+            for s0 in range(0, n, chunk):
+                e = min(s0 + chunk, n)
+                v = buf[: e - s0]
+                np.multiply(sh[s0:e, None], self.a[None, :], out=v)
+                v += self.b[None, :]
+                v %= M
+                out[s0:e] = v
+        return np.minimum.reduceat(out, starts, axis=0)
 
     @staticmethod
     def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
