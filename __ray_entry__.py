@@ -199,6 +199,21 @@ def _q_docs_clean_corpus(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def _q_doc_tfidf_top_terms(sf_dir: str):
+    """Top-5 TF-IDF terms per document (linear-idf score; see
+    textstats.tfidf_top_terms). n_docs comes from parquet metadata —
+    no count() execution."""
+    import pyarrow.parquet as pq
+
+    from webcollector_ray.functions.textstats import tfidf_top_terms
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    out = tfidf_top_terms(_docs(sf_dir), n_docs=n_docs, top_k=5)
+    return out.select_columns(
+        ["doc_id", "rank", "word", "tf", "df", "score"]
+    )
+
+
 def _q_docs_sample(sf_dir: str):
     """Deterministic 10% hash sample — reproducible corpus subsetting
     (hash-mod on the id, not random_sample, so reruns and the oracle
@@ -271,6 +286,33 @@ def _q_dedup_ngram_verified(sf_dir: str):
 def _q_dedup_simhash(sf_dir: str):
     pairs = simhash_dedup_pairs(_docs(sf_dir), max_hamming=3)
     return pairs.select_columns(["id_a", "id_b"])
+
+
+def _q_docs_fuzzy_clean_corpus(sf_dir: str):
+    """End-to-end fuzzy-dedup corpus clean — the composition a training
+    pipeline actually runs: minhash-LSH near-dup pairs -> distributed
+    min-label connected components -> keep each cluster's min-id
+    representative -> anti-join the drop set back against the corpus.
+    Every stage is the bucketed-exchange path (no driver-side sets)."""
+    from webcollector_ray.functions.dedup import cluster_pairs_minlabel
+    from webcollector_ray.functions.joins import hash_join
+
+    docs = _docs(sf_dir)
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    labels = cluster_pairs_minlabel(pairs, id_col="doc_id")
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names:  # 0-row block degenerates
+            return pa.table({"doc_id": pa.nulls(0, pa.int64())})
+        return batch.filter(
+            pc.not_equal(batch["doc_id"], batch["cluster"])
+        ).select(["doc_id"])
+
+    dropped = labels.map_batches(non_reps, batch_format="pyarrow")
+    kept = hash_join(
+        docs.select_columns(["doc_id"]), dropped, on="doc_id", how="anti"
+    )
+    return kept
 
 
 def _cents(batch: pa.Table, src: str, dst: str) -> pa.Table:
@@ -930,6 +972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram_verified": _q_dedup_ngram_verified,
         "dedup_simhash": _q_dedup_simhash,
+        "docs_fuzzy_clean_corpus": _q_docs_fuzzy_clean_corpus,
+        "doc_tfidf_top_terms": _q_doc_tfidf_top_terms,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -1172,7 +1216,33 @@ def _minhash_oracle_sqls() -> dict[str, str]:
         JOIN gsize gb ON gb.doc_id = c.id_b
         WHERE inter.i::DOUBLE / (ga.n + gb.n - inter.i) >= 0.5
     """
-    return {"dedup_minhash": minhash, "dedup_ngram_verified": ngram}
+    # fuzzy corpus clean: pairs at est>=0.5 -> connected components
+    # (recursive-CTE reachability, cluster = min member id) -> keep
+    # representatives plus every unpaired doc
+    fuzzy_clean = prefix.replace("WITH docs", "WITH RECURSIVE docs", 1) + """,
+        pr AS (SELECT id_a, id_b FROM est WHERE e >= 0.5),
+        ed AS (
+            SELECT id_a AS x, id_b AS y FROM pr
+            UNION SELECT id_b, id_a FROM pr
+            UNION SELECT id_a, id_a FROM pr
+            UNION SELECT id_b, id_b FROM pr
+        ),
+        reach(x, y) AS (
+            SELECT x, y FROM ed
+            UNION
+            SELECT r.x, ed.y FROM reach r JOIN ed ON r.y = ed.x
+        ),
+        clus AS (SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x)
+        SELECT d.doc_id
+        FROM documents d
+        WHERE d.doc_id NOT IN
+            (SELECT doc_id FROM clus WHERE cluster <> doc_id)
+    """
+    return {
+        "dedup_minhash": minhash,
+        "dedup_ngram_verified": ngram,
+        "docs_fuzzy_clean_corpus": fuzzy_clean,
+    }
 
 
 def _crawl_extract_oracle_sql() -> str:
@@ -1623,6 +1693,40 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM q
             WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND n_chars >= 50
             GROUP BY text
+        """,
+        # linear-idf score (tf::DOUBLE * N) / df — same IEEE mul/div
+        # order as the numpy side, so the double value-hash is exact
+        "doc_tfidf_top_terms": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                           '\s+') AS words
+                FROM documents
+            ),
+            wpos AS (SELECT doc_id, unnest(words) AS w FROM docs),
+            tf AS (
+                SELECT doc_id, w AS word, count(*)::BIGINT AS tf
+                FROM wpos GROUP BY doc_id, w
+            ),
+            dfx AS (
+                SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word
+            ),
+            scored AS (
+                SELECT t.doc_id, t.word, t.tf, d.df,
+                       (t.tf::DOUBLE *
+                        (SELECT count(*) FROM documents)::DOUBLE)
+                           / d.df::DOUBLE AS score
+                FROM tf t JOIN dfx d USING (word)
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, word ASC
+                ) AS rnk
+                FROM scored
+            )
+            SELECT doc_id, rnk::BIGINT AS "rank", word, tf, df, score
+            FROM r WHERE rnk <= 5
         """,
         "events_tumbling": """
             SELECT user_id,

@@ -519,3 +519,75 @@ def test_kmeans_fixed_partition_invariant(ray_session):
     assert a.equals(b)
     assert a["n_vecs"].sum() == 300
     assert set(a["cluster"]) == {1, 2, 3, 4}
+
+
+def test_tfidf_top_terms(ray_session):
+    from webcollector_ray.functions.textstats import tfidf_top_terms
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["a b a", "a c", "c c d"],
+        }
+    )
+    out = (
+        tfidf_top_terms(rd.from_arrow(docs), n_docs=3, top_k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # df: a=2 b=1 c=2 d=1; score = tf*3/df; ties break word-asc
+    got = list(
+        zip(out["doc_id"], out["rank"], out["word"], out["tf"],
+            out["df"], out["score"])
+    )
+    assert got == [
+        (1, 1, "a", 2, 2, 3.0),
+        (1, 2, "b", 1, 1, 3.0),
+        (2, 1, "a", 1, 2, 1.5),
+        (2, 2, "c", 1, 2, 1.5),
+        (3, 1, "c", 2, 2, 3.0),
+        (3, 2, "d", 1, 1, 3.0),
+    ]
+
+
+def test_fuzzy_clean_corpus_composition(ray_session):
+    # minhash pairs -> min-label clusters -> drop non-representatives:
+    # docs 1,2,5 share a text (cluster rep 1), 3 and 4 are unique
+    from webcollector_ray.functions.dedup import (
+        cluster_pairs_minlabel,
+        minhash_dedup_pairs,
+    )
+    from webcollector_ray.functions.joins import hash_join
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": [
+                dup,
+                dup,
+                "completely different words in this one here now",
+                "yet another unrelated document body of text",
+                dup,
+            ],
+        }
+    )
+    ds = rd.from_arrow(docs)
+    pairs = minhash_dedup_pairs(ds, threshold=0.5)
+    labels = cluster_pairs_minlabel(pairs, id_col="doc_id")
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names:
+            return pa.table({"doc_id": pa.nulls(0, pa.int64())})
+        import pyarrow.compute as _pc
+
+        return batch.filter(
+            _pc.not_equal(batch["doc_id"], batch["cluster"])
+        ).select(["doc_id"])
+
+    dropped = labels.map_batches(non_reps, batch_format="pyarrow")
+    kept = hash_join(
+        ds.select_columns(["doc_id"]), dropped, on="doc_id", how="anti"
+    )
+    assert sorted(kept.to_pandas()["doc_id"]) == [1, 3, 4]

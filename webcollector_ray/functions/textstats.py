@@ -186,3 +186,87 @@ def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Tab
     return batch.append_column(
         "rolling_fp", pa.array(np.array(fps, dtype=np.uint64))
     )
+
+
+# ------------------------------------------------------------------ tfidf
+
+
+def tfidf_top_terms(
+    ds,
+    *,
+    n_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    num_buckets: int = 32,
+):
+    """Per-document top-k TF-IDF terms — the classic featurization
+    stage of a training-data pipeline, distributed as: per-batch term
+    frequencies (postings rows), ONE word-hash bucket exchange (all
+    postings of a word land in one bucket, so document frequency is
+    exact within the bucket with no second shuffle), then the bucketed
+    grouped top-k by doc.
+
+    idf is the LINEAR variant score = tf * n_docs / df: mul/div are
+    exactly-rounded IEEE ops, so the driver value-hash is libm-
+    independent, while the ranking is the same monotone order any
+    idf = f(n_docs/df) with monotone f would produce per term-df.
+    Tokenization is the repo-wide lower().split() (token-count /
+    vocab oracles use the same).
+    """
+    import zlib
+    from collections import Counter
+
+    from .joins import exchange_reduce
+    from .ranking import top_n_per_group
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids, words, tfs = [], [], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            for w, f in Counter((t or "").lower().split()).items():
+                ids.append(i)
+                words.append(w)
+                tfs.append(f)
+        b = np.array(
+            [zlib.crc32(w.encode()) % num_buckets for w in words],
+            dtype=np.int32,
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "word": pa.array(words, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "word": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+    def bucket_score(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, "word", "tf"]).to_pandas()
+        # each (doc, word) appears exactly once -> df = postings per word
+        df["df"] = df.groupby("word", sort=False)["word"].transform(
+            "size"
+        ).astype("int64")
+        df["score"] = (
+            df["tf"].to_numpy(np.float64) * float(n_docs)
+        ) / df["df"].to_numpy(np.float64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    scored = exchange_reduce(
+        ds.map_batches(postings, batch_format="pyarrow"),
+        bucket_score, empty, num_buckets,
+    )
+    return top_n_per_group(
+        scored, key_col=id_col, order_col="score", n=top_k, tie_col="word"
+    )
