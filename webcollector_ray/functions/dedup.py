@@ -159,28 +159,34 @@ class MinHasher:
         )
         return vals.min(axis=0)
 
-    def signatures_batch(self, texts, chunk: int = 16384) -> np.ndarray:
+    def signatures_batch(self, texts, chunk: int = 8192) -> np.ndarray:
         """Signatures for a whole batch in one numpy pass: all docs'
         shingles concatenated, a (total_shingles, num_perm) modmul,
         per-doc mins via minimum.reduceat — the per-doc python/numpy
         dispatch overhead dominated the actor's profile on short docs.
 
-        The modmul runs in `chunk`-row slices over one reused buffer:
-        the naive single expression allocates four ~num_perm*8B*n_sh
-        temporaries, and in a FRESH worker process (every task-pool
-        task) the first-touch page faults on those cost ~6x the
-        arithmetic; the chunked loop stays cache/page-warm (measured
-        1.77 s -> 0.26 s cold for a 1563-doc block)."""
+        The modmul runs in `chunk`-row slices over ONE reused buffer
+        and reduces each slice straight into the per-doc accumulator
+        (0.5 MB for 1.5k docs) instead of materializing the full
+        (n_shingles, num_perm) value matrix: on this class of machine
+        a fresh worker process (every task-pool task) pays ~60 us per
+        first-touch page fault, so the naive expression's four ~80 MB
+        temporaries — or even one persistent 80 MB output — cost ~6s
+        before any arithmetic runs. Working set here is the 4 MB
+        buffer + the accumulator, both touched once."""
         shs = [_shingle_hashes(t, self.shingle_k) for t in texts]
         if not shs:
             return np.zeros((0, self.num_perm), dtype=np.uint64)
-        lens = np.array([len(s) for s in shs])
+        lens = np.array([len(s) for s in shs], dtype=np.int64)
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         sh = np.concatenate(shs)
         n = len(sh)
+        n_docs = len(shs)
         M = np.uint64(_MERSENNE)
-        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        sig = np.full((n_docs, self.num_perm), np.uint64(M), dtype=np.uint64)
         buf = np.empty((min(chunk, n), self.num_perm), dtype=np.uint64)
+        # doc index owning each shingle row (for per-chunk reduceat)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
         with np.errstate(over="ignore"):
             for s0 in range(0, n, chunk):
                 e = min(s0 + chunk, n)
@@ -188,8 +194,13 @@ class MinHasher:
                 np.multiply(sh[s0:e, None], self.a[None, :], out=v)
                 v += self.b[None, :]
                 v %= M
-                out[s0:e] = v
-        return np.minimum.reduceat(out, starts, axis=0)
+                d0, d1 = doc_of[s0], doc_of[e - 1]
+                local = np.maximum(starts[d0 : d1 + 1], s0) - s0
+                part = np.minimum.reduceat(v, local, axis=0)
+                np.minimum(
+                    sig[d0 : d1 + 1], part, out=sig[d0 : d1 + 1]
+                )
+        return sig
 
     @staticmethod
     def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
