@@ -214,6 +214,35 @@ def _q_doc_tfidf_top_terms(sf_dir: str):
     )
 
 
+def _q_docs_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition features (map-only)."""
+    from webcollector_ray.functions.textstats import repetition_stats_batch
+
+    return _docs(sf_dir).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
+def _q_docs_gopher_clean(sf_dir: str):
+    """Repetition-filtered corpus: the doc_ids passing the Gopher-style
+    duplicate-2gram and top-word-fraction gates (thresholds sit at this
+    corpus's upper quartiles so the filter actually discriminates)."""
+    from webcollector_ray.functions.textstats import repetition_stats_batch
+
+    stats = _docs(sf_dir).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.less_equal(batch["dup_2gram_frac"], 0.05),
+            pc.less_equal(batch["top_word_frac"], 0.12),
+        )
+        return batch.filter(m).select(["doc_id"])
+
+    return stats.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_docs_sample(sf_dir: str):
     """Deterministic 10% hash sample — reproducible corpus subsetting
     (hash-mod on the id, not random_sample, so reruns and the oracle
@@ -974,6 +1003,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "docs_fuzzy_clean_corpus": _q_docs_fuzzy_clean_corpus,
         "doc_tfidf_top_terms": _q_doc_tfidf_top_terms,
+        "docs_repetition": _q_docs_repetition,
+        "docs_gopher_clean": _q_docs_gopher_clean,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -1096,6 +1127,63 @@ def _mulmod64_sql(h_expr: str, const: int) -> str:
         f"CAST(((( ({h_expr})::HUGEINT * {hi}) % 4294967296) * 4294967296"
         f" + ({h_expr})::HUGEINT * {lo}) % 18446744073709551616 AS UBIGINT)"
     )
+
+
+# Gopher-style repetition features re-derived with exact string
+# n-grams (the engine compares 64-bit shingle hashes; collisions are
+# ~2^-64 per pair and zero on this vocabulary)
+_REPETITION_SQL = r"""
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                   '\s+') AS words
+        FROM documents
+    ),
+    wpos AS (
+        SELECT doc_id, unnest(words) AS w,
+               unnest(range(1, len(words) + 1)) AS i
+        FROM docs
+    ),
+    g2 AS (
+        SELECT a.doc_id, a.w || chr(31) || b.w AS g
+        FROM wpos a JOIN wpos b
+          ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ),
+    g3 AS (
+        SELECT a.doc_id, a.w || chr(31) || b.w || chr(31) || c.w AS g
+        FROM wpos a
+        JOIN wpos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN wpos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    s2 AS (
+        SELECT doc_id,
+               1.0 - (count(DISTINCT g)::DOUBLE / count(g)::DOUBLE) AS f
+        FROM g2 GROUP BY doc_id
+    ),
+    s3 AS (
+        SELECT doc_id,
+               1.0 - (count(DISTINCT g)::DOUBLE / count(g)::DOUBLE) AS f
+        FROM g3 GROUP BY doc_id
+    ),
+    wc AS (
+        SELECT doc_id, w, count(*) AS c FROM wpos GROUP BY doc_id, w
+    ),
+    tw AS (SELECT doc_id, max(c) AS mc FROM wc GROUP BY doc_id),
+    rep AS (
+        SELECT d.doc_id,
+               len(d.words)::BIGINT AS n_words,
+               coalesce(s2.f, 0.0) AS dup_2gram_frac,
+               coalesce(s3.f, 0.0) AS dup_3gram_frac,
+               CASE WHEN len(d.words) > 0
+                    THEN tw.mc::DOUBLE / len(d.words)::DOUBLE
+                    ELSE 0.0 END AS top_word_frac
+        FROM docs d
+        LEFT JOIN s2 ON s2.doc_id = d.doc_id
+        LEFT JOIN s3 ON s3.doc_id = d.doc_id
+        LEFT JOIN tw ON tw.doc_id = d.doc_id
+    )
+"""
 
 
 def _minhash_oracle_sqls() -> dict[str, str]:
@@ -1693,6 +1781,17 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM q
             WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND n_chars >= 50
             GROUP BY text
+        """,
+        # repetition fractions are single exactly-rounded divisions on
+        # both sides (numpy and DuckDB), so the double hash matches
+        "docs_repetition": _REPETITION_SQL + """
+            SELECT doc_id, n_words, dup_2gram_frac, dup_3gram_frac,
+                   top_word_frac
+            FROM rep
+        """,
+        "docs_gopher_clean": _REPETITION_SQL + """
+            SELECT doc_id FROM rep
+            WHERE dup_2gram_frac <= 0.05 AND top_word_frac <= 0.12
         """,
         # linear-idf score (tf::DOUBLE * N) / df — same IEEE mul/div
         # order as the numpy side, so the double value-hash is exact

@@ -591,3 +591,43 @@ def test_fuzzy_clean_corpus_composition(ray_session):
         ds.select_columns(["doc_id"]), dropped, on="doc_id", how="anti"
     )
     assert sorted(kept.to_pandas()["doc_id"]) == [1, 3, 4]
+
+
+def test_repetition_stats_matches_bruteforce():
+    import collections
+
+    from webcollector_ray.functions.textstats import repetition_stats_batch
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": [
+                "a b a b a b",          # heavy 2-gram repetition
+                "x y z x y z x y z",    # repeated 3-grams
+                "all distinct words here now",
+                "",                      # no words
+                "solo",                  # single word: no 2/3-grams
+            ],
+        }
+    )
+    out = repetition_stats_batch(docs).to_pandas()
+    ref = []
+    for i, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        w = txt.lower().split()
+
+        def dup(k, w=w):
+            gs = (
+                [tuple(w[j : j + k]) for j in range(len(w) - k + 1)]
+                if len(w) >= k else []
+            )
+            return 1.0 - len(set(gs)) / len(gs) if gs else 0.0
+
+        c = collections.Counter(w)
+        ref.append(
+            (i, len(w), dup(2), dup(3),
+             max(c.values()) / len(w) if w else 0.0)
+        )
+    import pandas as pd
+
+    rdf = pd.DataFrame(ref, columns=list(out.columns))
+    assert out.reset_index(drop=True).equals(rdf)

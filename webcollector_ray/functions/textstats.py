@@ -270,3 +270,94 @@ def tfidf_top_terms(
     return top_n_per_group(
         scored, key_col=id_col, order_col="score", n=top_k, tie_col="word"
     )
+
+
+# ------------------------------------------------------------- repetition
+
+
+def repetition_stats_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style within-document repetition features (Rae et al.
+    2021, arXiv:2112.11446 §A1.1): fraction of duplicate word 2-grams /
+    3-grams and the most-frequent-word fraction. Map-only (no shuffle);
+    vectorized across the whole batch — per-doc distinct counts come
+    from ONE lexsort over (doc, ngram-hash) pairs + boundary flags,
+    not a Python set per doc. N-grams are compared by the repo's
+    64-bit shingle hash (md5-64 words + position mix): a cross-n-gram
+    collision would perturb a fraction with probability ~2^-64 per
+    pair — negligible, and the same hash the minhash oracle already
+    re-derives in SQL exactly.
+
+    Fractions are exactly-rounded IEEE divisions, so the driver
+    value-hash is reproducible in DuckDB.
+    """
+    from .dedup import _shingle_hashes, _word_hash64
+
+    texts = batch[text_col].to_pylist()
+    n_docs = len(texts)
+    word_lists = [(t or "").lower().split() for t in texts]
+    n_words = np.array([len(w) for w in word_lists], dtype=np.int64)
+
+    def _dup_frac(k: int) -> np.ndarray:
+        """1 - distinct/total over word k-grams, 0.0 when no k-gram."""
+        hs, doc_of = [], []
+        for d, words in enumerate(word_lists):
+            if len(words) < k:
+                continue
+            # reuse the shingle hasher on the raw word stream
+            h = _shingle_hashes(" ".join(words), k)
+            hs.append(h)
+            doc_of.append(np.full(len(h), d, dtype=np.int64))
+        out = np.zeros(n_docs, dtype=np.float64)
+        if not hs:
+            return out
+        h = np.concatenate(hs)
+        d = np.concatenate(doc_of)
+        order = np.lexsort((h, d))
+        hd, dd = h[order], d[order]
+        new_grp = np.empty(len(hd), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (hd[1:] != hd[:-1]) | (dd[1:] != dd[:-1])
+        distinct = np.bincount(d[order][new_grp], minlength=n_docs)
+        total = np.bincount(d, minlength=n_docs)
+        nz = total > 0
+        out[nz] = 1.0 - distinct[nz].astype(np.float64) / total[nz]
+        return out
+
+    # most-frequent-word fraction via the same lexsort trick
+    top_frac = np.zeros(n_docs, dtype=np.float64)
+    whs, wdoc = [], []
+    for di, words in enumerate(word_lists):
+        if not words:
+            continue
+        whs.append(
+            np.array([_word_hash64(w) for w in words], dtype=np.uint64)
+        )
+        wdoc.append(np.full(len(words), di, dtype=np.int64))
+    if whs:
+        h = np.concatenate(whs)
+        d = np.concatenate(wdoc)
+        order = np.lexsort((h, d))
+        hd, dd = h[order], d[order]
+        bounds = np.flatnonzero(
+            np.concatenate(
+                ([True], (hd[1:] != hd[:-1]) | (dd[1:] != dd[:-1]), [True])
+            )
+        )
+        runs = np.diff(bounds)
+        run_doc = dd[bounds[:-1]]
+        max_run = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(max_run, run_doc, runs)
+        nz = n_words > 0
+        top_frac[nz] = max_run[nz].astype(np.float64) / n_words[nz]
+
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words),
+            "dup_2gram_frac": pa.array(_dup_frac(2)),
+            "dup_3gram_frac": pa.array(_dup_frac(3)),
+            "top_word_frac": pa.array(top_frac),
+        }
+    )
