@@ -631,3 +631,48 @@ def test_repetition_stats_matches_bruteforce():
 
     rdf = pd.DataFrame(ref, columns=list(out.columns))
     assert out.reset_index(drop=True).equals(rdf)
+
+
+def test_write_partitioned_parquet_resume(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from webcollector_ray.functions.output import write_partitioned_parquet
+
+    t = pa.table(
+        {
+            "k": pa.array(list(range(200)), pa.int64()),
+            "v": pa.array([f"v{i}" for i in range(200)]),
+        }
+    )
+    root = str(tmp_path / "out")
+    m1 = write_partitioned_parquet(
+        rd.from_arrow(t), root, key_col="k", num_partitions=8
+    )
+    assert sum(m1.values()) == 200 and len(m1) == 8
+
+    # simulate a partial failure: partition 3 lost its marker
+    os.remove(os.path.join(root, "part=3", "_SUCCESS"))
+    before = {
+        p: os.path.getmtime(os.path.join(root, f"part={p}", "data.parquet"))
+        for p in range(8) if p != 3
+    }
+    m2 = write_partitioned_parquet(
+        rd.from_arrow(t), root, key_col="k", num_partitions=8
+    )
+    # only the incomplete partition is rewritten
+    assert list(m2.keys()) == [3]
+    after = {
+        p: os.path.getmtime(os.path.join(root, f"part={p}", "data.parquet"))
+        for p in range(8) if p != 3
+    }
+    assert before == after
+
+    # full dataset reads back exactly, partition = f(key) deterministic
+    got = pa.concat_tables(
+        pq.read_table(os.path.join(root, f"part={p}", "data.parquet"))
+        for p in range(8)
+    )
+    assert got.sort_by("k").equals(t)
+    assert sum(m2.values()) == m1[3]

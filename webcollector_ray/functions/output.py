@@ -141,3 +141,104 @@ def list_crawldb(crawl_path: str, depth: Optional[int] = None):
         .sort_values("key")
         .reset_index(drop=True)
     )
+
+
+def write_partitioned_parquet(
+    ds,
+    root: str,
+    *,
+    key_col: str,
+    num_partitions: int = 64,
+    skip_complete: bool = True,
+):
+    """Resumable hash-partitioned Parquet sink (the 100 TB output
+    shape: never one giant file, and a failed run re-does only the
+    partitions that missed their marker).
+
+    Layout: `<root>/part=<k>/data.parquet` + `<root>/part=<k>/_SUCCESS`
+    written LAST — a directory without the marker is incomplete and is
+    rewritten on the next run. With skip_complete, rows whose key
+    hashes into an already-complete partition are dropped by a
+    vectorized pre-filter at the head of the sink, so a resume pays
+    one cheap hash per row for the finished ~(k-1)/k of the data
+    instead of re-shuffling and re-writing it.
+
+    Keys route by the same md5-based bucket hash the dedup exchange
+    uses, so a partition is a deterministic function of the key alone
+    — any re-run (even on a different cluster size) produces the same
+    partition membership. Returns {partition: rows_written} for the
+    partitions written by THIS run.
+    """
+    import hashlib as _hl
+    import os as _os
+
+    import numpy as np
+    import ray as _ray
+
+    def _pid_of(vals) -> "np.ndarray":
+        return np.array(
+            [
+                int.from_bytes(
+                    _hl.md5(str(v).encode()).digest()[:8], "big"
+                ) % num_partitions
+                for v in vals
+            ],
+            dtype=np.int32,
+        )
+
+    done = set()
+    if skip_complete and _os.path.isdir(root):
+        for e in _os.listdir(root):
+            if e.startswith("part=") and _os.path.exists(
+                _os.path.join(root, e, "_SUCCESS")
+            ):
+                done.add(int(e.split("=", 1)[1]))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if key_col not in batch.column_names:
+            return pa.table({})
+        pid = _pid_of(batch[key_col].to_pylist())
+        t = batch.append_column("__bucket", pa.array(pid))
+        if done:
+            keep = ~np.isin(pid, list(done))
+            t = t.filter(pa.array(keep))
+        return t
+
+    @_ray.remote
+    def write_part(pid: int, *blocks):
+        tabs = [t for t in blocks if t is not None and len(t)]
+        if not tabs:
+            return pid, 0
+        out = pa.concat_tables(tabs).drop_columns(["__bucket"])
+        d = _os.path.join(root, f"part={pid}")
+        _os.makedirs(d, exist_ok=True)
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(out, _os.path.join(d, "data.parquet"))
+        with open(_os.path.join(d, "_SUCCESS"), "w") as f:
+            f.write(str(len(out)))
+        return pid, len(out)
+
+    from .joins import _split_by_bucket
+
+    blocks = list(
+        ds.map_batches(tag, batch_format="pyarrow").to_arrow_refs()
+    )
+    if not blocks:
+        return {}
+    ngroups = max(1, min(len(blocks), 32))
+    split_refs = []
+    for g in range(ngroups):
+        group = blocks[g::ngroups]
+        refs = _split_by_bucket.options(
+            num_returns=num_partitions
+        ).remote(num_partitions, *group)
+        if num_partitions == 1:
+            refs = [refs]
+        split_refs.append(refs)
+    out_refs = [
+        write_part.remote(p, *[sr[p] for sr in split_refs])
+        for p in range(num_partitions)
+        if p not in done
+    ]
+    return {p: n for p, n in _ray.get(out_refs) if n}
