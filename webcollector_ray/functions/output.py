@@ -169,22 +169,19 @@ def write_partitioned_parquet(
     partition membership. Returns {partition: rows_written} for the
     partitions written by THIS run.
     """
-    import hashlib as _hl
     import os as _os
 
     import numpy as np
     import ray as _ray
 
+    from ..state.seen import hash64_batch
+
     def _pid_of(vals) -> "np.ndarray":
-        return np.array(
-            [
-                int.from_bytes(
-                    _hl.md5(str(v).encode()).digest()[:8], "big"
-                ) % num_partitions
-                for v in vals
-            ],
-            dtype=np.int32,
-        )
+        # same C-speed fixed-key siphash the seen filter uses; stable
+        # across processes and runs, so partition membership is a pure
+        # function of the key
+        keys = [v if isinstance(v, str) else str(v) for v in vals]
+        return (hash64_batch(keys) % num_partitions).astype(np.int32)
 
     done = set()
     if skip_complete and _os.path.isdir(root):
