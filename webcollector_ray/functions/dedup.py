@@ -285,46 +285,99 @@ def minhash_dedup_pairs(
     sigs_ds = ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for i, sig_bytes in zip(ids, batch["sig"].to_pylist()):
-            for b in range(bands):
-                chunk = sig_bytes[
-                    b * 8 * rows_per_band : (b + 1) * 8 * rows_per_band
-                ]
-                out_band.append(b)
-                out_hash.append(
-                    int.from_bytes(hashlib.md5(chunk).digest()[:8], "big")
-                    & 0x7FFF_FFFF_FFFF_FFFF
+        """Explode each signature into its `bands` band rows — fully
+        vectorized. The band hash is an INTERNAL grouping key only
+        (the dedup_minhash oracle models banding as exact quad
+        equality, never the hash value), so instead of 16 md5 calls
+        per doc (a ~60 s-serial Python loop at 10^6 docs) the quad
+        lanes fold through per-lane odd multipliers + a splitmix64
+        finalizer in numpy; a cross-quad collision (~2^-64) can only
+        ADD a candidate, which the est-jaccard filter then re-checks
+        on the full signature."""
+        n = len(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigb = batch["sig"].to_pylist()
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    id_col: pa.array([], batch[id_col].type),
+                    "__bucket": pa.array([], pa.int32()),
+                }
+            )
+        S = np.frombuffer(b"".join(sigb), dtype="<u8").reshape(n, num_perm)
+        Q = S.reshape(n, bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            h = np.zeros((n, bands), dtype=np.uint64)
+            for r in range(rows_per_band):
+                h ^= (Q[:, :, r] + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(
+                    _pos_mix(rows_per_band)[r]
                 )
-                out_id.append(i)
-        h = np.asarray(out_hash, dtype=np.int64)
-        bd = np.asarray(out_band, dtype=np.int64)
-        bk = np.abs((h ^ (bd * np.int64(0x9E3779B9))) % num_buckets)
+            # splitmix64 finalizer
+            h ^= h >> np.uint64(30)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(27)
+            h *= np.uint64(0x94D049BB133111EB)
+            h ^= h >> np.uint64(31)
+        hf = (h & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64).ravel()
+        bd = np.tile(np.arange(bands, dtype=np.int64), n)
+        bk = np.abs((hf ^ (bd * np.int64(0x9E3779B9))) % num_buckets)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(h),
-                id_col: pa.array(out_id),
+                "band": pa.array(bd.astype(np.int32)),
+                "band_hash": pa.array(hf),
+                id_col: pa.array(np.repeat(ids, bands)),
                 "__bucket": pa.array(bk.astype(np.int32)),
             }
         )
 
     def bucket_cands(t: pa.Table) -> pa.Table:
+        """Candidate pairs within (band, band_hash) groups — the group
+        scan is one lexsort + run-length pass (a pandas groupby
+        ITERATION costs ~30 us per group, and almost every group is a
+        singleton); only multi-member groups (rare: ~bands x dup-rate
+        per doc) expand to pairs, size-2 groups fully vectorized."""
         df = t.to_pandas()
-        a_out, b_out = [], []
-        for _, g in df.groupby(["band", "band_hash"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.sort_values(id_col).drop_duplicates(id_col)
-            if len(g) > max_bucket:  # no silent caps: trim pathological buckets
-                g = g.head(max_bucket)
-            ids = g[id_col].to_numpy()
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    a_out.append(ids[x])
-                    b_out.append(ids[y])
         dt = df[id_col].dtype
+        sub = df.drop_duplicates(["band", "band_hash", id_col])
+        bandv = sub["band"].to_numpy()
+        hashv = sub["band_hash"].to_numpy()
+        idv = sub[id_col].to_numpy()
+        order = np.lexsort((idv, hashv, bandv))
+        bandv, hashv, idv = bandv[order], hashv[order], idv[order]
+        m = len(idv)
+        a_parts, b_parts = [], []
+        if m:
+            new_grp = np.empty(m, dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (bandv[1:] != bandv[:-1]) | (hashv[1:] != hashv[:-1])
+            starts = np.flatnonzero(new_grp)
+            sizes = np.diff(np.append(starts, m))
+            # rank within group; cap pathological buckets (logged design)
+            ranks = np.arange(m) - np.repeat(starts, sizes)
+            keep = ranks < max_bucket
+            if not keep.all():
+                bandv, hashv, idv = bandv[keep], hashv[keep], idv[keep]
+                m = len(idv)
+                new_grp = np.empty(m, dtype=bool)
+                new_grp[0] = True
+                new_grp[1:] = (bandv[1:] != bandv[:-1]) | (
+                    hashv[1:] != hashv[:-1]
+                )
+                starts = np.flatnonzero(new_grp)
+                sizes = np.diff(np.append(starts, m))
+            two = starts[sizes == 2]
+            if len(two):
+                a_parts.append(idv[two])
+                b_parts.append(idv[two + 1])
+            for s0, sz in zip(starts[sizes > 2], sizes[sizes > 2]):
+                g = idv[s0 : s0 + sz]
+                iu, ju = np.triu_indices(sz, k=1)
+                a_parts.append(g[iu])
+                b_parts.append(g[ju])
+        a_out = np.concatenate(a_parts) if a_parts else np.array([], dtype=dt)
+        b_out = np.concatenate(b_parts) if b_parts else np.array([], dtype=dt)
         return pa.Table.from_pandas(
             pd.DataFrame(
                 {
@@ -374,15 +427,29 @@ def minhash_dedup_pairs(
         ids_ref = _pair_ids.remote(*cand.to_arrow_refs())
 
         @ray.remote
-        def _sig_map(ids, *blocks):
+        def _sig_filter(ids, block):
+            # vectorized membership per block — one parallel wave over
+            # the signature table, never a serial full-table scan
+            if block is None or not len(block):
+                return None
+            bid = block[id_col].to_numpy(zero_copy_only=False)
+            mask = np.isin(bid, np.fromiter(ids, dtype=bid.dtype, count=len(ids)))
+            return block.filter(pa.array(mask)) if mask.any() else None
+
+        @ray.remote
+        def _sig_map(*parts):
             m = {}
-            for t in blocks:
-                for i, s in zip(t[id_col].to_pylist(), t["sig"].to_pylist()):
-                    if i in ids:
-                        m[i] = s
+            for t in parts:
+                if t is not None and len(t):
+                    m.update(zip(t[id_col].to_pylist(), t["sig"].to_pylist()))
             return m
 
-        smap_ref = _sig_map.remote(ids_ref, *sigs_ds.to_arrow_refs())
+        smap_ref = _sig_map.remote(
+            *[
+                _sig_filter.remote(ids_ref, b)
+                for b in sigs_ds.to_arrow_refs()
+            ]
+        )
 
         def verify_bc(batch: pa.Table) -> pa.Table:
             m = ray.get(smap_ref)
