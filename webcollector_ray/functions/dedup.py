@@ -700,9 +700,48 @@ def simhash64(text: str) -> int:
     return int((np.uint64(1) << np.arange(64, dtype=np.uint64))[mask].sum())
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """Batch SimHash, numerically identical to simhash64 per doc but
+    vectorized across the whole batch: per-doc bit sums come from 64
+    np.add.reduceat passes over the concatenated word-hash array (each
+    pass streams one 8·n_words-byte temp — no (n_words, 64) matrix, so
+    no fresh-worker page-fault bill; see signatures_batch)."""
+    word_lists = [(t or "").lower().split() for t in texts]
+    n_docs = len(word_lists)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    idx = [d for d, w in enumerate(word_lists) if w]
+    if not idx:
+        return out
+    whs = [
+        np.array([_word_hash64(w) for w in word_lists[d]], dtype=np.uint64)
+        for d in idx
+    ]
+    lens = np.array([len(h) for h in whs], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    wh = np.concatenate(whs)
+    acc = np.empty((len(idx), 64), dtype=np.int64)
+    one = np.uint64(1)
+    for j in range(64):
+        bits = ((wh >> np.uint64(j)) & one).astype(np.int64)
+        acc[:, j] = np.add.reduceat(bits, starts)
+    pos = (2 * acc) > lens[:, None]  # == signed majority > 0
+    sims = (
+        pos.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+    ).sum(axis=1, dtype=np.uint64)
+    out[np.array(idx)] = sims
+    return out
+
+
+def hamming64_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(a ^ b) for uint64 arrays."""
+    x = (np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64))
+    u8 = x.view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(u8, axis=1).sum(axis=1).astype(np.int64)
+
+
 def simhash_batch(batch: pa.Table, text_col="text") -> pa.Table:
-    hs = [simhash64(t) for t in batch[text_col].to_pylist()]
-    return batch.append_column("simhash", pa.array(np.array(hs, dtype=np.uint64)))
+    hs = simhash64_batch(batch[text_col].to_pylist())
+    return batch.append_column("simhash", pa.array(hs))
 
 
 def hamming64(a: int, b: int) -> int:
@@ -715,22 +754,20 @@ def simhash_dedup_pairs(ds, *, max_hamming: int = 3, text_col="text",
     distance <= 3 shares at least one exact chunk (pigeonhole)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        c_chunk, c_val, c_id, c_sim = [], [], [], []
-        for i, t in zip(ids, texts):
-            h = simhash64(t)
-            for c in range(4):
-                c_chunk.append(c)
-                c_val.append((h >> (16 * c)) & 0xFFFF)
-                c_id.append(i)
-                c_sim.append(h)
+        n = len(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = simhash64_batch(batch[text_col].to_pylist())
+        ck = np.tile(np.arange(4, dtype=np.int64), n)
+        cv = (
+            (np.repeat(sims, 4) >> (np.uint64(16) * ck.astype(np.uint64)))
+            & np.uint64(0xFFFF)
+        ).astype(np.int32)
         return pa.table(
             {
-                "chunk": pa.array(c_chunk, pa.int32()),
-                "chunk_val": pa.array(c_val, pa.int32()),
-                id_col: pa.array(c_id),
-                "simhash": pa.array(np.array(c_sim, dtype=np.uint64)),
+                "chunk": pa.array(ck.astype(np.int32)),
+                "chunk_val": pa.array(cv),
+                id_col: pa.array(np.repeat(ids, 4)),
+                "simhash": pa.array(np.repeat(sims, 4)),
             }
         )
 
@@ -743,26 +780,67 @@ def simhash_dedup_pairs(ds, *, max_hamming: int = 3, text_col="text",
         return batch.append_column("__bucket", pa.array(bk.astype(np.int32)))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a_out, b_out, h_out = [], [], []
-        for _, g in df.groupby(["chunk", "chunk_val"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
-            ids = g[id_col].to_numpy()
-            sims = g["simhash"].to_numpy()
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    d = hamming64(int(sims[x]), int(sims[y]))
-                    if d <= max_hamming:
-                        a_out.append(ids[x])
-                        b_out.append(ids[y])
-                        h_out.append(d)
+        """One lexsort + run-length pass over (chunk, chunk_val)
+        groups (mostly singletons — same shape as the minhash
+        candidate scan); pair expansion vectorized for size-2 groups,
+        triu for the rare larger ones; hamming filtered via a
+        vectorized popcount over the collected pair arrays."""
         dt = df[id_col].dtype
+        sub = df.drop_duplicates(["chunk", "chunk_val", id_col])
+        ckv = sub["chunk"].to_numpy()
+        cvv = sub["chunk_val"].to_numpy()
+        idv = sub[id_col].to_numpy()
+        smv = sub["simhash"].to_numpy()
+        order = np.lexsort((idv, cvv, ckv))
+        ckv, cvv, idv, smv = ckv[order], cvv[order], idv[order], smv[order]
+        m = len(idv)
+        a_parts, b_parts, sa_parts, sb_parts = [], [], [], []
+        if m:
+            new_grp = np.empty(m, dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (ckv[1:] != ckv[:-1]) | (cvv[1:] != cvv[:-1])
+            starts = np.flatnonzero(new_grp)
+            sizes = np.diff(np.append(starts, m))
+            ranks = np.arange(m) - np.repeat(starts, sizes)
+            keep = ranks < max_bucket
+            if not keep.all():
+                ckv, cvv, idv, smv = (
+                    ckv[keep], cvv[keep], idv[keep], smv[keep]
+                )
+                m = len(idv)
+                new_grp = np.empty(m, dtype=bool)
+                new_grp[0] = True
+                new_grp[1:] = (ckv[1:] != ckv[:-1]) | (cvv[1:] != cvv[:-1])
+                starts = np.flatnonzero(new_grp)
+                sizes = np.diff(np.append(starts, m))
+            two = starts[sizes == 2]
+            if len(two):
+                a_parts.append(idv[two]); b_parts.append(idv[two + 1])
+                sa_parts.append(smv[two]); sb_parts.append(smv[two + 1])
+            for s0, sz in zip(starts[sizes > 2], sizes[sizes > 2]):
+                iu, ju = np.triu_indices(sz, k=1)
+                a_parts.append(idv[s0 : s0 + sz][iu])
+                b_parts.append(idv[s0 : s0 + sz][ju])
+                sa_parts.append(smv[s0 : s0 + sz][iu])
+                sb_parts.append(smv[s0 : s0 + sz][ju])
+        if a_parts:
+            a_out = np.concatenate(a_parts)
+            b_out = np.concatenate(b_parts)
+            d = hamming64_batch(
+                np.concatenate(sa_parts).astype(np.uint64),
+                np.concatenate(sb_parts).astype(np.uint64),
+            )
+            ok = d <= max_hamming
+            a_out, b_out, d = a_out[ok], b_out[ok], d[ok]
+        else:
+            a_out = np.array([], dtype=dt)
+            b_out = np.array([], dtype=dt)
+            d = np.array([], dtype=np.int64)
         return pd.DataFrame(
             {
                 "id_a": pd.Series(a_out, dtype=dt),
                 "id_b": pd.Series(b_out, dtype=dt),
-                "hamming": pd.Series(h_out, dtype="int64"),
+                "hamming": pd.Series(d, dtype="int64"),
             }
         )
 
