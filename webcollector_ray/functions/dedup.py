@@ -122,6 +122,20 @@ def _word_hash64(w: str) -> int:
     return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
 
 
+def _gram_hashes_from_word_hashes(wh: np.ndarray, k: int) -> np.ndarray:
+    """k-gram hashes from precomputed word hashes (the inner loop of
+    _shingle_hashes, exposed for callers that already split/hashed the
+    words — e.g. the repetition kernel computes 2- and 3-gram stats
+    from ONE word-hash pass). Requires len(wh) >= k."""
+    n = len(wh) - k + 1
+    mix = _pos_mix(k)
+    with np.errstate(over="ignore"):
+        out = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            out ^= wh[j : j + n] * mix[j]
+    return out
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Hashes of word k-shingles: per-word md5-64 combined with
     position-dependent 64-bit mixing — vectorized over all shingles
@@ -131,13 +145,7 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
         joined = " ".join(words)
         return np.array([_word_hash64(joined)], dtype=np.uint64)
     wh = np.array([_word_hash64(w) for w in words], dtype=np.uint64)
-    n = len(words) - k + 1
-    mix = _pos_mix(k)
-    with np.errstate(over="ignore"):
-        out = np.zeros(n, dtype=np.uint64)
-        for j in range(k):
-            out ^= wh[j : j + n] * mix[j]
-    return out
+    return _gram_hashes_from_word_hashes(wh, k)
 
 
 class MinHasher:

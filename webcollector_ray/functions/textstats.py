@@ -292,21 +292,25 @@ def repetition_stats_batch(
     Fractions are exactly-rounded IEEE divisions, so the driver
     value-hash is reproducible in DuckDB.
     """
-    from .dedup import _shingle_hashes, _word_hash64
+    from .dedup import _gram_hashes_from_word_hashes, _word_hash64
 
     texts = batch[text_col].to_pylist()
     n_docs = len(texts)
     word_lists = [(t or "").lower().split() for t in texts]
     n_words = np.array([len(w) for w in word_lists], dtype=np.int64)
+    # hash every word ONCE; 1/2/3-gram stats all derive from this pass
+    wh_lists = [
+        np.array([_word_hash64(w) for w in words], dtype=np.uint64)
+        for words in word_lists
+    ]
 
     def _dup_frac(k: int) -> np.ndarray:
         """1 - distinct/total over word k-grams, 0.0 when no k-gram."""
         hs, doc_of = [], []
-        for d, words in enumerate(word_lists):
-            if len(words) < k:
+        for d, wh in enumerate(wh_lists):
+            if len(wh) < k:
                 continue
-            # reuse the shingle hasher on the raw word stream
-            h = _shingle_hashes(" ".join(words), k)
+            h = _gram_hashes_from_word_hashes(wh, k)
             hs.append(h)
             doc_of.append(np.full(len(h), d, dtype=np.int64))
         out = np.zeros(n_docs, dtype=np.float64)
@@ -328,13 +332,11 @@ def repetition_stats_batch(
     # most-frequent-word fraction via the same lexsort trick
     top_frac = np.zeros(n_docs, dtype=np.float64)
     whs, wdoc = [], []
-    for di, words in enumerate(word_lists):
-        if not words:
+    for di, wh in enumerate(wh_lists):
+        if not len(wh):
             continue
-        whs.append(
-            np.array([_word_hash64(w) for w in words], dtype=np.uint64)
-        )
-        wdoc.append(np.full(len(words), di, dtype=np.int64))
+        whs.append(wh)
+        wdoc.append(np.full(len(wh), di, dtype=np.int64))
     if whs:
         h = np.concatenate(whs)
         d = np.concatenate(wdoc)
