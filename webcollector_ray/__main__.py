@@ -5,6 +5,8 @@ Subcommands:
   crawl      run a BFS crawl (the §3.1 lifecycle) from CLI flags
   inspect    print a checkpointed crawldb depth (S5 offline reader)
   bucketize  pre-bucket a pages parquet table into a BucketedPageStore
+  clean-corpus  quality + repetition gates -> exact + fuzzy dedup ->
+             resumable partitioned parquet (skips complete partitions)
 
 The pages source (`--pages`) accepts:
   - a parquet file/dir of Common-Crawl-style pages (read + broadcast),
@@ -120,6 +122,86 @@ def cmd_bucketize(args) -> None:
     print(json.dumps({"out": args.out, "num_buckets": args.buckets}))
 
 
+def cmd_clean_corpus(args) -> None:
+    """The composed training-data pipeline as a job: quality gate ->
+    repetition gate -> exact dedup -> minhash-LSH fuzzy dedup (keep
+    each near-dup cluster's min-id representative) -> resumable
+    hash-partitioned parquet sink. Re-running after a crash skips
+    partitions that already have their _SUCCESS marker."""
+    _ensure_ray(args.cpus)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .functions.dedup import (
+        cluster_pairs_minlabel,
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
+    from .functions.joins import hash_join
+    from .functions.output import write_partitioned_parquet
+    from .functions.textstats import (
+        quality_batch,
+        repetition_stats_batch,
+    )
+
+    docs = rd.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch, text_col=args.text_col)
+        m = pc.and_(
+            pc.greater_equal(q["n_tokens"], args.min_tokens),
+            pc.greater_equal(q["alpha_ratio"], args.min_alpha),
+        )
+        return batch.filter(m)
+
+    def repetition_gate(batch: pa.Table) -> pa.Table:
+        r = repetition_stats_batch(
+            batch, text_col=args.text_col, id_col=args.id_col
+        )
+        m = pc.and_(
+            pc.less_equal(r["dup_3gram_frac"], args.max_dup3),
+            pc.less_equal(r["top_word_frac"], args.max_topword),
+        )
+        return batch.filter(m)
+
+    gated = docs.map_batches(
+        quality_gate, batch_format="pyarrow"
+    ).map_batches(repetition_gate, batch_format="pyarrow")
+    deduped = exact_dedup(
+        gated, text_col=args.text_col, id_col=args.id_col
+    ).materialize()
+
+    pairs = minhash_dedup_pairs(
+        deduped, threshold=args.jaccard,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    labels = cluster_pairs_minlabel(pairs, id_col=args.id_col)
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        if args.id_col not in batch.column_names:
+            return pa.table({args.id_col: pa.nulls(0, pa.int64())})
+        return batch.filter(
+            pc.not_equal(batch[args.id_col], batch["cluster"])
+        ).select([args.id_col])
+
+    dropped = labels.map_batches(non_reps, batch_format="pyarrow")
+    kept = hash_join(deduped, dropped, on=args.id_col, how="anti")
+    manifest = write_partitioned_parquet(
+        kept, args.out, key_col=args.id_col,
+        num_partitions=args.partitions,
+    )
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "partitions_written": len(manifest),
+                "rows_written": sum(manifest.values()),
+            }
+        )
+    )
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="python -m webcollector_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -157,6 +239,20 @@ def main(argv=None) -> None:
     b.add_argument("--out", required=True)
     b.add_argument("--buckets", type=int, default=64)
     b.set_defaults(fn=cmd_bucketize)
+
+    cc = sub.add_parser("clean-corpus")
+    cc.add_argument("--cpus", type=int, default=None)
+    cc.add_argument("--docs", required=True)
+    cc.add_argument("--out", required=True)
+    cc.add_argument("--id-col", default="doc_id")
+    cc.add_argument("--text-col", default="text")
+    cc.add_argument("--min-tokens", type=int, default=10)
+    cc.add_argument("--min-alpha", type=float, default=0.5)
+    cc.add_argument("--max-dup3", type=float, default=0.5)
+    cc.add_argument("--max-topword", type=float, default=0.5)
+    cc.add_argument("--jaccard", type=float, default=0.5)
+    cc.add_argument("--partitions", type=int, default=64)
+    cc.set_defaults(fn=cmd_clean_corpus)
 
     args = ap.parse_args(argv)
     args.fn(args)
