@@ -25,7 +25,6 @@ Scale shapes (ray_guide patterns, all shuffle-by-bucket):
 from __future__ import annotations
 
 import hashlib
-import zlib
 from typing import List, Optional
 
 import numpy as np

@@ -10,7 +10,6 @@ reduce unit, so key skew and tiny-group overhead never appear. At
 
 from __future__ import annotations
 
-import zlib
 from typing import Dict, Optional
 
 import numpy as np
@@ -116,16 +115,17 @@ def _emit(df: pd.DataFrame, out_cols, out_types: Dict[str, pa.DataType]) -> pa.T
 
 
 def _bucket_ids(col, num_buckets: int) -> np.ndarray:
-    """Hash-bucket a key column; vectorized for integer keys (the hot
-    path at 10^10 rows), crc32 fallback for strings."""
+    """Hash-bucket a key column; multiplicative hash for integer keys,
+    pandas' vectorized fixed-key siphash for everything else — never a
+    per-row Python loop (this is on every exchange's tag path)."""
     if pa.types.is_integer(col.type):
         v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         h = v * np.uint64(0x9E3779B97F4A7C15)
         return (h % np.uint64(num_buckets)).astype(np.int32)
-    return np.array(
-        [zlib.crc32(str(k).encode()) % num_buckets for k in col.to_pylist()],
-        dtype=np.int32,
+    h = pd.util.hash_array(
+        np.asarray(col.to_pylist(), dtype=object), categorize=False
     )
+    return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
 def _make_tagger(all_cols, types, side: str, key_col: str, num_buckets: int):

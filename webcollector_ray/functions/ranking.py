@@ -8,7 +8,6 @@ map_groups group per key, never a sort-based Dataset shuffle.
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -76,13 +75,9 @@ def top_n_per_group(
     result)."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = np.array(
-            [
-                zlib.crc32(str(k).encode()) % num_buckets
-                for k in batch[key_col].to_pylist()
-            ],
-            dtype=np.int32,
-        )
+        from .joins import _bucket_ids
+
+        b = _bucket_ids(batch[key_col], num_buckets)
         return batch.append_column("__bucket", pa.array(b))
 
     sort_cols = [key_col, order_col] + ([tie_col] if tie_col else [])

@@ -138,13 +138,9 @@ def quantiles_by_key(
     key_type = dict(zip(schema.names, schema.types))[key_col]
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import zlib
+        from .joins import _bucket_ids
 
-        keys = batch[key_col].to_pylist()
-        b = np.array(
-            [zlib.crc32(str(k).encode()) % num_buckets for k in keys],
-            dtype=np.int32,
-        )
+        b = _bucket_ids(batch[key_col], num_buckets)
         return batch.select([key_col, value_col]).append_column(
             "__bucket", pa.array(b)
         )
@@ -230,7 +226,6 @@ def quantiles_sketch_by_key(
     B = num_bins
 
     def partial(batch: pa.Table) -> pa.Table:
-        import zlib
 
         keys = batch[key_col].to_pylist()
         v = np.asarray(batch[value_col].to_pylist(), dtype=np.float64)
@@ -246,10 +241,13 @@ def quantiles_sketch_by_key(
             .size()
             .reset_index(name="n")
         )
-        b = np.array(
-            [zlib.crc32(str(k).encode()) % num_buckets for k in df[key_col]],
-            dtype=np.int32,
-        )
+        import pandas as _pd
+
+        b = (
+            _pd.util.hash_array(
+                df[key_col].to_numpy(dtype=object), categorize=False
+            ) % np.uint64(num_buckets)
+        ).astype(np.int32)
         t = pa.Table.from_pandas(df, preserve_index=False)
         return t.set_column(
             t.schema.get_field_index(key_col), key_col,
@@ -300,7 +298,6 @@ def vocab_top_words(ds, *, text_col: str = "text", n: int = 200,
     word-hash bucket exchange summing partials, then the distributed
     global top-n (local top per bucket block + single tiny reduce) —
     the full word set is never collected anywhere."""
-    import zlib
     from collections import Counter
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -309,10 +306,13 @@ def vocab_top_words(ds, *, text_col: str = "text", n: int = 200,
             if t:
                 c.update(t.lower().split())
         words = list(c.keys())
-        b = np.array(
-            [zlib.crc32(w.encode()) % num_buckets for w in words],
-            dtype=np.int32,
-        )
+        import pandas as _pd
+
+        b = (
+            _pd.util.hash_array(
+                np.asarray(words, dtype=object), categorize=False
+            ) % np.uint64(num_buckets)
+        ).astype(np.int32) if words else np.zeros(0, dtype=np.int32)
         return pa.table(
             {
                 "word": pa.array(words, pa.string()),

@@ -14,6 +14,7 @@ import re
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -214,7 +215,6 @@ def tfidf_top_terms(
     Tokenization is the repo-wide lower().split() (token-count /
     vocab oracles use the same).
     """
-    import zlib
     from collections import Counter
 
     from .joins import exchange_reduce
@@ -229,10 +229,11 @@ def tfidf_top_terms(
                 ids.append(i)
                 words.append(w)
                 tfs.append(f)
-        b = np.array(
-            [zlib.crc32(w.encode()) % num_buckets for w in words],
-            dtype=np.int32,
-        )
+        b = (
+            pd.util.hash_array(
+                np.asarray(words, dtype=object), categorize=False
+            ) % np.uint64(num_buckets)
+        ).astype(np.int32) if words else np.zeros(0, dtype=np.int32)
         return pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),

@@ -192,12 +192,14 @@ def session_windows(
                 (v * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
             ).astype(np.int32)
         else:
-            import zlib
+            import pandas as _pd
 
-            bk = np.array(
-                [zlib.crc32(str(x).encode()) % num_buckets for x in k.to_pylist()],
-                dtype=np.int32,
-            )
+            bk = (
+                _pd.util.hash_array(
+                    np.asarray(k.to_pylist(), dtype=object),
+                    categorize=False,
+                ) % np.uint64(num_buckets)
+            ).astype(np.int32)
         return batch.append_column("__bucket", pa.array(bk))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:

@@ -34,7 +34,6 @@ skew never appear; at 10^10 keys only `num_buckets` needs raising.
 
 from __future__ import annotations
 
-import zlib
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -49,9 +48,15 @@ _HELPER_COLS = ["__prec"]
 
 
 def _bucket_ids(keys: List[str], num_buckets: int) -> np.ndarray:
-    return np.array(
-        [zlib.crc32(k.encode()) % num_buckets for k in keys], dtype=np.int64
-    )
+    """Vectorized fixed-key siphash (same C kernel as the seen filter)
+    — the per-key crc32 Python loop this replaces was the largest
+    single cost of the split wave at 10^6-row frontiers. Bucket
+    routing is internal to one exchange, so the hash only has to be
+    stable within a run."""
+    if not len(keys):
+        return np.zeros(0, dtype=np.int64)
+    h = pd.util.hash_array(np.asarray(keys, dtype=object), categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 @ray.remote
