@@ -243,6 +243,86 @@ def _q_docs_gopher_clean(sf_dir: str):
     return stats.map_batches(keep, batch_format="pyarrow")
 
 
+def _inject_pii_batch(batch: pa.Table) -> pa.Table:
+    """Deterministically append synthetic PII derived from doc_id (the
+    corpus itself is PII-free, so without this the scrub kernel would
+    never fire). Harness-only — the operator under test is the
+    vectorized pii_scrub_batch; the oracle injects the identical
+    strings in SQL."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        s = t or ""
+        if i % 3 == 0:
+            s += f" contact user{i}@example.com now"
+        if i % 5 == 0:
+            s += f" call +1 ({200 + i % 700}) {100 + i % 900}-{1000 + i % 9000}"
+        if i % 7 == 0:
+            s += f" host 10.{i % 256}.{(i * 7) % 256}.{(i * 13) % 200 + 1} up"
+        out.append(s)
+    return batch.set_column(
+        batch.column_names.index("text"), "text", pa.array(out, pa.string())
+    )
+
+
+def _q_docs_pii_scrub(sf_dir: str):
+    """PII scrub over the (synthetically contaminated) corpus: per-doc
+    email/ip/phone counts + md5 of the scrubbed text. Map-only."""
+    from webcollector_ray.functions.pii import pii_scrub_batch
+
+    ds = _docs(sf_dir).map_batches(_inject_pii_batch, batch_format="pyarrow")
+    ds = ds.map_batches(pii_scrub_batch, batch_format="pyarrow")
+    ds = ds.map_batches(md5_fingerprint_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_emails", "n_ips", "n_phones", "fp"])
+
+
+_DECON_MOD, _DECON_REM, _DECON_K = 17, 3, 8
+
+
+def _eval_split_mask(batch: pa.Table, want_eval: bool) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    m = (ids % _DECON_MOD) == _DECON_REM
+    return batch.filter(pa.array(m if want_eval else ~m))
+
+
+def _decontam_hits(sf_dir: str):
+    """Shared plan of the two decontamination queries: eval slice ->
+    broadcast gram-hash set (built in a Ray task), one map-only flag
+    pass over the training slice."""
+    from webcollector_ray.functions.decontam import (
+        build_eval_gram_set,
+        contamination_flags,
+    )
+
+    ds = _docs(sf_dir)
+    ev = ds.map_batches(
+        lambda b: _eval_split_mask(b, True), batch_format="pyarrow"
+    )
+    train = ds.map_batches(
+        lambda b: _eval_split_mask(b, False), batch_format="pyarrow"
+    )
+    grams_ref = build_eval_gram_set(ev, k=_DECON_K)
+    return contamination_flags(train, grams_ref, k=_DECON_K)
+
+
+def _q_docs_contamination(sf_dir: str):
+    """Training docs sharing >=1 word 8-gram with the eval slice, with
+    the distinct-gram hit count."""
+    return _decontam_hits(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater(b["n_hits"], 0)),
+        batch_format="pyarrow",
+    )
+
+
+def _q_docs_decontaminated(sf_dir: str):
+    """The surviving training corpus after eval decontamination."""
+    return _decontam_hits(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["n_hits"], 0)).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_docs_sample(sf_dir: str):
     """Deterministic 10% hash sample — reproducible corpus subsetting
     (hash-mod on the id, not random_sample, so reruns and the oracle
@@ -1005,6 +1085,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top_terms": _q_doc_tfidf_top_terms,
         "docs_repetition": _q_docs_repetition,
         "docs_gopher_clean": _q_docs_gopher_clean,
+        "docs_pii_scrub": _q_docs_pii_scrub,
+        "docs_contamination": _q_docs_contamination,
+        "docs_decontaminated": _q_docs_decontaminated,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -1182,6 +1265,85 @@ _REPETITION_SQL = r"""
         LEFT JOIN s2 ON s2.doc_id = d.doc_id
         LEFT JOIN s3 ON s3.doc_id = d.doc_id
         LEFT JOIN tw ON tw.doc_id = d.doc_id
+    )
+"""
+
+
+def _pii_scrub_oracle_sql() -> str:
+    """Same injection expressions and the SAME RE2 pattern strings the
+    engine uses (imported, so they cannot drift); counts taken
+    sequentially on the progressively-scrubbed text, like the kernel."""
+    from webcollector_ray.functions.pii import EMAIL_RE, IP_RE, PHONE_RE
+
+    return f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                        || doc_id || '@example.com now' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ' call +1 ('
+                        || (200 + doc_id % 700) || ') '
+                        || (100 + doc_id % 900) || '-'
+                        || (1000 + doc_id % 9000) ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN ' host 10.'
+                        || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                        || '.' || ((doc_id * 13) % 200 + 1) || ' up'
+                        ELSE '' END AS t0
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(t0, '{EMAIL_RE}'))::BIGINT
+                     AS n_emails,
+                   regexp_replace(t0, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+            FROM inj
+        ),
+        s2 AS (
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(t1, '{IP_RE}'))::BIGINT AS n_ips,
+                   regexp_replace(t1, '{IP_RE}', '<IP>', 'g') AS t2
+            FROM s1
+        ),
+        s3 AS (
+            SELECT doc_id, n_emails, n_ips,
+                   len(regexp_extract_all(t2, '{PHONE_RE}'))::BIGINT
+                     AS n_phones,
+                   regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS t3
+            FROM s2
+        )
+        SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS fp FROM s3
+    """
+
+
+# Eval-set decontamination re-derived with exact gram STRINGS (the
+# engine compares 64-bit shingle hashes; collision odds ~2^-64/pair)
+_DECONTAM_SQL = rf"""
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                   '\s+') AS words
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_slice(words, i, i + {_DECON_K - 1}), chr(31)) AS g
+        FROM docs, unnest(range(1, len(words) - {_DECON_K - 2})) AS t(i)
+        WHERE len(words) >= {_DECON_K}
+        UNION ALL
+        SELECT doc_id, array_to_string(words, chr(31)) AS g
+        FROM docs WHERE len(words) < {_DECON_K}
+    ),
+    ev AS (
+        SELECT DISTINCT g FROM grams
+        WHERE doc_id % {_DECON_MOD} = {_DECON_REM}
+    ),
+    hits AS (
+        SELECT g.doc_id, count(DISTINCT g.g)::BIGINT AS n_hits
+        FROM grams g JOIN ev ON g.g = ev.g
+        WHERE g.doc_id % {_DECON_MOD} != {_DECON_REM}
+        GROUP BY g.doc_id
     )
 """
 
@@ -1792,6 +1954,14 @@ def _oracle_sql_static() -> dict[str, str]:
         "docs_gopher_clean": _REPETITION_SQL + """
             SELECT doc_id FROM rep
             WHERE dup_2gram_frac <= 0.05 AND top_word_frac <= 0.12
+        """,
+        "docs_pii_scrub": _pii_scrub_oracle_sql(),
+        "docs_contamination": _DECONTAM_SQL
+        + "SELECT doc_id, n_hits FROM hits",
+        "docs_decontaminated": _DECONTAM_SQL + f"""
+            SELECT d.doc_id FROM docs d
+            WHERE d.doc_id % {_DECON_MOD} != {_DECON_REM}
+              AND d.doc_id NOT IN (SELECT doc_id FROM hits)
         """,
         # linear-idf score (tf::DOUBLE * N) / df — same IEEE mul/div
         # order as the numpy side, so the double value-hash is exact

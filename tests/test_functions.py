@@ -676,3 +676,54 @@ def test_write_partitioned_parquet_resume(ray_session, tmp_path):
     )
     assert got.sort_by("k").equals(t)
     assert sum(m2.values()) == m1[3]
+
+
+def test_pii_scrub_batch():
+    from webcollector_ray.functions.pii import pii_scrub_batch
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "mail me at a.b-c%d@mail.example.org thanks",
+            "server 192.168.1.254 then call +1 (555) 123-4567",
+            "nothing here",
+            "two mails x@y.io and z@w.co plus 10.0.0.1",
+        ],
+    })
+    out = pii_scrub_batch(t)
+    assert out["n_emails"].to_pylist() == [1, 0, 0, 2]
+    assert out["n_ips"].to_pylist() == [0, 1, 0, 1]
+    assert out["n_phones"].to_pylist() == [0, 1, 0, 0]
+    assert out["text"].to_pylist() == [
+        "mail me at <EMAIL> thanks",
+        "server <IP> then call <PHONE>",
+        "nothing here",
+        "two mails <EMAIL> and <EMAIL> plus <IP>",
+    ]
+
+
+def test_decontamination(ray_session):
+    from webcollector_ray.functions.decontam import (
+        build_eval_gram_set,
+        contamination_flags,
+    )
+
+    base = "w%d " * 20
+    eval_text = " ".join(f"w{i}" for i in range(20))
+    near_dup = " ".join(f"w{i}" for i in range(20)) + " extra tail words here"
+    clean = " ".join(f"v{i}" for i in range(20))
+    short_eval = "tiny doc"          # < k words -> whole-doc gram
+    short_dup = "tiny doc"
+    ev = rd.from_arrow(pa.table({
+        "doc_id": [0, 1], "text": [eval_text, short_eval],
+    }))
+    train = rd.from_arrow(pa.table({
+        "doc_id": [10, 11, 12], "text": [near_dup, clean, short_dup],
+    }))
+    ref = build_eval_gram_set(ev, k=8)
+    flags = contamination_flags(train, ref, k=8).to_pandas()
+    flags = flags.set_index("doc_id")["n_hits"]
+    # near_dup shares the 13 distinct 8-grams of eval_text's 20 words
+    assert flags[10] == 13
+    assert flags[11] == 0
+    assert flags[12] == 1  # short-doc whole-gram match
