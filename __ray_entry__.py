@@ -323,6 +323,20 @@ def _q_docs_decontaminated(sf_dir: str):
     )
 
 
+_LM_TOP_V = 1024
+
+
+def _q_docs_lm_score(sf_dir: str):
+    """CCNet-style unigram-LM quality score: train on the corpus (one
+    word-count exchange + bounded top-V broadcast), then a map-only
+    scoring pass."""
+    from webcollector_ray.functions.lm import train_unigram_lm, unigram_lm_score
+
+    ds = _docs(sf_dir)
+    model_ref, total = train_unigram_lm(ds, top_v=_LM_TOP_V)
+    return unigram_lm_score(ds, model_ref, total, top_v=_LM_TOP_V)
+
+
 def _q_docs_sample(sf_dir: str):
     """Deterministic 10% hash sample — reproducible corpus subsetting
     (hash-mod on the id, not random_sample, so reruns and the oracle
@@ -1088,6 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_contamination": _q_docs_contamination,
         "docs_decontaminated": _q_docs_decontaminated,
+        "docs_lm_score": _q_docs_lm_score,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -1956,6 +1971,45 @@ def _oracle_sql_static() -> dict[str, str]:
             WHERE dup_2gram_frac <= 0.05 AND top_word_frac <= 0.12
         """,
         "docs_pii_scrub": _pii_scrub_oracle_sql(),
+        "docs_lm_score": rf"""
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                           '\s+') AS words
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(words) AS w FROM docs
+            ),
+            wc AS (
+                SELECT w, count(*)::BIGINT AS n FROM tok
+                WHERE w != '' GROUP BY w
+            ),
+            tot AS (SELECT coalesce(sum(n), 0) AS t FROM wc),
+            topv AS (
+                SELECT w, n FROM (
+                    SELECT w, n,
+                           row_number() OVER (ORDER BY n DESC, w ASC) AS rn
+                    FROM wc
+                ) WHERE rn <= {_LM_TOP_V}
+            ),
+            sc AS (
+                SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+                       round(avg(ln(
+                           (coalesce(v.n, 0) + 1)::DOUBLE
+                           / (tot.t + {_LM_TOP_V + 1})::DOUBLE
+                       )), 6) AS lm_score
+                FROM tok CROSS JOIN tot
+                LEFT JOIN topv v ON tok.w = v.w
+                WHERE tok.w != ''
+                GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(sc.lm_score, 0.0) AS lm_score
+            FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        """,
         "docs_contamination": _DECONTAM_SQL
         + "SELECT doc_id, n_hits FROM hits",
         "docs_decontaminated": _DECONTAM_SQL + f"""

@@ -727,3 +727,31 @@ def test_decontamination(ray_session):
     assert flags[10] == 13
     assert flags[11] == 0
     assert flags[12] == 1  # short-doc whole-gram match
+
+
+def test_unigram_lm_score(ray_session):
+    import math
+
+    from webcollector_ray.functions.lm import (
+        train_unigram_lm,
+        unigram_lm_score,
+    )
+
+    train = rd.from_arrow(pa.table({
+        "doc_id": [0, 1],
+        "text": ["a a a b", "b c"],
+    }))
+    # top_v=2 -> model keeps {a:3, b:2}; c is trained out (OOV path)
+    model_ref, total = train_unigram_lm(train, top_v=2)
+    assert total == 6
+    score = rd.from_arrow(pa.table({
+        "doc_id": [10, 11, 12],
+        "text": ["a b", "zz", "   "],
+    }))
+    out = unigram_lm_score(score, model_ref, total, top_v=2).to_pandas()
+    out = out.set_index("doc_id")
+    denom = 6 + 2 + 1
+    exp_ab = round((math.log(4 / denom) + math.log(3 / denom)) / 2, 6)
+    assert out.loc[10, "lm_score"] == exp_ab
+    assert out.loc[11, "lm_score"] == round(math.log(1 / denom), 6)  # OOV
+    assert out.loc[12, "lm_score"] == 0.0 and out.loc[12, "n_tokens"] == 0

@@ -288,16 +288,13 @@ def quantiles_sketch_by_key(
 # ------------------------------------------------------------ vocabulary
 
 
-def vocab_top_words(ds, *, text_col: str = "text", n: int = 200,
-                    num_buckets: int = 32):
-    """Corpus vocabulary / heavy hitters: the n most frequent
-    whitespace tokens of lower(text) (the repo-wide tokenization the
-    token-count oracles use), ties broken by word ascending.
-
-    Partial counts per batch (Counter -> (word, n) rows), ONE
-    word-hash bucket exchange summing partials, then the distributed
-    global top-n (local top per bucket block + single tiny reduce) —
-    the full word set is never collected anywhere."""
+def word_counts(ds, *, text_col: str = "text", num_buckets: int = 32):
+    """Distributed corpus word counts over lower(text).split() (the
+    repo-wide tokenization): partial Counter per batch -> (word, n)
+    rows, ONE word-hash bucket exchange summing partials. Returns a
+    Dataset[word, n] with each word on exactly one block — the full
+    word set is never collected anywhere. Shared by vocab_top_words
+    and the unigram LM trainer."""
     from collections import Counter
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -330,10 +327,19 @@ def vocab_top_words(ds, *, text_col: str = "text", n: int = 200,
         g = df.groupby("word", sort=False, as_index=False)["n"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    counts = exchange_reduce(
+    return exchange_reduce(
         ds.map_batches(partial, batch_format="pyarrow"),
         bucket_sum, empty, num_buckets,
     )
+
+
+def vocab_top_words(ds, *, text_col: str = "text", n: int = 200,
+                    num_buckets: int = 32):
+    """Corpus vocabulary / heavy hitters: the n most frequent
+    whitespace tokens, ties broken by word ascending — word_counts'
+    exchange followed by the distributed global top-n (local top per
+    bucket block + single tiny reduce)."""
+    counts = word_counts(ds, text_col=text_col, num_buckets=num_buckets)
     return global_top_n(counts, order_col="n", n=n, tie_col="word")
 
 
