@@ -337,6 +337,25 @@ def _q_docs_lm_score(sf_dir: str):
     return unigram_lm_score(ds, model_ref, total, top_v=_LM_TOP_V)
 
 
+# src<N> -> one of four weights: downsample / keep / fractional
+# upsample / 2.5-epoch upsample (covers every gate in mix_rebalance)
+_MIX_WEIGHT_CYCLE = (0.25, 1.0, 1.75, 2.5)
+
+
+def _q_docs_mix_rebalance(sf_dir: str):
+    """Training-mix rebalancing over the source strata: (doc_id, copy)
+    row multiplicity under per-source weights."""
+    from webcollector_ray.functions.sketches import mix_rebalance
+
+    weights = {
+        f"src{i}": _MIX_WEIGHT_CYCLE[i % 4] for i in range(1000)
+    }
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return mix_rebalance(ds, weights, id_col="doc_id", strata_col="source")
+
+
 def _q_docs_sample(sf_dir: str):
     """Deterministic 10% hash sample — reproducible corpus subsetting
     (hash-mod on the id, not random_sample, so reruns and the oracle
@@ -1103,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination": _q_docs_contamination,
         "docs_decontaminated": _q_docs_decontaminated,
         "docs_lm_score": _q_docs_lm_score,
+        "docs_mix_rebalance": _q_docs_mix_rebalance,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -2012,6 +2032,28 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "docs_contamination": _DECONTAM_SQL
         + "SELECT doc_id, n_hits FROM hits",
+        "docs_mix_rebalance": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       CASE (CAST(substr(source, 4) AS BIGINT) % 4)
+                           WHEN 0 THEN {_MIX_WEIGHT_CYCLE[0]}
+                           WHEN 1 THEN {_MIX_WEIGHT_CYCLE[1]}
+                           WHEN 2 THEN {_MIX_WEIGHT_CYCLE[2]}
+                           ELSE {_MIX_WEIGHT_CYCLE[3]}
+                       END AS wt
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id,
+                       floor(wt)::BIGINT
+                       + CASE WHEN (doc_id * 2654435761) % 1000
+                                   < round((wt - floor(wt)) * 1000)
+                              THEN 1 ELSE 0 END AS c
+                FROM w
+            )
+            SELECT doc_id, unnest(range(0, c))::BIGINT AS copy
+            FROM n WHERE c > 0
+        """,
         "docs_decontaminated": _DECONTAM_SQL + f"""
             SELECT d.doc_id FROM docs d
             WHERE d.doc_id % {_DECON_MOD} != {_DECON_REM}

@@ -755,3 +755,33 @@ def test_unigram_lm_score(ray_session):
     assert out.loc[10, "lm_score"] == exp_ab
     assert out.loc[11, "lm_score"] == round(math.log(1 / denom), 6)  # OOV
     assert out.loc[12, "lm_score"] == 0.0 and out.loc[12, "n_tokens"] == 0
+
+
+def test_mix_rebalance(ray_session):
+    from webcollector_ray.functions.sketches import mix_rebalance
+
+    t = pa.table({
+        "doc_id": list(range(20)),
+        "source": ["down"] * 5 + ["keep"] * 5 + ["up"] * 5 + ["two"] * 5,
+    })
+    w = {"down": 0.0, "keep": 1.0, "up": 1.5, "two": 2.0}
+    out = mix_rebalance(
+        rd.from_arrow(t), w, id_col="doc_id", strata_col="source"
+    ).to_pandas()
+    per = out.groupby("doc_id")["copy"].agg(["count", "max"])
+    # down -> dropped entirely, keep -> exactly one copy
+    assert not set(range(5)) & set(per.index)
+    assert all(per.loc[i, "count"] == 1 for i in range(5, 10))
+    # up -> 1 or 2 copies by the id-hash gate, deterministic
+    for i in range(10, 15):
+        exp = 1 + (1 if (i * 2654435761) % 1000 < 500 else 0)
+        assert per.loc[i, "count"] == exp
+    # two -> exactly two copies, copy indices 0..1
+    assert all(per.loc[i, "count"] == 2 for i in range(15, 20))
+    assert all(per.loc[i, "max"] == 1 for i in range(15, 20))
+    # unknown source falls back to default_weight=1.0
+    out2 = mix_rebalance(
+        rd.from_arrow(pa.table({"doc_id": [99], "source": ["other"]})),
+        w, id_col="doc_id", strata_col="source",
+    ).to_pandas()
+    assert len(out2) == 1 and out2["copy"].iloc[0] == 0

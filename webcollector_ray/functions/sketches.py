@@ -403,3 +403,53 @@ def stratified_sample(ds, *, strata_col: str, id_col: str, k: int):
     return out.to_pandas().sort_values(
         [strata_col, id_col], kind="mergesort"
     ).reset_index(drop=True)
+
+
+# ------------------------------------------------------- mix rebalancing
+
+
+def mix_rebalance(
+    ds,
+    weights: dict,
+    *,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    default_weight: float = 1.0,
+):
+    """Training-mix rebalancing: per-source sampling weight w, where
+    w < 1 downsamples and w > 1 upsamples (epoch-repeat). Each row is
+    emitted floor(w) times plus one more for the deterministic
+    hash-fraction (id * 2654435761) % 1000 < round(frac(w) * 1000) —
+    the same Knuth-hash gate docs_sample uses, so reruns, resumes and
+    the SQL oracle agree row-for-row. Output (id, copy) with
+    copy = 0..n-1.
+
+    Map-only (weights are a tiny broadcast dict; no shuffle), fully
+    vectorized via np.repeat. This is the Pile/Gopher-style "mixture
+    epochs" stage: at 100 TB the repeat factors ride the pipeline as
+    row multiplicity, never as materialized copies of the text."""
+
+    def rebalance(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        w = np.array(
+            [
+                float(weights.get(s, default_weight))
+                for s in batch[strata_col].to_pylist()
+            ],
+            dtype=np.float64,
+        )
+        base = np.floor(w)
+        fracmill = np.round((w - base) * 1000).astype(np.int64)
+        extra = ((ids * 2654435761) % 1000 < fracmill).astype(np.int64)
+        n = base.astype(np.int64) + extra
+        starts = np.cumsum(n) - n
+        rep_ids = np.repeat(ids, n)
+        copy = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
+        return pa.table(
+            {
+                id_col: pa.array(rep_ids, batch[id_col].type),
+                "copy": pa.array(copy),
+            }
+        )
+
+    return ds.map_batches(rebalance, batch_format="pyarrow")
