@@ -356,6 +356,20 @@ def _q_docs_mix_rebalance(sf_dir: str):
     return mix_rebalance(ds, weights, id_col="doc_id", strata_col="source")
 
 
+_CHUNK_TOKENS = 32
+
+
+def _q_docs_chunks(sf_dir: str):
+    """Sequence chunking (packing prep): token windows of 32 with the
+    chunk fingerprint used for chunk-level dedup/shard routing."""
+    from webcollector_ray.functions.textstats import chunk_documents_batch
+
+    return _docs(sf_dir).map_batches(
+        lambda b: chunk_documents_batch(b, chunk_tokens=_CHUNK_TOKENS),
+        batch_format="pyarrow",
+    )
+
+
 def _q_docs_sample(sf_dir: str):
     """Deterministic 10% hash sample — reproducible corpus subsetting
     (hash-mod on the id, not random_sample, so reruns and the oracle
@@ -1123,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminated": _q_docs_decontaminated,
         "docs_lm_score": _q_docs_lm_score,
         "docs_mix_rebalance": _q_docs_mix_rebalance,
+        "docs_chunks": _q_docs_chunks,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -1991,6 +2006,31 @@ def _oracle_sql_static() -> dict[str, str]:
             WHERE dup_2gram_frac <= 0.05 AND top_word_frac <= 0.12
         """,
         "docs_pii_scrub": _pii_scrub_oracle_sql(),
+        "docs_chunks": rf"""
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                           '\s+') AS words,
+                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g')
+                                 = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                                '\s+')) END AS nw
+                FROM documents
+            )
+            SELECT doc_id,
+                   c AS chunk_id,
+                   least(nw - c * {_CHUNK_TOKENS},
+                         {_CHUNK_TOKENS})::BIGINT AS n_tokens,
+                   md5(array_to_string(
+                       list_slice(words, c * {_CHUNK_TOKENS} + 1,
+                                  least((c + 1) * {_CHUNK_TOKENS}, nw)),
+                       ' ')) AS chunk_fp
+            FROM docs,
+                 unnest(range(0, (nw + {_CHUNK_TOKENS - 1})
+                                 // {_CHUNK_TOKENS})) AS t(c)
+        """,
         "docs_lm_score": rf"""
             WITH docs AS (
                 SELECT doc_id,

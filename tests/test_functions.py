@@ -785,3 +785,21 @@ def test_mix_rebalance(ray_session):
         w, id_col="doc_id", strata_col="source",
     ).to_pandas()
     assert len(out2) == 1 and out2["copy"].iloc[0] == 0
+
+
+def test_chunk_documents_batch():
+    import hashlib
+
+    from webcollector_ray.functions.textstats import chunk_documents_batch
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["w0 w1 w2 w3 w4", "  a   b  ", ""],
+    })
+    out = chunk_documents_batch(t, chunk_tokens=2)
+    assert out["doc_id"].to_pylist() == [1, 1, 1, 2]
+    assert out["chunk_id"].to_pylist() == [0, 1, 2, 0]
+    assert out["n_tokens"].to_pylist() == [2, 2, 1, 2]  # ragged tail
+    assert out["chunk_fp"].to_pylist()[0] == hashlib.md5(b"w0 w1").hexdigest()
+    # whitespace runs collapse in the fingerprint
+    assert out["chunk_fp"].to_pylist()[3] == hashlib.md5(b"a b").hexdigest()

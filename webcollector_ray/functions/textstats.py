@@ -364,3 +364,39 @@ def repetition_stats_batch(
             "top_word_frac": pa.array(top_frac),
         }
     )
+
+
+# ------------------------------------------------------------- chunking
+
+
+def chunk_documents_batch(
+    batch: pa.Table,
+    *,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Sequence chunking for training-data packing: split each doc's
+    whitespace tokens into consecutive windows of `chunk_tokens` (last
+    window ragged) and emit (id, chunk_id, n_tokens, chunk_fp) where
+    chunk_fp = md5 of the space-joined window — the downstream identity
+    for chunk-level dedup and shard routing. 1 -> many flat transform,
+    map-only; whitespace runs collapse to single spaces in the
+    fingerprint (the oracle joins the same token array)."""
+    ids_out, cid_out, n_out, fp_out = [], [], [], []
+    for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        words = (t or "").split()
+        for c in range(0, len(words), chunk_tokens):
+            w = words[c : c + chunk_tokens]
+            ids_out.append(i)
+            cid_out.append(c // chunk_tokens)
+            n_out.append(len(w))
+            fp_out.append(hashlib.md5(" ".join(w).encode()).hexdigest())
+    return pa.table(
+        {
+            id_col: pa.array(ids_out, batch[id_col].type),
+            "chunk_id": pa.array(cid_out, pa.int64()),
+            "n_tokens": pa.array(n_out, pa.int64()),
+            "chunk_fp": pa.array(fp_out, pa.string()),
+        }
+    )
