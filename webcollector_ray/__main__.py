@@ -5,7 +5,8 @@ Subcommands:
   crawl      run a BFS crawl (the §3.1 lifecycle) from CLI flags
   inspect    print a checkpointed crawldb depth (S5 offline reader)
   bucketize  pre-bucket a pages parquet table into a BucketedPageStore
-  clean-corpus  quality + repetition gates -> exact + fuzzy dedup ->
+  clean-corpus  [pii scrub ->] quality + repetition gates -> exact +
+             fuzzy dedup [-> eval decontamination] [-> chunking] ->
              resumable partitioned parquet (skips complete partitions)
 
 The pages source (`--pages`) accepts:
@@ -123,9 +124,10 @@ def cmd_bucketize(args) -> None:
 
 
 def cmd_clean_corpus(args) -> None:
-    """The composed training-data pipeline as a job: quality gate ->
-    repetition gate -> exact dedup -> minhash-LSH fuzzy dedup (keep
-    each near-dup cluster's min-id representative) -> resumable
+    """The composed training-data pipeline as a job: [PII scrub ->]
+    quality gate -> repetition gate -> exact dedup -> minhash-LSH
+    fuzzy dedup (keep each near-dup cluster's min-id representative)
+    [-> eval-set decontamination] [-> sequence chunking] -> resumable
     hash-partitioned parquet sink. Re-running after a crash skips
     partitions that already have their _SUCCESS marker."""
     _ensure_ray(args.cpus)
@@ -146,6 +148,16 @@ def cmd_clean_corpus(args) -> None:
     )
 
     docs = rd.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+
+    if args.scrub_pii:
+        from .functions.pii import pii_scrub_batch
+
+        docs = docs.map_batches(
+            lambda b: pii_scrub_batch(b, text_col=args.text_col).select(
+                [args.id_col, args.text_col]
+            ),
+            batch_format="pyarrow",
+        )
 
     def quality_gate(batch: pa.Table) -> pa.Table:
         q = quality_batch(batch, text_col=args.text_col)
@@ -187,6 +199,40 @@ def cmd_clean_corpus(args) -> None:
 
     dropped = labels.map_batches(non_reps, batch_format="pyarrow")
     kept = hash_join(deduped, dropped, on=args.id_col, how="anti")
+
+    if args.decontam_eval:
+        from .functions.decontam import (
+            build_eval_gram_set,
+            contamination_flags,
+        )
+
+        ev = rd.read_parquet(args.decontam_eval, columns=[args.text_col])
+        grams_ref = build_eval_gram_set(
+            ev, k=args.decontam_k, text_col=args.text_col
+        )
+        flags = contamination_flags(
+            kept, grams_ref, k=args.decontam_k,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        contaminated = flags.map_batches(
+            lambda b: b.filter(pc.greater(b["n_hits"], 0)).select(
+                [args.id_col]
+            ),
+            batch_format="pyarrow",
+        )
+        kept = hash_join(kept, contaminated, on=args.id_col, how="anti")
+
+    if args.chunk_tokens:
+        from .functions.textstats import chunk_documents_batch
+
+        kept = kept.map_batches(
+            lambda b: chunk_documents_batch(
+                b, chunk_tokens=args.chunk_tokens,
+                text_col=args.text_col, id_col=args.id_col,
+            ),
+            batch_format="pyarrow",
+        )
+
     manifest = write_partitioned_parquet(
         kept, args.out, key_col=args.id_col,
         num_partitions=args.partitions,
@@ -251,6 +297,13 @@ def main(argv=None) -> None:
     cc.add_argument("--max-dup3", type=float, default=0.5)
     cc.add_argument("--max-topword", type=float, default=0.5)
     cc.add_argument("--jaccard", type=float, default=0.5)
+    cc.add_argument("--scrub-pii", action="store_true")
+    cc.add_argument("--decontam-eval", default=None,
+                    help="parquet of eval docs; drop training docs "
+                         "sharing any word k-gram with it")
+    cc.add_argument("--decontam-k", type=int, default=8)
+    cc.add_argument("--chunk-tokens", type=int, default=0,
+                    help="emit token-window chunk rows instead of docs")
     cc.add_argument("--partitions", type=int, default=64)
     cc.set_defaults(fn=cmd_clean_corpus)
 
