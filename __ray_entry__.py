@@ -370,6 +370,24 @@ def _q_docs_chunks(sf_dir: str):
     )
 
 
+def _q_docs_chunk_dedup(sf_dir: str):
+    """Passage-level dedup (RefinedWeb/CCNet paragraph-dedup shape):
+    chunk the corpus, then exact-dedup on the chunk fingerprint —
+    min (doc_id, chunk_id) survives per distinct passage. Chunking is
+    map-only; the dedup is the standard fp-hash bucket exchange."""
+    from webcollector_ray.functions.textstats import chunk_documents_batch
+
+    chunks = _docs(sf_dir).map_batches(
+        lambda b: chunk_documents_batch(b, chunk_tokens=_CHUNK_TOKENS),
+        batch_format="pyarrow",
+    )
+    kept = exact_dedup(
+        chunks, text_col="chunk_fp", id_col="doc_id",
+        tie_cols=("chunk_id",),
+    )
+    return kept.select_columns(["doc_id", "chunk_id", "chunk_fp"])
+
+
 def _q_docs_sample(sf_dir: str):
     """Deterministic 10% hash sample — reproducible corpus subsetting
     (hash-mod on the id, not random_sample, so reruns and the oracle
@@ -1138,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lm_score": _q_docs_lm_score,
         "docs_mix_rebalance": _q_docs_mix_rebalance,
         "docs_chunks": _q_docs_chunks,
+        "docs_chunk_dedup": _q_docs_chunk_dedup,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -1363,6 +1382,44 @@ def _pii_scrub_oracle_sql() -> str:
         )
         SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS fp FROM s3
     """
+
+
+# Token-window chunking re-derived via list_slice; shared by the
+# docs_chunks and docs_chunk_dedup oracles
+_CHUNKS_SQL: str  # assigned below once _CHUNK_TOKENS exists
+
+
+def _chunks_sql() -> str:
+    return rf"""
+        WITH docs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                       '\s+') AS words,
+                   CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g')
+                             = '' THEN 0
+                        ELSE len(regexp_split_to_array(
+                            regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                            '\s+')) END AS nw
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   c AS chunk_id,
+                   least(nw - c * {_CHUNK_TOKENS},
+                         {_CHUNK_TOKENS})::BIGINT AS n_tokens,
+                   md5(array_to_string(
+                       list_slice(words, c * {_CHUNK_TOKENS} + 1,
+                                  least((c + 1) * {_CHUNK_TOKENS}, nw)),
+                       ' ')) AS chunk_fp
+            FROM docs,
+                 unnest(range(0, (nw + {_CHUNK_TOKENS - 1})
+                                 // {_CHUNK_TOKENS})) AS t(c)
+        )
+    """
+
+
+_CHUNKS_SQL = _chunks_sql()
 
 
 # Eval-set decontamination re-derived with exact gram STRINGS (the
@@ -2006,30 +2063,18 @@ def _oracle_sql_static() -> dict[str, str]:
             WHERE dup_2gram_frac <= 0.05 AND top_word_frac <= 0.12
         """,
         "docs_pii_scrub": _pii_scrub_oracle_sql(),
-        "docs_chunks": rf"""
-            WITH docs AS (
-                SELECT doc_id,
-                       regexp_split_to_array(
-                           regexp_replace(text, '^\s+|\s+$', '', 'g'),
-                           '\s+') AS words,
-                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g')
-                                 = '' THEN 0
-                            ELSE len(regexp_split_to_array(
-                                regexp_replace(text, '^\s+|\s+$', '', 'g'),
-                                '\s+')) END AS nw
-                FROM documents
-            )
-            SELECT doc_id,
-                   c AS chunk_id,
-                   least(nw - c * {_CHUNK_TOKENS},
-                         {_CHUNK_TOKENS})::BIGINT AS n_tokens,
-                   md5(array_to_string(
-                       list_slice(words, c * {_CHUNK_TOKENS} + 1,
-                                  least((c + 1) * {_CHUNK_TOKENS}, nw)),
-                       ' ')) AS chunk_fp
-            FROM docs,
-                 unnest(range(0, (nw + {_CHUNK_TOKENS - 1})
-                                 // {_CHUNK_TOKENS})) AS t(c)
+        "docs_chunks": _CHUNKS_SQL + """
+            SELECT doc_id, chunk_id, n_tokens, chunk_fp FROM chunks
+        """,
+        "docs_chunk_dedup": _CHUNKS_SQL + """
+            SELECT doc_id, chunk_id, chunk_fp FROM (
+                SELECT doc_id, chunk_id, chunk_fp,
+                       row_number() OVER (
+                           PARTITION BY chunk_fp
+                           ORDER BY doc_id, chunk_id
+                       ) AS rn
+                FROM chunks
+            ) WHERE rn = 1
         """,
         "docs_lm_score": rf"""
             WITH docs AS (

@@ -44,9 +44,11 @@ def _bucket_of_bytes(s: bytes, num_buckets: int) -> int:
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                num_buckets: int = 32):
+                num_buckets: int = 32, tie_cols: tuple = ()):
     """Keep the min-id row per distinct text. == SQL
-    SELECT min(id), text GROUP BY text (first-wins by id order)."""
+    SELECT min(id), text GROUP BY text (first-wins by id order).
+    `tie_cols` extend the survivor ordering when id_col alone is not
+    unique per key (e.g. chunk-level dedup ties on (doc_id, chunk_id))."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         # vectorized content hash (pandas fixed-key siphash, C speed) —
@@ -64,7 +66,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def dedupe(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop(columns=["__bucket"])
-        df = df.sort_values([text_col, id_col], kind="mergesort")
+        df = df.sort_values([text_col, id_col, *tie_cols], kind="mergesort")
         return pa.Table.from_pandas(
             df.drop_duplicates(text_col, keep="first"), preserve_index=False
         )
