@@ -388,6 +388,38 @@ def _q_docs_chunk_dedup(sf_dir: str):
     return kept.select_columns(["doc_id", "chunk_id", "chunk_fp"])
 
 
+def _q_docs_lm_head(sf_dir: str):
+    """CCNet-style tail cut: keep the docs at or above the corpus p25
+    LM score. Scores are materialized once (3 narrow columns); the
+    corpus-wide quantile is a single-key exact quantile (one tiny
+    reduce — one row crosses to the driver), then the cut is a
+    broadcast-threshold filter."""
+    from webcollector_ray.functions.lm import train_unigram_lm, unigram_lm_score
+    from webcollector_ray.functions.sketches import quantiles_by_key
+
+    ds = _docs(sf_dir)
+    model_ref, total = train_unigram_lm(ds, top_v=_LM_TOP_V)
+    scored = unigram_lm_score(
+        ds, model_ref, total, top_v=_LM_TOP_V
+    ).materialize()
+    keyed = scored.map_batches(
+        lambda b: b.append_column(
+            "k", pa.array(np.zeros(len(b), dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    q = quantiles_by_key(
+        keyed, key_col="k", value_col="lm_score", qs=(0.25,)
+    ).to_pandas()
+    thr = float(q["p25"].iloc[0])
+    return scored.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["lm_score"], thr)).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_docs_sample(sf_dir: str):
     """Deterministic 10% hash sample — reproducible corpus subsetting
     (hash-mod on the id, not random_sample, so reruns and the oracle
@@ -1154,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination": _q_docs_contamination,
         "docs_decontaminated": _q_docs_decontaminated,
         "docs_lm_score": _q_docs_lm_score,
+        "docs_lm_head": _q_docs_lm_head,
         "docs_mix_rebalance": _q_docs_mix_rebalance,
         "docs_chunks": _q_docs_chunks,
         "docs_chunk_dedup": _q_docs_chunk_dedup,
@@ -1382,6 +1415,52 @@ def _pii_scrub_oracle_sql() -> str:
         )
         SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS fp FROM s3
     """
+
+
+# Unigram-LM scoring re-derived end-to-end (counts, top-V model,
+# smoothing, mean-ln, 6-digit rounding); shared by docs_lm_score and
+# the p25 tail-cut docs_lm_head
+_LM_SQL = rf"""
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                   '\s+') AS words
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(words) AS w FROM docs
+    ),
+    wc AS (
+        SELECT w, count(*)::BIGINT AS n FROM tok
+        WHERE w != '' GROUP BY w
+    ),
+    tot AS (SELECT coalesce(sum(n), 0) AS t FROM wc),
+    topv AS (
+        SELECT w, n FROM (
+            SELECT w, n,
+                   row_number() OVER (ORDER BY n DESC, w ASC) AS rn
+            FROM wc
+        ) WHERE rn <= {_LM_TOP_V}
+    ),
+    sc AS (
+        SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+               round(avg(ln(
+                   (coalesce(v.n, 0) + 1)::DOUBLE
+                   / (tot.t + {_LM_TOP_V + 1})::DOUBLE
+               )), 6) AS lm_score
+        FROM tok CROSS JOIN tot
+        LEFT JOIN topv v ON tok.w = v.w
+        WHERE tok.w != ''
+        GROUP BY tok.doc_id
+    ),
+    lm AS (
+        SELECT d.doc_id,
+               coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(sc.lm_score, 0.0) AS lm_score
+        FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    )
+"""
 
 
 # Token-window chunking re-derived via list_slice; shared by the
@@ -2076,44 +2155,12 @@ def _oracle_sql_static() -> dict[str, str]:
                 FROM chunks
             ) WHERE rn = 1
         """,
-        "docs_lm_score": rf"""
-            WITH docs AS (
-                SELECT doc_id,
-                       regexp_split_to_array(
-                           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
-                           '\s+') AS words
-                FROM documents
-            ),
-            tok AS (
-                SELECT doc_id, unnest(words) AS w FROM docs
-            ),
-            wc AS (
-                SELECT w, count(*)::BIGINT AS n FROM tok
-                WHERE w != '' GROUP BY w
-            ),
-            tot AS (SELECT coalesce(sum(n), 0) AS t FROM wc),
-            topv AS (
-                SELECT w, n FROM (
-                    SELECT w, n,
-                           row_number() OVER (ORDER BY n DESC, w ASC) AS rn
-                    FROM wc
-                ) WHERE rn <= {_LM_TOP_V}
-            ),
-            sc AS (
-                SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
-                       round(avg(ln(
-                           (coalesce(v.n, 0) + 1)::DOUBLE
-                           / (tot.t + {_LM_TOP_V + 1})::DOUBLE
-                       )), 6) AS lm_score
-                FROM tok CROSS JOIN tot
-                LEFT JOIN topv v ON tok.w = v.w
-                WHERE tok.w != ''
-                GROUP BY tok.doc_id
+        "docs_lm_score": _LM_SQL + "SELECT doc_id, n_tokens, lm_score FROM lm",
+        "docs_lm_head": _LM_SQL + """
+            SELECT doc_id FROM lm
+            WHERE lm_score >= (
+                SELECT round(quantile_cont(lm_score, 0.25), 6) FROM lm
             )
-            SELECT d.doc_id,
-                   coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
-                   coalesce(sc.lm_score, 0.0) AS lm_score
-            FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
         """,
         "docs_contamination": _DECONTAM_SQL
         + "SELECT doc_id, n_hits FROM hits",
