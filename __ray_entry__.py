@@ -420,6 +420,24 @@ def _q_docs_lm_head(sf_dir: str):
     )
 
 
+_SEQ_TOKENS = 1024
+
+
+def _q_docs_packed_sequences(sf_dir: str):
+    """Concat-and-split sequence packing: chunk the corpus, then the
+    two-wave distributed prefix scan stamps each chunk with its
+    training-sequence id and in-sequence token offset."""
+    from webcollector_ray.functions.packing import packed_sequences
+    from webcollector_ray.functions.textstats import chunk_documents_batch
+
+    chunks = _docs(sf_dir).map_batches(
+        lambda b: chunk_documents_batch(b, chunk_tokens=_CHUNK_TOKENS),
+        batch_format="pyarrow",
+    )
+    out = packed_sequences(chunks, seq_tokens=_SEQ_TOKENS)
+    return out.select_columns(["doc_id", "chunk_id", "seq_id", "seq_pos"])
+
+
 def _q_docs_sample(sf_dir: str):
     """Deterministic 10% hash sample — reproducible corpus subsetting
     (hash-mod on the id, not random_sample, so reruns and the oracle
@@ -1190,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mix_rebalance": _q_docs_mix_rebalance,
         "docs_chunks": _q_docs_chunks,
         "docs_chunk_dedup": _q_docs_chunk_dedup,
+        "docs_packed_sequences": _q_docs_packed_sequences,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -2144,6 +2163,20 @@ def _oracle_sql_static() -> dict[str, str]:
         "docs_pii_scrub": _pii_scrub_oracle_sql(),
         "docs_chunks": _CHUNKS_SQL + """
             SELECT doc_id, chunk_id, n_tokens, chunk_fp FROM chunks
+        """,
+        "docs_packed_sequences": _CHUNKS_SQL + f"""
+            SELECT doc_id, chunk_id,
+                   (off // {_SEQ_TOKENS})::BIGINT AS seq_id,
+                   (off % {_SEQ_TOKENS})::BIGINT AS seq_pos
+            FROM (
+                SELECT doc_id, chunk_id,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id, chunk_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING
+                       ), 0) AS off
+                FROM chunks
+            )
         """,
         "docs_chunk_dedup": _CHUNKS_SQL + """
             SELECT doc_id, chunk_id, chunk_fp FROM (

@@ -803,3 +803,26 @@ def test_chunk_documents_batch():
     assert out["chunk_fp"].to_pylist()[0] == hashlib.md5(b"w0 w1").hexdigest()
     # whitespace runs collapse in the fingerprint
     assert out["chunk_fp"].to_pylist()[3] == hashlib.md5(b"a b").hexdigest()
+
+
+def test_packed_sequences_prefix_scan(ray_session):
+    from webcollector_ray.functions.packing import packed_sequences
+
+    # three blocks fed out of order — the scan must reorder by first
+    # key (disjoint ranges) before computing block offsets
+    import ray as _ray
+    import ray.data as _rd
+
+    t1 = pa.table({"doc_id": [1, 1, 2], "chunk_id": [0, 1, 0],
+                   "n_tokens": [32, 10, 32]})
+    t2 = pa.table({"doc_id": [3, 4], "chunk_id": [0, 0],
+                   "n_tokens": [32, 20]})
+    t3 = pa.table({"doc_id": [5], "chunk_id": [0], "n_tokens": [7]})
+    ds = _rd.from_arrow_refs(
+        [_ray.put(t3), _ray.put(t1), _ray.put(t2)]  # scrambled
+    )
+    out = packed_sequences(ds, seq_tokens=64).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    # offsets: 0, 32, 42, 74, 106, 126 over seq_tokens=64
+    assert out["seq_id"].tolist() == [0, 0, 0, 1, 1, 1]
+    assert out["seq_pos"].tolist() == [0, 32, 42, 10, 42, 62]

@@ -1,0 +1,90 @@
+"""Sequence packing (concat-and-split) via a distributed prefix scan.
+
+Pretraining consumes fixed-length token sequences: all chunk tokens
+are conceptually concatenated in corpus order and split every
+`seq_tokens` tokens. The global token offset of each row is a classic
+PREFIX SCAN, which Ray Data has no primitive for; the distributed
+shape is the textbook two-pass scan:
+
+1. one tiny task per block computes its token sum (parallel);
+2. the driver folds the per-block sums into exclusive block offsets —
+   num_blocks scalars, never rows;
+3. one task per block stamps its rows with block_offset + the local
+   exclusive cumsum (parallel).
+
+Rows never move between blocks and no shuffle happens — the scan cost
+is two O(blocks) task waves. ORDER CONTRACT: the input Dataset's rows
+must already be in the desired global order (block order x in-block
+order); the callers feed parquet-file order, which the synth tables
+keep sorted by (doc_id, chunk_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+@ray.remote
+def _block_token_sum(token_col: str, order_cols, block: pa.Table):
+    """(token_sum, first_key) — first_key orders the blocks on the
+    driver: streaming execution may hand back blocks out of order, but
+    each block is a contiguous slice of the globally-ordered input, so
+    block key ranges are disjoint and sorting by first key restores
+    the global order."""
+    import pyarrow.compute as pc
+
+    if block is None or len(block) == 0:
+        return 0, None
+    first = tuple(block[c][0].as_py() for c in order_cols)
+    return int(pc.sum(block[token_col]).as_py() or 0), first
+
+
+@ray.remote
+def _stamp_sequences(
+    token_col: str, seq_tokens: int, block_offset: int, block: pa.Table
+) -> pa.Table:
+    n = block[token_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    off = block_offset + np.concatenate(([0], np.cumsum(n)[:-1]))
+    out = block.append_column(
+        "seq_id", pa.array(off // seq_tokens, pa.int64())
+    )
+    return out.append_column("seq_pos", pa.array(off % seq_tokens, pa.int64()))
+
+
+def packed_sequences(chunks_ds, *, seq_tokens: int = 1024,
+                     token_col: str = "n_tokens",
+                     order_cols=("doc_id", "chunk_id")):
+    """chunks (in-block ordered, block key ranges disjoint; see module
+    docstring) -> same rows + (seq_id, seq_pos): the training sequence
+    each chunk starts in and its token offset inside it. A chunk whose
+    tokens straddle a boundary is assigned to the sequence its FIRST
+    token falls in (callers that need hard splits choose seq_tokens a
+    multiple of the chunk size)."""
+    blocks = list(chunks_ds.to_arrow_refs())
+    if not blocks:
+        return chunks_ds
+    stats = ray.get(
+        [_block_token_sum.remote(token_col, order_cols, b) for b in blocks]
+    )
+    keyed = sorted(
+        (
+            (first, s, b)
+            for (s, first), b in zip(stats, blocks)
+            if first is not None
+        ),
+        key=lambda t: t[0],
+    )
+    if not keyed:
+        return chunks_ds
+    sums = np.array([s for _, s, _ in keyed], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    return rd.from_arrow_refs(
+        [
+            _stamp_sequences.remote(token_col, seq_tokens, int(off), b)
+            for off, (_, _, b) in zip(offsets, keyed)
+        ]
+    )
