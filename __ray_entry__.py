@@ -1079,6 +1079,17 @@ def _q_crawl_extract(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_crawl_anchor_texts(sf_dir: str):
+    """Anchor-text corpus over the synthetic web: (target_url,
+    anchor_text, n) for every in-scope link."""
+    from webcollector_ray.stages.extract import anchor_text_counts
+
+    spec = _crawl_spec(sf_dir)
+    pages = synth_pages_table(spec)
+    html_pages = rd.from_arrow(pages.select(["url", "html"]))
+    return anchor_text_counts(html_pages, url_regex=CRAWL_REGEX)
+
+
 def _q_events_distinct_users_hll(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return approx_distinct_hll(ds, "user_id", p=12)
@@ -1235,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": _q_crawl_bfs,
         "crawl_extract": _q_crawl_extract,
         "crawl_robots": _q_crawl_robots,
+        "crawl_anchor_texts": _q_crawl_anchor_texts,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -1700,14 +1712,11 @@ def _minhash_oracle_sqls() -> dict[str, str]:
     }
 
 
-def _crawl_extract_oracle_sql() -> str:
-    """CEPF extraction over the synth web, fully re-derived: the page
-    words are a pure LCG function of (site, page, paragraph) seeds
-    (synth.py _words), so the SQL regenerates the exact word streams
-    (md5 seed, split-multiplied LCG steps mod 2^64), reassembles the
-    golden article text/title/time, and checks the engine's extracted
-    output (title, time, content_md5) byte-for-byte — the project's
-    core byte-identical-extraction invariant, driver-verified."""
+def _synth_web_oracle_prefix() -> str:
+    """Shared CTE prefix re-deriving the synthetic web's content: LCG
+    word streams (md5 seed, split-multiplied steps mod 2^64), article
+    content per (site, show) and the 5-word titles. Consumed by the
+    crawl_extract and crawl_anchor_texts oracles."""
     from webcollector_ray.synth import _WORDS
 
     n = len(_WORDS)
@@ -1771,7 +1780,17 @@ def _crawl_extract_oracle_sql() -> str:
                      list(upper(substr(w, 1, 1)) || substr(w, 2)
                           ORDER BY i), ' ') AS title
             FROM stream WHERE p = -1 GROUP BY site, j
-        ),
+        )
+    """
+
+
+def _crawl_extract_oracle_sql() -> str:
+    """CEPF extraction over the synth web, fully re-derived from the
+    shared LCG prefix: reassembles the golden article text/title/time
+    and checks the engine's extracted output (title, time, content_md5)
+    byte-for-byte — the project's core byte-identical-extraction
+    invariant, driver-verified."""
+    return _synth_web_oracle_prefix() + rf""",
         show_rows AS (
             SELECT 'http://site' || c.site || '.test/show-' || c.j
                      || '.html' AS url,
@@ -1798,6 +1817,67 @@ def _crawl_extract_oracle_sql() -> str:
                     AS i) i
         )
         SELECT * FROM show_rows UNION ALL SELECT * FROM list_rows
+    """
+
+
+def _crawl_anchor_texts_oracle_sql() -> str:
+    """Anchor-text corpus re-derived structurally: list pages carry
+    'Home' / per-item title / 'Next' links, show pages carry 'Home' /
+    'Related' ((j+1) mod shows) / 'More' ((j+7) mod shows); anchors
+    whose absolutized href falls outside the crawl regex (About,
+    fragments, images, offsite) are excluded on both sides. Item
+    anchor text is the LCG-derived title from the shared prefix."""
+    return _synth_web_oracle_prefix() + rf""",
+        list_idx AS (
+            SELECT site, i.i AS i
+            FROM sites,
+                 (SELECT unnest(range(0, (SELECT n_lists FROM params)))
+                    AS i) i
+        ),
+        anchors AS (
+            -- list-page nav: Home -> list-0
+            SELECT site,
+                   'http://site' || site || '.test/list-0.html'
+                     AS target_url,
+                   'Home' AS anchor_text
+            FROM list_idx
+            UNION ALL
+            -- list items: each show linked once site-wide, text = title
+            SELECT site,
+                   'http://site' || site || '.test/show-' || j
+                     || '.html',
+                   title
+            FROM title
+            UNION ALL
+            -- pager: Next -> list-(i+1), absent on the last list page
+            SELECT site,
+                   'http://site' || site || '.test/list-' || (i + 1)
+                     || '.html',
+                   'Next'
+            FROM list_idx WHERE i + 1 < (SELECT n_lists FROM params)
+            UNION ALL
+            -- show-page nav: Home -> list-0
+            SELECT site,
+                   'http://site' || site || '.test/list-0.html',
+                   'Home'
+            FROM shows
+            UNION ALL
+            SELECT site,
+                   'http://site' || site || '.test/show-'
+                     || ((j + 1) % (SELECT n_shows FROM params))
+                     || '.html',
+                   'Related'
+            FROM shows
+            UNION ALL
+            SELECT site,
+                   'http://site' || site || '.test/show-'
+                     || ((j + 7) % (SELECT n_shows FROM params))
+                     || '.html',
+                   'More'
+            FROM shows
+        )
+        SELECT target_url, anchor_text, count(*)::BIGINT AS n
+        FROM anchors GROUP BY target_url, anchor_text
     """
 
 
@@ -2090,6 +2170,7 @@ def oracle_sql() -> dict[str, str]:
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out.update(_minhash_oracle_sqls())
     out["crawl_extract"] = _crawl_extract_oracle_sql()
+    out["crawl_anchor_texts"] = _crawl_anchor_texts_oracle_sql()
     out.update(_media_oracle_sqls())
     out.update(_sketch_oracle_sqls())
     return out

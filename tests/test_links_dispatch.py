@@ -146,3 +146,32 @@ def test_auto_parse_skips_non_html():
     nxt = CrawlDatums()
     disp.dispatch(page, nxt)
     assert len(nxt) == 0
+
+
+def test_anchor_text_counts(ray_session):
+    import ray.data as rd
+
+    from webcollector_ray.stages.extract import anchor_text_counts
+    from webcollector_ray.synth import SynthSpec, synth_pages_table
+
+    spec = SynthSpec(num_sites=1)
+    pages = synth_pages_table(spec)
+    out = anchor_text_counts(
+        rd.from_arrow(pages.select(["url", "html"])),
+        url_regex=r"http://site[0-9]+\.test/(list|show)-[0-9]+\.html",
+    ).to_pandas()
+    by = out.set_index(["target_url", "anchor_text"])["n"]
+    # Home on every list (4) + show (12) page
+    assert by[("http://site0.test/list-0.html", "Home")] == 16
+    # each show is listed once with its title, Related/More once each
+    rel = out[out["anchor_text"] == "Related"]
+    assert len(rel) == 12 and (rel["n"] == 1).all()
+    # pager: Next exists for list-1..3 only
+    nxt = out[out["anchor_text"] == "Next"]
+    assert sorted(nxt["target_url"]) == [
+        f"http://site0.test/list-{i}.html" for i in (1, 2, 3)
+    ]
+    # out-of-scope anchors (About/Top/Banner/Partner/logo) excluded
+    assert not set(out["anchor_text"]) & {
+        "About", "Top", "Banner", "Partner", "logo"
+    }
