@@ -1090,6 +1090,33 @@ def _q_crawl_anchor_texts(sf_dir: str):
     return anchor_text_counts(html_pages, url_regex=CRAWL_REGEX)
 
 
+_PR_ITERS = 3
+
+
+def _q_crawl_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank over the synthetic web's link
+    graph (edges = in-scope anchors): the classic link-authority
+    quality weight for web-corpus curation."""
+    from webcollector_ray.functions.graph import pagerank_fixed
+    from webcollector_ray.stages.extract import anchor_rows_batch
+
+    spec = _crawl_spec(sf_dir)
+    pages = synth_pages_table(spec)
+    html_pages = rd.from_arrow(pages.select(["url", "html"]))
+    edges = html_pages.map_batches(
+        lambda b: anchor_rows_batch(b, CRAWL_REGEX).select(
+            ["src_url", "target_url"]
+        ),
+        batch_format="pyarrow",
+    )
+    # small bucket count: the graph is tiny relative to the corpus and
+    # each of the 2*iters exchanges pays per-bucket task overhead
+    return pagerank_fixed(
+        edges, iters=_PR_ITERS, src_col="src_url", dst_col="target_url",
+        num_buckets=8,
+    )
+
+
 def _q_events_distinct_users_hll(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return approx_distinct_hll(ds, "user_id", p=12)
@@ -1247,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_extract": _q_crawl_extract,
         "crawl_robots": _q_crawl_robots,
         "crawl_anchor_texts": _q_crawl_anchor_texts,
+        "crawl_pagerank": _q_crawl_pagerank,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -1881,6 +1909,79 @@ def _crawl_anchor_texts_oracle_sql() -> str:
     """
 
 
+def _crawl_pagerank_oracle_sql() -> str:
+    """Integer fixed-point PageRank re-derived end to end: the edge
+    list is rebuilt structurally (list->Home/items/Next,
+    show->Home/Related/More within the crawl regex scope) and the
+    `_PR_ITERS` damped iterations are unrolled as chained CTEs — every
+    step is integer floor arithmetic (r // outdeg, base + 85*s // 100),
+    so the distributed sums match bit-for-bit."""
+    from webcollector_ray.functions.graph import SCALE
+
+    u = "'http://site' || site || '.test/"
+    np_ = "(SELECT n_shows FROM params)"
+    nl_ = "(SELECT n_lists FROM params)"
+    sql = rf"""
+        WITH params AS (
+            SELECT greatest(2, (SELECT count(*) FROM documents) // 100)
+                     AS num_sites,
+                   4 AS n_lists, 12 AS n_shows
+        ),
+        sites AS (SELECT unnest(range(0, num_sites)) AS site FROM params),
+        shows AS (
+            SELECT site, unnest(range(0, {np_})) AS j FROM sites
+        ),
+        list_idx AS (
+            SELECT site, unnest(range(0, {nl_})) AS i FROM sites
+        ),
+        edges AS (
+            SELECT {u}list-' || i || '.html' AS src,
+                   {u}list-0.html' AS dst FROM list_idx
+            UNION ALL
+            SELECT {u}list-' || (j // ({np_} // {nl_})) || '.html',
+                   {u}show-' || j || '.html' FROM shows
+            UNION ALL
+            SELECT {u}list-' || i || '.html',
+                   {u}list-' || (i + 1) || '.html'
+            FROM list_idx WHERE i + 1 < {nl_}
+            UNION ALL
+            SELECT {u}show-' || j || '.html', {u}list-0.html' FROM shows
+            UNION ALL
+            SELECT {u}show-' || j || '.html',
+                   {u}show-' || ((j + 1) % {np_}) || '.html' FROM shows
+            UNION ALL
+            SELECT {u}show-' || j || '.html',
+                   {u}show-' || ((j + 7) % {np_}) || '.html' FROM shows
+        ),
+        deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+        nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+        consts AS (
+            SELECT ({SCALE} // c) AS r0v,
+                   (15 * ({SCALE} // c)) // 100 AS base
+            FROM (SELECT count(*)::BIGINT AS c FROM nodes)
+        ),
+        r0 AS (SELECT v, (SELECT r0v FROM consts) AS r FROM nodes)"""
+    for it in range(1, _PR_ITERS + 1):
+        sql += f""",
+        s{it} AS (
+            SELECT e.dst AS v, sum(r{it - 1}.r // deg.d)::BIGINT AS s
+            FROM edges e
+            JOIN r{it - 1} ON r{it - 1}.v = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ),
+        r{it} AS (
+            SELECT n.v,
+                   ((SELECT base FROM consts)
+                    + (85 * coalesce(s{it}.s, 0)) // 100)::BIGINT AS r
+            FROM nodes n LEFT JOIN s{it} ON s{it}.v = n.v
+        )"""
+    sql += f"""
+        SELECT v AS url, r::BIGINT AS pr_fp FROM r{_PR_ITERS}
+    """
+    return sql
+
+
 def _media_oracle_sqls() -> dict[str, str]:
     """media_features / media_frames / media_audio re-derived in SQL.
 
@@ -2171,6 +2272,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_minhash_oracle_sqls())
     out["crawl_extract"] = _crawl_extract_oracle_sql()
     out["crawl_anchor_texts"] = _crawl_anchor_texts_oracle_sql()
+    out["crawl_pagerank"] = _crawl_pagerank_oracle_sql()
     out.update(_media_oracle_sqls())
     out.update(_sketch_oracle_sqls())
     return out

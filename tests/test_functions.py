@@ -826,3 +826,29 @@ def test_packed_sequences_prefix_scan(ray_session):
     # offsets: 0, 32, 42, 74, 106, 126 over seq_tokens=64
     assert out["seq_id"].tolist() == [0, 0, 0, 1, 1, 1]
     assert out["seq_pos"].tolist() == [0, 32, 42, 10, 42, 62]
+
+
+def test_pagerank_fixed(ray_session):
+    from webcollector_ray.functions.graph import SCALE, pagerank_fixed
+
+    # star + chain: a->b, a->c, b->a, c->a
+    edges = pa.table({
+        "src": ["a", "a", "b", "c"],
+        "dst": ["b", "c", "a", "a"],
+    })
+    out = pagerank_fixed(
+        rd.from_arrow(edges), iters=2, src_col="src", dst_col="dst",
+        num_buckets=4,
+    ).to_pandas().set_index("url")["pr_fp"]
+    # reference integer model
+    r = {v: SCALE // 3 for v in "abc"}
+    base = (15 * (SCALE // 3)) // 100
+    deg = {"a": 2, "b": 1, "c": 1}
+    for _ in range(2):
+        s = {"a": 0, "b": 0, "c": 0}
+        for src, dst in zip(edges["src"].to_pylist(), edges["dst"].to_pylist()):
+            s[dst] += r[src] // deg[src]
+        r = {v: base + (85 * s[v]) // 100 for v in r}
+    assert dict(out) == r
+    # 'a' receives from both leaves -> highest rank
+    assert out["a"] > out["b"] == out["c"]

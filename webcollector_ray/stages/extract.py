@@ -83,7 +83,7 @@ def anchor_rows_batch(batch: pa.Table, url_regex: Optional[str] = None) -> pa.Ta
     import re as _re
 
     pat = _re.compile(url_regex) if url_regex else None
-    targets, texts = [], []
+    srcs, targets, texts = [], [], []
     for url, hb in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
         if not hb:
             continue
@@ -97,10 +97,12 @@ def anchor_rows_batch(batch: pa.Table, url_regex: Optional[str] = None) -> pa.Ta
                 continue
             if pat and not pat.fullmatch(href):
                 continue
+            srcs.append(url)
             targets.append(href)
             texts.append(a.text())
     return pa.table(
         {
+            "src_url": pa.array(srcs, pa.string()),
             "target_url": pa.array(targets, pa.string()),
             "anchor_text": pa.array(texts, pa.string()),
         }
