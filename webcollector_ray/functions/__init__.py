@@ -27,3 +27,8 @@ from .sketches import (  # noqa: F401
     vocab_top_words,
 )
 from .windows import session_windows, tumbling_window_agg  # noqa: F401
+from .pii import pii_scrub_batch  # noqa: F401
+from .decontam import build_eval_gram_set, contamination_flags  # noqa: F401
+from .lm import train_unigram_lm, unigram_lm_score  # noqa: F401
+from .packing import packed_sequences  # noqa: F401
+from .graph import pagerank_fixed  # noqa: F401
