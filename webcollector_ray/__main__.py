@@ -6,8 +6,9 @@ Subcommands:
   inspect    print a checkpointed crawldb depth (S5 offline reader)
   bucketize  pre-bucket a pages parquet table into a BucketedPageStore
   clean-corpus  [pii scrub ->] quality + repetition gates -> exact +
-             fuzzy dedup [-> eval decontamination] [-> chunking] ->
-             resumable partitioned parquet (skips complete partitions)
+             fuzzy dedup [-> eval decontamination] [-> LM tail cut]
+             [-> chunking] -> resumable partitioned parquet (skips
+             complete partitions)
 
 The pages source (`--pages`) accepts:
   - a parquet file/dir of Common-Crawl-style pages (read + broadcast),
@@ -127,8 +128,8 @@ def cmd_clean_corpus(args) -> None:
     """The composed training-data pipeline as a job: [PII scrub ->]
     quality gate -> repetition gate -> exact dedup -> minhash-LSH
     fuzzy dedup (keep each near-dup cluster's min-id representative)
-    [-> eval-set decontamination] [-> sequence chunking] -> resumable
-    hash-partitioned parquet sink. Re-running after a crash skips
+    [-> eval-set decontamination] [-> LM-score tail cut] [-> sequence
+    chunking] -> resumable hash-partitioned parquet sink. Re-running after a crash skips
     partitions that already have their _SUCCESS marker."""
     _ensure_ray(args.cpus)
     import pyarrow as pa
@@ -222,6 +223,35 @@ def cmd_clean_corpus(args) -> None:
         )
         kept = hash_join(kept, contaminated, on=args.id_col, how="anti")
 
+    if args.lm_quantile > 0:
+        from .functions.lm import train_unigram_lm, unigram_lm_score
+        from .functions.sketches import quantiles_by_key
+
+        model_ref, total = train_unigram_lm(kept, text_col=args.text_col)
+        scored = unigram_lm_score(
+            kept, model_ref, total,
+            text_col=args.text_col, id_col=args.id_col,
+        ).materialize()
+        keyed = scored.map_batches(
+            lambda b: b.append_column(
+                "k", pa.array([0] * len(b), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        qname = f"p{int(args.lm_quantile * 100)}"
+        q = quantiles_by_key(
+            keyed, key_col="k", value_col="lm_score",
+            qs=(args.lm_quantile,),
+        ).to_pandas()
+        thr = float(q[qname].iloc[0])
+        low = scored.map_batches(
+            lambda b: b.filter(pc.less(b["lm_score"], thr)).select(
+                [args.id_col]
+            ),
+            batch_format="pyarrow",
+        )
+        kept = hash_join(kept, low, on=args.id_col, how="anti")
+
     if args.chunk_tokens:
         from .functions.textstats import chunk_documents_batch
 
@@ -304,6 +334,9 @@ def main(argv=None) -> None:
     cc.add_argument("--decontam-k", type=int, default=8)
     cc.add_argument("--chunk-tokens", type=int, default=0,
                     help="emit token-window chunk rows instead of docs")
+    cc.add_argument("--lm-quantile", type=float, default=0.0,
+                    help="drop docs below this corpus LM-score "
+                         "quantile (CCNet tail cut), e.g. 0.25")
     cc.add_argument("--partitions", type=int, default=64)
     cc.set_defaults(fn=cmd_clean_corpus)
 
