@@ -852,3 +852,18 @@ def test_pagerank_fixed(ray_session):
     assert dict(out) == r
     # 'a' receives from both leaves -> highest rank
     assert out["a"] > out["b"] == out["c"]
+
+
+def test_packed_sequences_rejects_overlapping_blocks(ray_session):
+    import ray as _ray
+    import ray.data as _rd
+
+    import pytest as _pytest
+
+    from webcollector_ray.functions.packing import packed_sequences
+
+    t1 = pa.table({"doc_id": [1, 5], "chunk_id": [0, 0], "n_tokens": [3, 3]})
+    t2 = pa.table({"doc_id": [3], "chunk_id": [0], "n_tokens": [3]})
+    ds = _rd.from_arrow_refs([_ray.put(t1), _ray.put(t2)])  # ranges overlap
+    with _pytest.raises(ValueError, match="overlap"):
+        packed_sequences(ds, seq_tokens=8)

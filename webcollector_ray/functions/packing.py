@@ -30,17 +30,19 @@ import ray.data as rd
 
 @ray.remote
 def _block_token_sum(token_col: str, order_cols, block: pa.Table):
-    """(token_sum, first_key) — first_key orders the blocks on the
-    driver: streaming execution may hand back blocks out of order, but
-    each block is a contiguous slice of the globally-ordered input, so
-    block key ranges are disjoint and sorting by first key restores
-    the global order."""
+    """(token_sum, first_key, last_key) — first_key orders the blocks
+    on the driver: streaming execution may hand back blocks out of
+    order, but each block is a contiguous slice of the globally-ordered
+    input, so block key ranges are disjoint and sorting by first key
+    restores the global order; last_key lets the driver VERIFY that
+    disjointness instead of silently mis-packing."""
     import pyarrow.compute as pc
 
     if block is None or len(block) == 0:
-        return 0, None
+        return 0, None, None
     first = tuple(block[c][0].as_py() for c in order_cols)
-    return int(pc.sum(block[token_col]).as_py() or 0), first
+    last = tuple(block[c][-1].as_py() for c in order_cols)
+    return int(pc.sum(block[token_col]).as_py() or 0), first, last
 
 
 @ray.remote
@@ -72,19 +74,27 @@ def packed_sequences(chunks_ds, *, seq_tokens: int = 1024,
     )
     keyed = sorted(
         (
-            (first, s, b)
-            for (s, first), b in zip(stats, blocks)
+            (first, last, s, b)
+            for (s, first, last), b in zip(stats, blocks)
             if first is not None
         ),
         key=lambda t: t[0],
     )
     if not keyed:
         return chunks_ds
-    sums = np.array([s for _, s, _ in keyed], dtype=np.int64)
+    for (_, prev_last, _, _), (cur_first, _, _, _) in zip(keyed, keyed[1:]):
+        if cur_first <= prev_last:
+            raise ValueError(
+                "packed_sequences: block key ranges overlap on "
+                f"{order_cols} ({cur_first!r} <= {prev_last!r}) — the "
+                "input is not globally ordered (e.g. it came out of a "
+                "hash exchange); sort by the order columns first"
+            )
+    sums = np.array([s for _, _, s, _ in keyed], dtype=np.int64)
     offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
     return rd.from_arrow_refs(
         [
             _stamp_sequences.remote(token_col, seq_tokens, int(off), b)
-            for off, (_, _, b) in zip(offsets, keyed)
+            for off, (_, _, _, b) in zip(offsets, keyed)
         ]
     )
