@@ -1140,6 +1140,23 @@ def _q_events_quantiles_sketch(sf_dir: str):
     )
 
 
+_RP_DIM = 16
+
+
+def _q_embeddings_projected(sf_dir: str):
+    """JL sign-projection of the embedding table to 16 dims —
+    map-only featurization for downstream LSH / cheap ANN."""
+    from webcollector_ray.functions.similarity import random_projection_batch
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(
+        lambda b: random_projection_batch(b, out_dim=_RP_DIM),
+        batch_format="pyarrow",
+    )
+
+
 def _q_embeddings_kmeans(sf_dir: str):
     # deterministic 2-iteration Lloyd over fixed-point sums; the full
     # fixpoint (init -> assign -> update x2 -> final assign) is
@@ -1283,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _q_events_quantiles,
         "events_quantiles_sketch": _q_events_quantiles_sketch,
         "embeddings_kmeans": _q_embeddings_kmeans,
+        "embeddings_projected": _q_embeddings_projected,
         "vocab_top_words": _q_vocab_top_words,
         "docs_stratified_sample": _q_docs_stratified_sample,
     }
@@ -1982,6 +2000,41 @@ def _crawl_pagerank_oracle_sql() -> str:
     return sql
 
 
+def _rp_oracle_sql() -> str:
+    """JL sign projection re-derived: the sign matrix comes from
+    md5('rp-i-j') first-hex-digit parity (same seed string as
+    _rp_signs), the projection is sum(v*s)/sqrt(k) rounded to 6 — the
+    ~1e-13 BLAS-vs-SQL summation-order difference sits 7 orders below
+    the rounding grain."""
+    pcols = ",\n               ".join(
+        f"max(CASE WHEN j = {j} THEN p END) AS p{j}"
+        for j in range(_RP_DIM)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                   unnest(range(0, len(embedding))) AS i
+            FROM embeddings
+        ),
+        signs AS (
+            SELECT i.i, j.j,
+                   CASE WHEN CAST(concat('0x',
+                        substr(md5('rp-' || i.i || '-' || j.j), 1, 1))
+                        AS INTEGER) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+            FROM (SELECT unnest(range(0,
+                     (SELECT max(len(embedding)) FROM embeddings))) AS i) i,
+                 (SELECT unnest(range(0, {_RP_DIM})) AS j) j
+        ),
+        proj AS (
+            SELECT e.vec_id, s.j,
+                   round(sum(e.v * s.s) / sqrt({_RP_DIM}), 6) AS p
+            FROM e JOIN signs s ON s.i = e.i
+            GROUP BY e.vec_id, s.j
+        )
+        SELECT vec_id, {pcols} FROM proj GROUP BY vec_id
+    """
+
+
 def _media_oracle_sqls() -> dict[str, str]:
     """media_features / media_frames / media_audio re-derived in SQL.
 
@@ -2273,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_extract"] = _crawl_extract_oracle_sql()
     out["crawl_anchor_texts"] = _crawl_anchor_texts_oracle_sql()
     out["crawl_pagerank"] = _crawl_pagerank_oracle_sql()
+    out["embeddings_projected"] = _rp_oracle_sql()
     out.update(_media_oracle_sqls())
     out.update(_sketch_oracle_sqls())
     return out

@@ -867,3 +867,26 @@ def test_packed_sequences_rejects_overlapping_blocks(ray_session):
     ds = _rd.from_arrow_refs([_ray.put(t1), _ray.put(t2)])  # ranges overlap
     with _pytest.raises(ValueError, match="overlap"):
         packed_sequences(ds, seq_tokens=8)
+
+
+def test_random_projection_batch():
+    import hashlib
+    import math
+
+    from webcollector_ray.functions.similarity import random_projection_batch
+
+    v = [float(i) for i in range(8)]
+    t = pa.table({"vec_id": [7], "embedding": [v]})
+    out = random_projection_batch(t, out_dim=4)
+    assert out.column_names == ["vec_id", "p0", "p1", "p2", "p3"]
+    # re-derive p2 by hand from the md5 sign definition
+    s = [
+        1.0 if int(hashlib.md5(f"rp-{i}-2".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for i in range(8)
+    ]
+    exp = round(sum(x * y for x, y in zip(v, s)) / math.sqrt(4), 6)
+    assert out["p2"][0].as_py() == exp
+    # empty batch keeps the schema
+    empty = random_projection_batch(t.slice(0, 0), out_dim=4)
+    assert empty.column_names == out.column_names and len(empty) == 0

@@ -432,3 +432,58 @@ def kmeans_fixed(
     out["n_vecs"] = out["n_vecs"].astype("int64")
     out["min_vec"] = out["min_vec"].astype("int64")
     return out
+
+
+# ------------------------------------------------------ random projection
+
+_RP_SIGN_CACHE: dict = {}
+
+
+def _rp_signs(d: int, k: int) -> np.ndarray:
+    """Deterministic Johnson-Lindenstrauss sign matrix: S[i, j] = +-1
+    by the parity of md5('rp-<i>-<j>')'s first hex digit — re-derivable
+    in SQL, built once per process (d*k md5 calls, cached)."""
+    key = (d, k)
+    S = _RP_SIGN_CACHE.get(key)
+    if S is None:
+        import hashlib
+
+        S = np.empty((d, k), dtype=np.float64)
+        for i in range(d):
+            for j in range(k):
+                h = hashlib.md5(f"rp-{i}-{j}".encode()).hexdigest()
+                S[i, j] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+        _RP_SIGN_CACHE[key] = S
+    return S
+
+
+def random_projection_batch(
+    batch,
+    *,
+    out_dim: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+):
+    """JL random-projection featurization (Achlioptas 2003 sign
+    variant): v -> (v @ S) / sqrt(k), the embedding-compression stage
+    before LSH bucketing or cheap ANN. Map-only, one BLAS matmul per
+    batch; output = id + k scalar columns p0..p{k-1} rounded so the
+    value-hash is summation-order independent."""
+    import pyarrow as pa
+
+    n = len(batch)
+    if n == 0:
+        cols = {id_col: batch[id_col]}
+        for j in range(out_dim):
+            cols[f"p{j}"] = pa.array([], pa.float64())
+        return pa.table(cols)
+    E = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in batch[emb_col].to_pylist()]
+    )
+    S = _rp_signs(E.shape[1], out_dim)
+    P = np.round((E @ S) / np.sqrt(out_dim), ndigits)
+    cols = {id_col: batch[id_col]}
+    for j in range(out_dim):
+        cols[f"p{j}"] = pa.array(P[:, j])
+    return pa.table(cols)
