@@ -667,6 +667,16 @@ def _q_events_sessions(sf_dir: str):
     )
 
 
+def _q_events_cohorts(sf_dir: str):
+    """Retention cohort matrix over the events table."""
+    from webcollector_ray.functions.windows import retention_cohorts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ds)
+
+
 def _q_events_top100(sf_dir: str):
     from webcollector_ray.functions.ranking import global_top_n
 
@@ -1274,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_events_tumbling,
         "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
+        "events_cohorts": _q_events_cohorts,
         "events_orders_asof": _q_events_orders_asof,
         "events_close_pairs": _q_events_close_pairs,
         "top_events_per_user": _q_top_events_per_user,
@@ -2434,6 +2445,21 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "docs_contamination": _DECONTAM_SQL
         + "SELECT doc_id, n_hits FROM hits",
+        "events_cohorts": """
+            WITH d AS (
+                SELECT user_id,
+                       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+                FROM events
+            ),
+            coh AS (
+                SELECT user_id, min(day) AS cohort_day FROM d
+                GROUP BY user_id
+            ),
+            act AS (SELECT DISTINCT user_id, day FROM d)
+            SELECT c.cohort_day, a.day, count(*)::BIGINT AS n_users
+            FROM act a JOIN coh c USING (user_id)
+            GROUP BY c.cohort_day, a.day
+        """,
         "docs_mix_rebalance": f"""
             WITH w AS (
                 SELECT doc_id,

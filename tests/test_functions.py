@@ -890,3 +890,29 @@ def test_random_projection_batch():
     # empty batch keeps the schema
     empty = random_projection_batch(t.slice(0, 0), out_dim=4)
     assert empty.column_names == out.column_names and len(empty) == 0
+
+
+def test_retention_cohorts(ray_session):
+    import datetime as dt
+
+    from webcollector_ray.functions.windows import retention_cohorts
+
+    def t(day, hour=0):
+        return dt.datetime(2024, 1, day, hour)
+
+    # u1 first seen d1, active d1+d2 (twice on d2 -> counted once);
+    # u2 first seen d1, active d1 only; u3 first seen d2, active d2+d3
+    ev = pa.table({
+        "user_id": [1, 1, 1, 2, 3, 3],
+        "ts": [t(1), t(2), t(2, 5), t(1), t(2), t(3)],
+    })
+    out = retention_cohorts(rd.from_arrow(ev), num_buckets=4).to_pandas()
+    got = {
+        (r.cohort_day, r.day): r.n_users for r in out.itertuples()
+    }
+    assert got == {
+        ("2024-01-01", "2024-01-01"): 2,
+        ("2024-01-01", "2024-01-02"): 1,
+        ("2024-01-02", "2024-01-02"): 1,
+        ("2024-01-02", "2024-01-03"): 1,
+    }

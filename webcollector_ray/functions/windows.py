@@ -15,6 +15,7 @@ these are part of the training-pipeline extension surface.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -232,3 +233,95 @@ def session_windows(
         ),
         empty, num_buckets,
     )
+
+
+# --------------------------------------------------------------- cohorts
+
+
+def retention_cohorts(
+    events,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int = 32,
+):
+    """Retention-cohort matrix: (cohort_day, day, n_users) = how many
+    users whose FIRST event fell on cohort_day were active on day.
+
+    Plan: per-batch (user, day) dedup -> ONE user-hash exchange where
+    each bucket holds every row of its users, so the per-user min-day
+    (the cohort) and the distinct (user, day) activity set are both
+    exact in-bucket -> partial (cohort_day, day) counts re-tagged ->
+    ONE (cohort_day, day)-hash exchange summing partials. Both reduce
+    units are buckets, not keys; user state never leaves its bucket
+    and no stage sees the whole table."""
+    from .joins import exchange_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                user_col: batch[user_col].to_numpy(zero_copy_only=False),
+                "day": pd.to_datetime(
+                    batch[ts_col].to_pandas()
+                ).dt.strftime("%Y-%m-%d"),
+            }
+        ).drop_duplicates()
+        uid = df[user_col].to_numpy(np.int64).astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets))
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    empty1 = pa.table(
+        {
+            "cohort_day": pa.array([], pa.string()),
+            "day": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "__bucket": pa.array([], pa.int32()),
+        }
+    )
+
+    def per_user(t: pa.Table) -> pa.Table:
+        df = t.select([user_col, "day"]).to_pandas().drop_duplicates()
+        coh = df.groupby(user_col, sort=False)["day"].min().rename(
+            "cohort_day"
+        )
+        df = df.join(coh, on=user_col)
+        g = (
+            df.groupby(["cohort_day", "day"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["n"] = g["n"].astype("int64")
+        key = (g["cohort_day"] + "|" + g["day"]).to_numpy(dtype=object)
+        b = (
+            pd.util.hash_array(key, categorize=False)
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        return out.append_column("__bucket", pa.array(b))
+
+    empty2 = pa.table(
+        {
+            "cohort_day": pa.array([], pa.string()),
+            "day": pa.array([], pa.string()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+
+    def sum_counts(t: pa.Table) -> pa.Table:
+        df = t.select(["cohort_day", "day", "n"]).to_pandas()
+        g = (
+            df.groupby(["cohort_day", "day"], sort=False)["n"]
+            .sum()
+            .astype("int64")
+            .rename("n_users")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = exchange_reduce(
+        events.map_batches(partial, batch_format="pyarrow"),
+        per_user, empty1, num_buckets,
+    )
+    return exchange_reduce(partials, sum_counts, empty2, num_buckets)
