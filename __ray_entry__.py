@@ -260,6 +260,9 @@ def _inject_pii_batch(batch: pa.Table) -> pa.Table:
             s += f" call +1 ({200 + i % 700}) {100 + i % 900}-{1000 + i % 9000}"
         if i % 7 == 0:
             s += f" host 10.{i % 256}.{(i * 7) % 256}.{(i * 13) % 200 + 1} up"
+        if i % 11 == 0:
+            # prefix-less US form — pins the optional-country-code branch
+            s += f" fax {200 + i % 700}-{100 + i % 900}-{1000 + i % 9000}"
         out.append(s)
     return batch.set_column(
         batch.column_names.index("text"), "text", pa.array(out, pa.string())
@@ -1478,7 +1481,11 @@ def _pii_scrub_oracle_sql() -> str:
                    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.'
                         || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
                         || '.' || ((doc_id * 13) % 200 + 1) || ' up'
-                        ELSE '' END AS t0
+                        ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN ' fax '
+                        || (200 + doc_id % 700) || '-'
+                        || (100 + doc_id % 900) || '-'
+                        || (1000 + doc_id % 9000) ELSE '' END AS t0
             FROM documents
         ),
         s1 AS (

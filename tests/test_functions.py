@@ -682,23 +682,28 @@ def test_pii_scrub_batch():
     from webcollector_ray.functions.pii import pii_scrub_batch
 
     t = pa.table({
-        "doc_id": [1, 2, 3, 4],
+        "doc_id": [1, 2, 3, 4, 5, 6],
         "text": [
             "mail me at a.b-c%d@mail.example.org thanks",
             "server 192.168.1.254 then call +1 (555) 123-4567",
             "nothing here",
             "two mails x@y.io and z@w.co plus 10.0.0.1",
+            # prefix-less US forms must redact too (ADVICE r2)
+            "fax 555-123-4567 today",
+            "dial (555) 123-4567 now",
         ],
     })
     out = pii_scrub_batch(t)
-    assert out["n_emails"].to_pylist() == [1, 0, 0, 2]
-    assert out["n_ips"].to_pylist() == [0, 1, 0, 1]
-    assert out["n_phones"].to_pylist() == [0, 1, 0, 0]
+    assert out["n_emails"].to_pylist() == [1, 0, 0, 2, 0, 0]
+    assert out["n_ips"].to_pylist() == [0, 1, 0, 1, 0, 0]
+    assert out["n_phones"].to_pylist() == [0, 1, 0, 0, 1, 1]
     assert out["text"].to_pylist() == [
         "mail me at <EMAIL> thanks",
         "server <IP> then call <PHONE>",
         "nothing here",
         "two mails <EMAIL> and <EMAIL> plus <IP>",
+        "fax <PHONE> today",
+        "dial <PHONE> now",
     ]
 
 

@@ -21,7 +21,9 @@ import pyarrow.compute as pc
 # the SQL oracle strings in __ray_entry__.py.
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-PHONE_RE = r"\+?[0-9]{1,2}[ \-.]?\(?[0-9]{3}\)?[ \-.][0-9]{3}[ \-.][0-9]{4}"
+# country/area prefix OPTIONAL: plain '555-123-4567' / '(555) 123-4567'
+# are the most common real-world forms and must redact too (ADVICE r2)
+PHONE_RE = r"(\+?[0-9]{1,2}[ \-.]?)?\(?[0-9]{3}\)?[ \-.][0-9]{3}[ \-.][0-9]{4}"
 
 # (output-count column, pattern, replacement token), applied in order
 PII_RULES = [
