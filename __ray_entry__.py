@@ -40,7 +40,7 @@ from webcollector_ray.functions.dedup import (
 )
 from webcollector_ray.functions.multimodal import media_pipeline, synth_media_table
 from webcollector_ray.functions.similarity import (
-    cosine_pairs_exact,
+    cosine_pairs_blocked,
     kmeans_fixed,
     knn_brute,
     knn_ivf,
@@ -996,18 +996,22 @@ def _q_knn_ivf(sf_dir: str):
 
 def _q_embedding_dup_pairs(sf_dir: str):
     # threshold 0.4: the synthetic embeddings carry no true near-dups
-    # (max off-diagonal cosine ~0.51), so a 0.9+ cut would be vacuous
+    # (max off-diagonal cosine ~0.51), so a 0.9+ cut would be vacuous.
+    # cosine_pairs_blocked is the exact SCALE path: chunk-pair block
+    # matmul, no whole-matrix broadcast (VERDICT r2 §next.1); small
+    # target_chunk_rows exercises the multi-chunk code even at sf0.01
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_pairs_exact(ds, threshold=0.4)
+    return cosine_pairs_blocked(ds, threshold=0.4, target_chunk_rows=1024)
 
 
 def _q_embedding_dup_clusters(sf_dir: str):
-    """Near-dup clusters: exact cosine pairs -> distributed min-label
-    propagation connected components (no driver-side union-find)."""
+    """Near-dup clusters: blocked exact cosine pairs -> distributed
+    min-label propagation connected components (no driver union-find,
+    no whole-matrix broadcast)."""
     from webcollector_ray.functions.dedup import cluster_pairs_minlabel
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = cosine_pairs_exact(ds, threshold=0.45)
+    pairs = cosine_pairs_blocked(ds, threshold=0.45, target_chunk_rows=1024)
     return cluster_pairs_minlabel(pairs, id_col="vec_id")
 
 

@@ -202,6 +202,40 @@ def test_embedding_dedup(ray_session):
     assert (3, 7) in got
 
 
+def test_cosine_pairs_blocked_matches_exact(ray_session):
+    """The chunk-pair block-matmul scale path must emit exactly the
+    brute-force pair set — including across chunk boundaries (tiny
+    target_chunk_rows forces many chunks on 120 rows)."""
+    from webcollector_ray.functions.similarity import (
+        cosine_pairs_blocked,
+        cosine_pairs_exact,
+    )
+
+    ds, M = _emb_ds(n=120, d=8, seed=11)
+    Mu = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mu @ Mu.T
+    xs, ys = np.nonzero(np.triu(S >= 0.4, k=1))
+    want = {(int(a), int(b)) for a, b in zip(xs, ys)}
+    assert want, "threshold too high: vacuous test"
+
+    got_b = cosine_pairs_blocked(
+        ds, threshold=0.4, target_chunk_rows=16
+    ).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(got_b["id_a"], got_b["id_b"])} == want
+    assert len(got_b) == len(want)  # no duplicate emissions
+
+    got_e = cosine_pairs_exact(ds, threshold=0.4).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(got_e["id_a"], got_e["id_b"])} == want
+
+
+def test_cosine_pairs_exact_row_cap(ray_session):
+    from webcollector_ray.functions.similarity import cosine_pairs_exact
+
+    ds, _ = _emb_ds(n=30)
+    with pytest.raises(ValueError, match="small-N"):
+        cosine_pairs_exact(ds, threshold=0.9, max_rows=10)
+
+
 def test_knn_brute_matches_numpy(ray_session):
     ds, M = _emb_ds()
     q = M[5]
