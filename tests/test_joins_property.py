@@ -150,3 +150,73 @@ def test_asof_join_matches_pandas(ray_session, lrows, rrows):
     if len(matched):
         assert (matched["by"] % BIG < (1 << 53)).all()  # sanity of setup
         assert matched["by"].gt(1 << 53).all()
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    lrows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40)),
+                   min_size=0, max_size=12),
+    rrows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40)),
+                   min_size=0, max_size=12),
+    lo=st.integers(-5, 5),
+    width=st.integers(0, 10),
+)
+def test_range_join_matches_pandas(ray_session, lrows, rrows, lo, width):
+    from webcollector_ray.functions.joins import range_join
+
+    hi = lo + width
+    l = pd.DataFrame(
+        {
+            "by": pd.array([BIG + k for k, _ in lrows], dtype="int64"),
+            "lt": pd.array([t for _, t in lrows], dtype="int64"),
+            "lid": pd.array(range(len(lrows)), dtype="int64"),
+        }
+    )
+    r = pd.DataFrame(
+        {
+            "by": pd.array([BIG + k for k, _ in rrows], dtype="int64"),
+            "rt": pd.array([t for _, t in rrows], dtype="int64"),
+            "rid": pd.array(range(len(rrows)), dtype="int64"),
+        }
+    )
+    got = _collect(range_join(
+        rd.from_arrow(pa.Table.from_pandas(l, preserve_index=False)),
+        rd.from_arrow(pa.Table.from_pandas(r, preserve_index=False)),
+        by="by", left_on="lt", right_on="rt",
+        lower=lo, upper=hi, num_buckets=4,
+    ))
+    m = l.merge(r, on="by")
+    want = m[(m["lt"] >= m["rt"] + lo) & (m["lt"] <= m["rt"] + hi)]
+    key = ["lid", "rid"]
+    assert (
+        sorted(map(tuple, got[key].to_numpy().tolist()))
+        == sorted(map(tuple, want[key].to_numpy().tolist()))
+    )
+
+
+def test_range_join_mega_key_bounded(ray_session):
+    """One key holding 1e5 rows must NOT materialize the per-key cross
+    product (1e10 rows) — the searchsorted window kernel's intermediate
+    is O(matches) (VERDICT r2 §next.2). With window [0, 1] over integer
+    timestamps 0..N-1 the expected match count is exactly 2N-1."""
+    n = 100_000
+    ts = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "by": pa.array(np.zeros(n, dtype=np.int64)),
+        "lt": pa.array(ts),
+        "lid": pa.array(ts),
+    })
+    rtab = pa.table({
+        "by": pa.array(np.zeros(n, dtype=np.int64)),
+        "rt": pa.array(ts),
+        "rid": pa.array(ts),
+    })
+    from webcollector_ray.functions.joins import range_join
+
+    out = range_join(
+        rd.from_arrow(t), rd.from_arrow(rtab),
+        by="by", left_on="lt", right_on="rt",
+        lower=0, upper=1, num_buckets=4,
+    )
+    assert out.count() == 2 * n - 1
