@@ -275,3 +275,65 @@ def test_datum_to_string_and_hashset_filter():
     nf = HashSetNextFilter({"http://a/2"})
     assert nf(CrawlDatum("http://a/2"), d) is None
     assert nf(CrawlDatum("http://a/3"), d) is not None
+
+
+def test_hosts_of_array_matches_host_of():
+    from webcollector_ray.urls import host_of, hosts_of_array
+
+    cases = [
+        "http://site0.test/a.html",
+        "HTTPS://Ex.COM:8080/p?q#f",
+        "mailto:x@y",
+        "//cdn.host/x",
+        "relative/path",
+        "",
+        "http://user:pw@h.test/x",
+        "http://h.test?query-only",
+    ]
+    assert list(hosts_of_array(cases)) == [host_of(u) for u in cases]
+
+
+def test_hot_host_census_salts_only_hot(ray_session):
+    """Distributed census: a host above host_salt_threshold is split
+    over multiple salted routes; hosts below keep their plain route.
+    The census runs through the host-hash exchange — only hosts above
+    the threshold ever reach the driver."""
+    import ray
+    import ray.data as rd
+
+    from webcollector_ray.config import CrawlerConfig
+    from webcollector_ray.model import CrawlDatum, datums_to_table
+    from webcollector_ray.pipelines.crawler import RamCrawler
+    from webcollector_ray.sources.pagestore import SynthPageStore
+    from webcollector_ray.synth import SynthSpec
+
+    spec = SynthSpec(num_sites=2)
+    cfg = CrawlerConfig(fetch_concurrency=3, host_salt_threshold=10)
+    c = RamCrawler(SynthPageStore(spec), config=cfg, deterministic_time=True)
+    datums = [
+        CrawlDatum(f"http://hot.test/p{i}.html", execute_time=0)
+        for i in range(60)
+    ] + [CrawlDatum(f"http://cold{i}.test/x.html", execute_time=0)
+         for i in range(5)]
+    routed = c._route_by_host(rd.from_arrow(datums_to_table(datums)))
+    # recompute the routes the way the blocks were formed: group blocks,
+    # hot host must appear in >1 block only via salted routes — observe
+    # indirectly: with 60 rows and threshold 10 the salt count is 7, so
+    # hot.test rows may span several blocks while each cold host still
+    # lives in exactly one
+    blocks = [ray.get(r) for r in routed.to_arrow_refs()]
+    cold_block: dict = {}
+    hot_blocks = set()
+    n_rows = 0
+    for bi, t in enumerate(blocks):
+        if t is None or len(t) == 0:
+            continue
+        n_rows += len(t)
+        for u in t["url"].to_pylist():
+            host = u.split("/")[2]
+            if host == "hot.test":
+                hot_blocks.add(bi)
+            else:
+                assert cold_block.setdefault(host, bi) == bi
+    assert n_rows == 65  # routing loses no rows
+    assert len(hot_blocks) >= 2, "hot host was not spread by salting"

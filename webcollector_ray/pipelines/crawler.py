@@ -56,7 +56,6 @@ from ..stages.generate import generate
 from ..stages.merge import dedupe_by_key, dedupe_by_key_refs, merge_segments
 from ..state.frontier import CheckpointStore
 from ..state.seen import ShardedSeenFilter
-from ..urls import host_of
 
 
 @dataclass
@@ -266,64 +265,109 @@ class Crawler:
         depth — deliberately trading per-host rate precision (the
         budget then applies per salt shard) for wall-clock, documented
         in SURVEY.md §4 'skew / hot hosts'."""
+        import numpy as np
+        import pandas as pd
+
         generated = generated.materialize()
         threshold = self.config.host_salt_threshold
 
+        from ..functions.joins import exchange_reduce
+        from ..model import FRONTIER_SCHEMA
+        from ..urls import hosts_of_array, url_hash64
+
         hot: dict = {}
-        if threshold > 0:
-            # hot-host census: one raw-task wave over the (already
-            # materialized) frontier blocks, per-block Counters merged
-            # on the driver — the merged dict is tiny (distinct hosts),
-            # and no Dataset groupby execution is spent on it
-            @ray.remote
-            def _host_counts(block):
-                import collections
+        # if the whole frontier holds <= threshold rows no host can be
+        # hot — skip the census execution (count() is metadata-free on a
+        # materialized dataset)
+        if threshold > 0 and generated.count() > threshold:
+            # hot-host census, distributed (VERDICT r2 §wrong.3): each
+            # block emits per-host PARTIAL counts (vectorized extract +
+            # value_counts), one host-hash exchange sums them, and only
+            # hosts ABOVE the threshold come back to the driver — the
+            # hot list is tiny by definition, the all-hosts dict never
+            # exists anywhere.
+            import zlib as _zlib
 
-                if (
-                    block is None
-                    or len(block) == 0
-                    or "url" not in block.column_names
-                ):
-                    return collections.Counter()
-                return collections.Counter(
-                    host_of(u) for u in block["url"].to_pylist()
+            census_buckets = 32
+
+            def census_local(batch: pa.Table) -> pa.Table:
+                hosts = hosts_of_array(batch["url"])
+                vc = pd.Series(hosts).value_counts()
+                hs = vc.index.to_numpy(dtype=object)
+                bk = np.fromiter(
+                    (_zlib.crc32(h.encode()) % census_buckets for h in hs),
+                    dtype=np.int32, count=len(hs),
                 )
+                return pa.table({
+                    "host": pa.array(hs, pa.string()),
+                    "n": pa.array(vc.to_numpy(), pa.int64()),
+                    "__bucket": pa.array(bk),
+                })
 
-            total: dict = {}
-            for c in ray.get(
-                [_host_counts.remote(r) for r in generated.to_arrow_refs()]
-            ):
-                for h, n in c.items():
-                    total[h] = total.get(h, 0) + n
-            hot = {
-                h: n // threshold + 1 for h, n in total.items() if n > threshold
-            }
+            def census_hot(t: pa.Table) -> pa.Table:
+                g = t.to_pandas().groupby("host", sort=False)["n"].sum()
+                g = g[g > threshold]
+                return pa.table({
+                    "host": pa.array(g.index.to_numpy(dtype=object), pa.string()),
+                    "salts": pa.array(
+                        (g.to_numpy() // threshold + 1), pa.int64()
+                    ),
+                })
 
-        from ..urls import url_hash64
+            census_empty = pa.table({
+                "host": pa.array([], pa.string()),
+                "salts": pa.array([], pa.int64()),
+            })
+            # concat arrow refs (Dataset.to_pandas drops the schema
+            # when every block is 0-row — the usual no-hot-host case)
+            hot_tbl = pa.concat_tables(
+                ray.get(
+                    list(
+                        exchange_reduce(
+                            generated.map_batches(
+                                census_local, batch_format="pyarrow"
+                            ),
+                            census_hot, census_empty, census_buckets,
+                        ).to_arrow_refs()
+                    )
+                ),
+                promote_options="permissive",
+            )
+            hot = dict(
+                zip(
+                    hot_tbl["host"].to_pylist(),
+                    hot_tbl["salts"].to_pylist(),
+                )
+            )
 
         n_buckets = max(self.config.fetch_concurrency * 2, 4)
 
         def add_route(batch: pa.Table) -> pa.Table:
             import zlib as _zlib
 
-            routes = []
-            for u in batch["url"].to_pylist():
-                h = host_of(u)
-                salts = hot.get(h)
-                if salts:
-                    routes.append(f"{h}#{url_hash64(u) % salts}")
-                else:
-                    routes.append(h)
-            buckets = [
-                _zlib.crc32(r.encode()) % n_buckets for r in routes
-            ]
-            batch = batch.append_column("__host", pa.array(routes, pa.string()))
-            return batch.append_column(
-                "__bucket", pa.array(buckets, pa.int32())
+            hosts = hosts_of_array(batch["url"])
+            codes, uniques = pd.factorize(hosts)
+            routes = uniques.astype(object)[codes]
+            if hot:
+                # per-URL salt only for rows on hot hosts (rare rows)
+                hot_mask = np.isin(uniques, list(hot.keys()))[codes]
+                if hot_mask.any():
+                    urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+                    for i in np.nonzero(hot_mask)[0]:
+                        h = routes[i]
+                        routes[i] = f"{h}#{url_hash64(urls[i]) % hot[h]}"
+            # crc32 per DISTINCT route, broadcast back through codes
+            rcodes, runiq = pd.factorize(pd.Series(routes, dtype="object"))
+            rbk = np.fromiter(
+                (_zlib.crc32(x.encode()) % n_buckets for x in runiq),
+                dtype=np.int32, count=len(runiq),
             )
-
-        from ..functions.joins import exchange_reduce
-        from ..model import FRONTIER_SCHEMA
+            batch = batch.append_column(
+                "__host", pa.array(routes, pa.string())
+            )
+            return batch.append_column(
+                "__bucket", pa.array(rbk[rcodes], pa.int32())
+            )
 
         def one_block_per_bucket(t: "pa.Table") -> "pa.Table":
             # INTERLEAVE hosts (round-robin by per-host rank) instead of

