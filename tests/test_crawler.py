@@ -278,3 +278,44 @@ def test_extracted_text_through_crawl(ray_session, pages):
     for url, text in zip(pd_pages["url"], pd_pages["text"]):
         if text is not None:
             assert got[url] == text, url
+
+
+def test_fast_path_matches_dispatch_path(ray_session):
+    """The pure-autoParse fast kernel must emit byte-identical output to
+    the per-record visitor dispatch path (forced by passing an explicit
+    bare Visitor) — success pages, missing pages, and non-success codes
+    alike."""
+    from webcollector_ray.config import CrawlerConfig
+    from webcollector_ray.dispatch import Visitor
+    from webcollector_ray.model import CrawlDatum, datums_to_table
+    from webcollector_ray.regex_rule import RegexRule
+    from webcollector_ray.sources.pagestore import SynthPageStore
+    from webcollector_ray.stages.execute import ExecuteStage
+    from webcollector_ray.synth import SynthSpec
+
+    spec = SynthSpec(num_sites=4)
+    store = SynthPageStore(spec)
+    rule = RegexRule([r"http://site[0-9]+\.test/(list|show)-[0-9]+\.html"])
+    datums = [
+        CrawlDatum(f"http://site{s}.test/list-{j}.html", execute_time=0)
+        for s in range(4) for j in range(2)
+    ] + [
+        CrawlDatum("http://nowhere.test/missing.html", execute_time=0),
+        CrawlDatum("http://site0.test/show-0.html", execute_time=0,
+                   meta={"depth": "2", "k": "v"}),
+    ]
+    batch = datums_to_table(datums)
+    kw = dict(
+        store_handle=store.handle(), regex_rule=rule,
+        config=CrawlerConfig(), execute_time_ms=777,
+    )
+    fast = ExecuteStage(**kw)
+    slow = ExecuteStage(visitor=Visitor(), **kw)
+    assert fast._fast and not slow._fast
+    out_f = fast(batch)
+    out_s = slow(batch)
+    assert out_f.equals(out_s), (
+        out_f.to_pandas().compare(out_s.to_pandas())
+        if len(out_f) == len(out_s) else (len(out_f), len(out_s))
+    )
+    assert len(out_f) > len(batch)  # links actually extracted

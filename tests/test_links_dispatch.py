@@ -175,3 +175,58 @@ def test_anchor_text_counts(ray_session):
     assert not set(out["anchor_text"]) & {
         "About", "Top", "Banner", "Partner", "logo"
     }
+
+
+def test_abs_url_fast_matches_abs_url():
+    """abs_url_fast's string-ops shortcuts must agree with abs_url
+    (urljoin) on every URL shape, falling back where it can't."""
+    import itertools
+
+    from webcollector_ray.urls import abs_url, abs_url_fast
+
+    bases = [
+        "http://site0.test/list-0.html", "http://site0.test",
+        "http://site0.test/", "https://h.test:8080/a/b/c.html",
+        "http://h.test/a/b/", "http://h.test/x.html?q=1",
+        "http://h.test/x.html#f", "http://h.test/./a/x.html",
+        "http://h.test/a/../x.html", "", "ftp://h.test/x",
+        "//proto.test/x", "not a url",
+    ]
+    rels = [
+        "show-3.html", "a/b/c.html", "/abs.html", "//other.test/y",
+        "http://o.test/y.html", "https://o.test/y/../z.html",
+        "HTTP://O.test/y", "../up.html", "./here.html", "x/../y.html",
+        "?q=2", "#frag", "mailto:a@b", "javascript:void(0)", "", "  ",
+        "a b.html", "sp%20.html", "x.html?a=1#b", "dir/", "/", None,
+        "..", ".", "http://o.test/a//b", "tel:123", "a,b.html",
+        "~u/x.html", "%2e%2e/x",
+    ]
+    for b, r in itertools.product(bases, rels):
+        assert abs_url_fast(b, r) == abs_url(b, r), (b, r)
+
+
+def test_fast_links_by_regex_matches_dom():
+    from webcollector_ray import dom
+    from webcollector_ray.links import Links, fast_links_by_regex
+    from webcollector_ray.regex_rule import RegexRule
+
+    html = (
+        "<html><head><title>t</title></head><body>"
+        '<a href="show-1.html">x</a><a name="n">no href</a>'
+        '<A HREF="http://other.test/a.html"></A>'
+        "<!-- <a href='commented.html'>hidden</a> -->"
+        "<script>var s = '<a href=\"scripted.html\">';</script>"
+        '<a href>valueless</a><a href="show-1.html">dup</a>'
+        '<a href="../up.html">up</a><img src="i.png">'
+        '<div><a href="deep/./x.html">deep</a></div>'
+        "</body></html>"
+    )
+    base = "http://site0.test/d/list-0.html"
+    for rule, src in [
+        (RegexRule([r".*\.html"]), False),
+        (RegexRule([".*"]), True),
+        (RegexRule([".*show.*", r"-.*other.*"]), False),
+    ]:
+        fast = fast_links_by_regex(html, base, rule, src)
+        slow = list(Links().add_by_regex(dom.parse(html, base), rule, src))
+        assert fast == slow, (fast, slow)

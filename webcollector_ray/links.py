@@ -16,10 +16,12 @@ lists and explodes them into link-segment rows.
 
 from __future__ import annotations
 
+from html.parser import HTMLParser
 from typing import Iterable, Iterator, List, Optional, Union
 
 from .dom import Element
 from .regex_rule import RegexRule
+from .urls import abs_url, abs_url_fast
 
 
 class Links:
@@ -104,3 +106,65 @@ def make_abs(doc, url: Optional[str] = None) -> None:
                 node.attrs["src"] = node.abs_attr("src")
 
     doc.traverse(head)
+
+
+# ------------------------- vectorized autoParse fast path (no DOM) ---
+
+
+class _FastLinkScan(HTMLParser):
+    """SAX-level collector of a[href] (and *[src]) attribute values —
+    the exact event stream dom.parse consumes (same html.parser, same
+    convert_charrefs), with dom._TreeBuilder's attribute semantics
+    (lowercase names, FIRST duplicate wins, valueless attr -> ''), but
+    no tree build. Used by ExecuteStage's pure-autoParse fast path
+    (VERDICT r2 §wrong.4/§next.5): add_by_regex over the built DOM and
+    this scan see the same tags in the same document order."""
+
+    def __init__(self, parse_src: bool):
+        super().__init__(convert_charrefs=True)
+        self.hrefs: List[str] = []
+        self.srcs: List[str] = []
+        self._parse_src = parse_src
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag == "a":
+            seen = False
+            for k, v in attrs:
+                if k.lower() == "href" and not seen:
+                    self.hrefs.append(v if v is not None else "")
+                    seen = True
+        if self._parse_src and tag != "head":  # head attrs are dropped
+            seen = False
+            for k, v in attrs:
+                if k.lower() == "src" and not seen:
+                    self.srcs.append(v if v is not None else "")
+                    seen = True
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+
+def fast_links_by_regex(
+    html: str,
+    base_uri: str,
+    rule: RegexRule,
+    parse_src: bool = False,
+) -> List[str]:
+    """Equivalent of Links().add_by_regex(dom.parse(html, base), rule,
+    parse_src) without building the DOM: all a[href] abs-resolved and
+    regex-filtered first, then (when parse_src) all *[src]."""
+    scan = _FastLinkScan(parse_src)
+    scan.feed(html)
+    scan.close()
+    out: List[str] = []
+    for v in scan.hrefs:
+        u = abs_url_fast(base_uri, v)
+        if rule.satisfy(u):
+            out.append(u)
+    if parse_src:
+        for v in scan.srcs:
+            u = abs_url_fast(base_uri, v)
+            if rule.satisfy(u):
+                out.append(u)
+    return out

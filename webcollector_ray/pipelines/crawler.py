@@ -432,27 +432,40 @@ class Crawler:
 
     # --- store-bucket-coherent routing (scale path J3) ---
     def _route_by_store_bucket(self, generated, num_buckets: int):
-        """Sort the fetch list by the bucketed page store's own
+        """Group the fetch list by the bucketed page store's own
         md5(url) % B partition id, so each fetch task's batch touches
         O(1) store buckets and the per-worker LRU bucket cache actually
         hits — without this, random batches read ~batch_size distinct
-        buckets each at 100 TB store scale."""
+        buckets each at 100 TB store scale.
+
+        Physical plan: the same raw-task bucket exchange every other
+        wide step uses (store-bucket id folded into a bounded number of
+        exchange buckets, rows ordered by (store bucket, key) inside
+        each output block) — not a global Dataset.sort, which costs a
+        sample + per-block sort + merge wave per depth (VERDICT r2
+        §next.8)."""
+        from ..functions.joins import exchange_reduce
         from ..urls import url_hash64
 
-        def add_bucket(batch: pa.Table) -> pa.Table:
-            b = pa.array(
-                [url_hash64(u) % num_buckets for u in batch["url"].to_pylist()],
-                pa.int32(),
-            )
-            return batch.append_column("__sbucket", b)
+        n_x = max(4, min(num_buckets, self.config.fetch_concurrency * 2))
 
-        return (
-            generated.map_batches(add_bucket, batch_format="pyarrow")
-            .sort(["__sbucket", "key"])
-            .map_batches(
-                lambda b: b.drop_columns(["__sbucket"]),
-                batch_format="pyarrow",
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            sb = [url_hash64(u) % num_buckets for u in batch["url"].to_pylist()]
+            batch = batch.append_column(
+                "__sbucket", pa.array(sb, pa.int32())
             )
+            return batch.append_column(
+                "__bucket", pa.array([s % n_x for s in sb], pa.int32())
+            )
+
+        def order_block(t: pa.Table) -> pa.Table:
+            return t.sort_by(
+                [("__sbucket", "ascending"), ("key", "ascending")]
+            ).select(FRONTIER_SCHEMA.names)
+
+        return exchange_reduce(
+            generated.map_batches(add_bucket, batch_format="pyarrow"),
+            order_block, FRONTIER_SCHEMA.empty_table(), n_x,
         )
 
     # --- the depth loop ---

@@ -36,6 +36,52 @@ def abs_url(base: str, rel: str) -> str:
     return out
 
 
+import re as _re
+
+# fast-resolution guards: base = plain http(s) URL without query or
+# fragment; rel = plain path segments with no scheme/leading-slash/
+# dot-segments (optionally ?query#fragment). Anything else falls back
+# to urljoin.
+_FAST_BASE_RE = _re.compile(r"^(https?://[^/?#]+)((?:/[^?#]*)?)$")
+_FAST_REL_RE = _re.compile(
+    r"^(?!\.{1,2}(?:[/?#]|$))[A-Za-z0-9._~%+,@\-]+"
+    r"(?:/(?!\.{1,2}(?:[/?#]|$))[A-Za-z0-9._~%+,@\-]+)*/?(?:[?#].*)?$"
+)
+
+
+def abs_url_fast(base: str, rel: Optional[str]) -> str:
+    """abs_url with a string-ops fast path for the two shapes that
+    dominate crawl link resolution (plain relative path, absolute
+    http(s) URL) — differential-tested against abs_url
+    (test_abs_url_fast_matches_abs_url). Everything else delegates."""
+    if rel is None:
+        return ""
+    r = rel.strip()
+    if not r:
+        return ""
+    if r.startswith("http://") or r.startswith("https://"):
+        # absolute http(s) rel with a clean path: urljoin returns it
+        # verbatim when there is nothing to normalize
+        m = _FAST_BASE_RE.match(r)
+        if m and "//" not in m.group(2):
+            return r
+        return abs_url(base, rel)
+    mb = _FAST_BASE_RE.match(base or "")
+    if mb is None:
+        return abs_url(base, rel)
+    root, path = mb.group(1), mb.group(2)
+    if "/./" in path or "/../" in path or path.endswith(("/.", "/..")):
+        return abs_url(base, rel)  # urljoin normalizes the base's dots
+    if r.startswith("/"):
+        if r.startswith("//") or _FAST_REL_RE.match(r[1:]) is None:
+            return abs_url(base, rel)
+        return root + r
+    if _FAST_REL_RE.match(r) is None:
+        return abs_url(base, rel)
+    base_dir = path[: path.rfind("/") + 1] if "/" in path else "/"
+    return root + base_dir + r
+
+
 def host_of(url: str) -> str:
     try:
         return urlsplit(url).netloc.lower()
