@@ -337,7 +337,7 @@ def _q_docs_lm_score(sf_dir: str):
 
     ds = _docs(sf_dir)
     model_ref, total = train_unigram_lm(ds, top_v=_LM_TOP_V)
-    return unigram_lm_score(ds, model_ref, total, top_v=_LM_TOP_V)
+    return unigram_lm_score(ds, model_ref)
 
 
 # src<N> -> one of four weights: downsample / keep / fractional
@@ -394,17 +394,18 @@ def _q_docs_chunk_dedup(sf_dir: str):
 def _q_docs_lm_head(sf_dir: str):
     """CCNet-style tail cut: keep the docs at or above the corpus p25
     LM score. Scores are materialized once (3 narrow columns); the
-    corpus-wide quantile is a single-key exact quantile (one tiny
-    reduce — one row crosses to the driver), then the cut is a
-    broadcast-threshold filter."""
+    corpus-wide quantile here is a single-key EXACT quantile so the
+    DuckDB oracle can reproduce it bit-for-bit — which means one
+    reduce task holds every score, i.e. this exact variant is the
+    ORACLE-SCALE path only. The production-scale path is the mergeable
+    histogram sketch (quantiles_sketch_by_key), which the CLI
+    --lm-quantile stage uses (ADVICE r2)."""
     from webcollector_ray.functions.lm import train_unigram_lm, unigram_lm_score
     from webcollector_ray.functions.sketches import quantiles_by_key
 
     ds = _docs(sf_dir)
     model_ref, total = train_unigram_lm(ds, top_v=_LM_TOP_V)
-    scored = unigram_lm_score(
-        ds, model_ref, total, top_v=_LM_TOP_V
-    ).materialize()
+    scored = unigram_lm_score(ds, model_ref).materialize()
     keyed = scored.map_batches(
         lambda b: b.append_column(
             "k", pa.array(np.zeros(len(b), dtype=np.int64))
@@ -449,7 +450,8 @@ def _q_docs_sample(sf_dir: str):
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array((ids * 2654435761) % 10 == 0))
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(10)
+        return batch.filter(pa.array(h == 0))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -2383,8 +2385,10 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
         "docs_sample": (
+            # HUGEINT product mod 2^64 == numpy uint64 wrap semantics
             "SELECT doc_id FROM documents "
-            "WHERE (doc_id * 2654435761) % 10 = 0"
+            "WHERE (CAST(doc_id AS HUGEINT) * 2654435761) "
+            "% 18446744073709551616 % 10 = 0"
         ),
         "docs_by_lang": (
             "SELECT lang, count(*)::BIGINT AS n_docs, "
@@ -2485,7 +2489,8 @@ def _oracle_sql_static() -> dict[str, str]:
             n AS (
                 SELECT doc_id,
                        floor(wt)::BIGINT
-                       + CASE WHEN (doc_id * 2654435761) % 1000
+                       + CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761)
+                                   % 18446744073709551616 % 1000
                                    < round((wt - floor(wt)) * 1000)
                               THEN 1 ELSE 0 END AS c
                 FROM w

@@ -83,7 +83,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     # 5. LM tail cut at the corpus p25 (threshold = one driver scalar)
     model, total = train_unigram_lm(train)
-    scored = unigram_lm_score(train, model, total).materialize()
+    scored = unigram_lm_score(train, model).materialize()
     keyed = scored.map_batches(
         lambda b: b.append_column("k", pa.array([0] * len(b), pa.int64())),
         batch_format="pyarrow",

@@ -787,7 +787,7 @@ def test_unigram_lm_score(ray_session):
         "doc_id": [10, 11, 12],
         "text": ["a b", "zz", "   "],
     }))
-    out = unigram_lm_score(score, model_ref, total, top_v=2).to_pandas()
+    out = unigram_lm_score(score, model_ref).to_pandas()
     out = out.set_index("doc_id")
     denom = 6 + 2 + 1
     exp_ab = round((math.log(4 / denom) + math.log(3 / denom)) / 2, 6)
@@ -955,3 +955,42 @@ def test_retention_cohorts(ray_session):
         ("2024-01-02", "2024-01-02"): 1,
         ("2024-01-02", "2024-01-03"): 1,
     }
+
+
+def test_packed_sequences_empty_input_keeps_schema(ray_session):
+    """Empty corpus must still yield the declared output schema
+    (seq_id/seq_pos present) so downstream select_columns works."""
+    from webcollector_ray.functions.packing import packed_sequences
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "chunk_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+    }))
+    out = packed_sequences(empty, seq_tokens=8)
+    sel = out.select_columns(["doc_id", "chunk_id", "seq_id", "seq_pos"])
+    assert sel.count() == 0
+    assert {"seq_id", "seq_pos"} <= set(out.schema().names)
+
+
+def test_mix_rebalance_uint64_wrap_matches_oracle_math(ray_session):
+    """ids >= 2^32 must hash with uint64 wrap semantics on both sides
+    (signed int64 silently wrapped differently; DuckDB BIGINT raised)."""
+    import duckdb
+
+    from webcollector_ray.functions.sketches import mix_rebalance
+
+    big = [1, 2**33 + 5, 2**62 + 12345, 2**63 - 1]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(big, pa.int64()),
+        "source": pa.array(["s"] * len(big)),
+    }))
+    out = mix_rebalance(ds, {"s": 0.5}).to_pandas()
+    got = set(out["doc_id"])
+    rows = duckdb.sql(
+        "SELECT x FROM (SELECT unnest($ids) AS x) "
+        "WHERE (CAST(x AS HUGEINT) * 2654435761) "
+        "% 18446744073709551616 % 1000 < 500",
+        params={"ids": big},
+    ).fetchall()
+    assert got == {r[0] for r in rows}

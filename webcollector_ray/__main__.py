@@ -225,11 +225,11 @@ def cmd_clean_corpus(args) -> None:
 
     if args.lm_quantile > 0:
         from .functions.lm import train_unigram_lm, unigram_lm_score
-        from .functions.sketches import quantiles_by_key
+        from .functions.sketches import quantiles_sketch_by_key
 
         model_ref, total = train_unigram_lm(kept, text_col=args.text_col)
         scored = unigram_lm_score(
-            kept, model_ref, total,
+            kept, model_ref,
             text_col=args.text_col, id_col=args.id_col,
         ).materialize()
         keyed = scored.map_batches(
@@ -239,7 +239,11 @@ def cmd_clean_corpus(args) -> None:
             batch_format="pyarrow",
         )
         qname = f"p{int(args.lm_quantile * 100)}"
-        q = quantiles_by_key(
+        # the whole corpus shares one key, so the threshold MUST come
+        # from the mergeable histogram sketch (bounded per-task state);
+        # exact quantiles_by_key would pull every score into one task
+        # (ADVICE r2)
+        q = quantiles_sketch_by_key(
             keyed, key_col="k", value_col="lm_score",
             qs=(args.lm_quantile,),
         ).to_pandas()

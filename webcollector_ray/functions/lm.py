@@ -36,36 +36,43 @@ from .ranking import global_top_n
 def train_unigram_lm(
     ds, *, text_col: str = "text", top_v: int = 1024, num_buckets: int = 32
 ):
-    """(model_ref, total_tokens): model is a dict word -> count over
-    the top-V heavy hitters, broadcast once via ray.put."""
+    """(model_ref, total_tokens): model is a dict {"counts": word ->
+    count over the top-V heavy hitters, "total": total corpus tokens,
+    "v": the smoothing V}, broadcast once via ray.put. V travels INSIDE
+    the model so scoring can never use a mismatched smoothing
+    denominator (ADVICE r2: top_v repeated at score time was a silent
+    wrong-score trap). total_tokens is also returned separately for
+    convenience/back-compat."""
     counts = word_counts(ds, text_col=text_col, num_buckets=num_buckets)
     total = int(counts.sum("n") or 0)
     top = global_top_n(counts, order_col="n", n=top_v, tie_col="word")
     tt = top.to_arrow_refs()
     tabs = [t for t in ray.get(tt) if t is not None and len(t)]
-    model = {}
+    wordcounts = {}
     if tabs:
         t = pa.concat_tables(tabs)
-        model = dict(zip(t["word"].to_pylist(), t["n"].to_pylist()))
+        wordcounts = dict(zip(t["word"].to_pylist(), t["n"].to_pylist()))
+    model = {"counts": wordcounts, "total": total, "v": top_v}
     return ray.put(model), total
 
 
 def unigram_lm_score(
     ds,
     model_ref,
-    total_tokens: int,
+    total_tokens: int = None,  # deprecated: read from the model object
     *,
-    top_v: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
     ndigits: int = 6,
 ):
     """Map-only scoring pass: (id, n_tokens, lm_score). Empty docs
-    score 0.0 (no tokens to average)."""
-    denom = float(total_tokens + top_v + 1)
+    score 0.0 (no tokens to average). total/V come from the broadcast
+    model object itself — callers cannot desynchronize them."""
 
     def score(batch: pa.Table) -> pa.Table:
-        model = ray.get(model_ref)
+        m = ray.get(model_ref)
+        model = m["counts"]
+        denom = float(m["total"] + m["v"] + 1)
         n_out = np.zeros(len(batch), dtype=np.int64)
         s_out = np.zeros(len(batch), dtype=np.float64)
         for i, text in enumerate(batch[text_col].to_pylist()):

@@ -66,9 +66,24 @@ def packed_sequences(chunks_ds, *, seq_tokens: int = 1024,
     tokens straddle a boundary is assigned to the sequence its FIRST
     token falls in (callers that need hard splits choose seq_tokens a
     multiple of the chunk size)."""
+    def _empty_with_seq_schema():
+        # empty input still must carry the declared output schema —
+        # downstream select_columns([... seq_id, seq_pos]) would raise
+        # otherwise (ADVICE r2)
+        schema = chunks_ds.schema()
+        base = pa.schema(
+            list(zip(schema.names, schema.types))
+            if not isinstance(schema, pa.Schema) else schema
+        )
+        out = pa.schema(
+            [f for f in base]
+            + [pa.field("seq_id", pa.int64()), pa.field("seq_pos", pa.int64())]
+        )
+        return rd.from_arrow(out.empty_table())
+
     blocks = list(chunks_ds.to_arrow_refs())
     if not blocks:
-        return chunks_ds
+        return _empty_with_seq_schema()
     stats = ray.get(
         [_block_token_sum.remote(token_col, order_cols, b) for b in blocks]
     )
@@ -81,7 +96,7 @@ def packed_sequences(chunks_ds, *, seq_tokens: int = 1024,
         key=lambda t: t[0],
     )
     if not keyed:
-        return chunks_ds
+        return _empty_with_seq_schema()
     for (_, prev_last, _, _), (cur_first, _, _, _) in zip(keyed, keyed[1:]):
         if cur_first <= prev_last:
             raise ValueError(

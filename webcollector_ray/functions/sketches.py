@@ -440,7 +440,14 @@ def mix_rebalance(
         )
         base = np.floor(w)
         fracmill = np.round((w - base) * 1000).astype(np.int64)
-        extra = ((ids * 2654435761) % 1000 < fracmill).astype(np.int64)
+        # uint64 wrap, not signed int64 (which overflows differently
+        # than the SQL oracle for ids >= ~3.5e9; ADVICE r2) — the
+        # oracle mirrors this as HUGEINT math mod 2^64
+        gate = (
+            (ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(1000)
+        ).astype(np.int64)
+        extra = (gate < fracmill).astype(np.int64)
         n = base.astype(np.int64) + extra
         starts = np.cumsum(n) - n
         rep_ids = np.repeat(ids, n)
