@@ -48,3 +48,120 @@ class Requester(Protocol):
 
     def get(self, url: str) -> Optional[dict]:  # pragma: no cover
         ...
+
+
+DEFAULT_USER_AGENT = "Mozilla/5.0 (compatible; webcollector-ray/1.0)"
+
+
+class HttpRequester:
+    """Live-HTTP Requester with the reference fetcher's semantics
+    (plugin/net/OkHttpRequester.java:48-131):
+
+    - redirects are NOT auto-followed (followRedirects(false)): a
+      301/302 response is returned as-is with its Location header
+      captured, so the engine's redirect-resolution idiom (X8) sees it;
+    - one connect/read timeout governs the whole exchange;
+    - the success-code policy is NOT enforced here — ExecuteStage._fetch
+      applies SUCCESS_CODES exactly as it does for page stores;
+    - any transport failure (refused / DNS / timeout / protocol error)
+      returns None == "no route", which _fetch maps to FAILED, matching
+      the reference's exception => FAILED contract (X10).
+
+    Implements the Requester protocol, so it plugs in wherever a
+    PageStoreReader does (ExecuteStage swaps to it for handle kind
+    'http'). An optional Proxies pool picks a random HTTP proxy per
+    request (net/Proxies.java usage in OkHttpRequester.java:62-73);
+    SOCKS proxies need a custom Requester (no stdlib support)."""
+
+    def __init__(
+        self,
+        *,
+        timeout: float = 10.0,
+        user_agent: str = DEFAULT_USER_AGENT,
+        headers: Optional[dict] = None,
+        proxies: Optional[Proxies] = None,
+    ):
+        self.timeout = timeout
+        self.user_agent = user_agent
+        self.headers = dict(headers or {})
+        self.proxies = proxies
+
+    def get(self, url: str) -> Optional[dict]:
+        import http.client
+        from urllib.parse import urlsplit, urlunsplit
+
+        try:
+            parts = urlsplit(url)
+        except ValueError:
+            return None
+        scheme = (parts.scheme or "").lower()
+        if scheme not in ("http", "https"):
+            return None
+        conn_cls = (
+            http.client.HTTPSConnection
+            if scheme == "https"
+            else http.client.HTTPConnection
+        )
+        proxy = None
+        if self.proxies:
+            proxy = self.proxies.random_proxy()
+            if proxy.kind != "http":
+                raise ValueError(
+                    "HttpRequester supports http proxies only; implement "
+                    "a custom Requester for SOCKS"
+                )
+        conn = None
+        try:
+            if proxy is not None:
+                conn = http.client.HTTPConnection(
+                    proxy.host, proxy.port, timeout=self.timeout
+                )
+                target = url  # absolute-form request line via proxy
+            else:
+                conn = conn_cls(
+                    parts.hostname, parts.port, timeout=self.timeout
+                )
+                target = urlunsplit(
+                    ("", "", parts.path or "/", parts.query, "")
+                )
+            hdrs = {"User-Agent": self.user_agent, **self.headers}
+            conn.request("GET", target, headers=hdrs)
+            resp = conn.getresponse()
+            body = resp.read()
+            return {
+                "code": resp.status,
+                "location": resp.getheader("Location"),
+                "content_type": resp.getheader("Content-Type"),
+                "html": body,
+            }
+        except (OSError, http.client.HTTPException):
+            return None
+        finally:
+            if conn is not None:
+                conn.close()
+
+
+class HttpPageStore:
+    """Live-web page source for the Crawler: `Crawler(HttpPageStore())`
+    fetches every generated URL over real HTTP through HttpRequester
+    (PageStoreReader kind 'http'). Robots enforcement, politeness
+    budgets, redirect bookkeeping and the success-code set all behave
+    exactly as with offline stores — the requester only swaps the
+    transport."""
+
+    def __init__(
+        self,
+        *,
+        timeout: float = 10.0,
+        user_agent: str = DEFAULT_USER_AGENT,
+        headers: Optional[dict] = None,
+    ):
+        self._handle = {
+            "kind": "http",
+            "timeout": timeout,
+            "user_agent": user_agent,
+            "headers": dict(headers or {}),
+        }
+
+    def handle(self) -> dict:
+        return self._handle

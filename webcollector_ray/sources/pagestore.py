@@ -159,6 +159,14 @@ class PageStoreReader:
             self._spec = handle["spec"]
         elif self.kind == "broadcast":
             self._lookup = _Lookup(ray.get(handle["ref"][0]))
+        elif self.kind == "http":
+            from ..net import HttpRequester
+
+            self._requester = HttpRequester(
+                timeout=handle["timeout"],
+                user_agent=handle["user_agent"],
+                headers=handle["headers"],
+            )
         else:
             self.dir = handle["dir"]
             self.num_buckets = handle["num_buckets"]
@@ -176,6 +184,13 @@ class PageStoreReader:
             return ("broadcast", handle["ref"][0].hex())
         if kind == "bucketed":
             return ("bucketed", handle["dir"])
+        if kind == "http":
+            return (
+                "http",
+                handle["timeout"],
+                handle["user_agent"],
+                tuple(sorted(handle["headers"].items())),
+            )
         spec = handle["spec"]
         return (
             "synth",
@@ -227,4 +242,6 @@ class PageStoreReader:
             }
         if self.kind == "broadcast":
             return self._lookup.get(url)
+        if self.kind == "http":
+            return self._requester.get(url)
         return self._bucket_lookup(url_hash64(url) % self.num_buckets).get(url)
