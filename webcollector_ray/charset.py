@@ -104,6 +104,185 @@ def _utf8_scan(content: bytes) -> Tuple[bool, int]:
     return need == 0, n_multi
 
 
+# ---- multi-byte charset probers (juniversalchardet's MBCS group) ------
+#
+# CharsetDetector.java:33-124 delegates to juniversalchardet, whose
+# multi-byte group covers Shift-JIS / EUC-JP / GB18030 / EUC-KR / Big5
+# via per-encoding coding state machines + character distribution
+# analysis (Li & Momoi 2001 §4). Replicated here: structure validation
+# first (one illegal sequence eliminates the candidate), then a
+# distribution score over the decoded text — script-membership for
+# Japanese/Korean, a top-frequency hanzi table for Chinese (random
+# byte pairs decode to RARE hanzi, real text hits the frequent set).
+
+# top-frequency hanzi (public frequency lists); simplified + traditional
+_ZH_TOP_SIMP = (
+    "的一是不了人我在有他这为之大来以个中上们到说国和地也子时道出而"
+    "要于就下得可你年生自会那后能对着事其里所去行过家十用发天如然作"
+    "方成者多日都三小军二无同么经法当起与好看学进种将还分此心前面又"
+    "定见只主没公从"
+)
+_ZH_TOP_TRAD = (
+    "的一是不了人我在有他這為之大來以個中上們到說國和地也子時道出而"
+    "要於就下得可你年生自會那後能對著事其裡所去行過家十用發天如然作"
+    "方成者多日都三小軍二無同麼經法當起與好看學進種將還分此心前面又"
+    "定見只主沒公從"
+)
+# common Hangul syllables (high-frequency Korean text syllables)
+_KO_TOP = (
+    "이다의에하는을로가고지서은한그여를기들시사람있것수보않없나주아"
+    "니말일도되게면해었습니으려무와과내중년대국누저때문같우리인전자"
+    "정보용더만즈했젠만든술때매우포함"
+)
+
+_MBCS_MIN_CONFIDENCE = 0.35
+
+
+def _scan_mbcs(data: bytes, kind: str) -> Tuple[bool, int]:
+    """Coding state machine: (structurally legal, n multibyte seqs)."""
+    i, n, multi = 0, len(data), 0
+    while i < n:
+        b = data[i]
+        if kind == "sjis":
+            if b < 0x80 or 0xA1 <= b <= 0xDF:
+                i += 1
+                continue
+            if (0x81 <= b <= 0x9F) or (0xE0 <= b <= 0xFC):
+                if i + 1 < n and (
+                    0x40 <= data[i + 1] <= 0x7E or 0x80 <= data[i + 1] <= 0xFC
+                ):
+                    multi += 1
+                    i += 2
+                    continue
+            return False, multi
+        elif kind == "eucjp":
+            if b < 0x80:
+                i += 1
+                continue
+            if b == 0x8E:
+                if i + 1 < n and 0xA1 <= data[i + 1] <= 0xDF:
+                    multi += 1
+                    i += 2
+                    continue
+                return False, multi
+            if b == 0x8F:
+                if (
+                    i + 2 < n
+                    and 0xA1 <= data[i + 1] <= 0xFE
+                    and 0xA1 <= data[i + 2] <= 0xFE
+                ):
+                    multi += 1
+                    i += 3
+                    continue
+                return False, multi
+            if 0xA1 <= b <= 0xFE:
+                if i + 1 < n and 0xA1 <= data[i + 1] <= 0xFE:
+                    multi += 1
+                    i += 2
+                    continue
+            return False, multi
+        elif kind == "euckr":
+            if b < 0x80:
+                i += 1
+                continue
+            if 0xA1 <= b <= 0xFE:
+                if i + 1 < n and 0xA1 <= data[i + 1] <= 0xFE:
+                    multi += 1
+                    i += 2
+                    continue
+            return False, multi
+        elif kind == "gb18030":
+            if b < 0x80:
+                i += 1
+                continue
+            if 0x81 <= b <= 0xFE:
+                if i + 1 < n:
+                    t = data[i + 1]
+                    if 0x40 <= t <= 0xFE and t != 0x7F:
+                        multi += 1
+                        i += 2
+                        continue
+                    if 0x30 <= t <= 0x39:  # 4-byte form
+                        if (
+                            i + 3 < n
+                            and 0x81 <= data[i + 2] <= 0xFE
+                            and 0x30 <= data[i + 3] <= 0x39
+                        ):
+                            multi += 1
+                            i += 4
+                            continue
+            return False, multi
+        else:  # big5
+            if b < 0x80:
+                i += 1
+                continue
+            if 0x81 <= b <= 0xFE:
+                if i + 1 < n and (
+                    0x40 <= data[i + 1] <= 0x7E or 0xA1 <= data[i + 1] <= 0xFE
+                ):
+                    multi += 1
+                    i += 2
+                    continue
+            return False, multi
+    return True, multi
+
+
+# (reported name, python codec, state machine kind, language)
+_MBCS_PROBERS = [
+    ("SHIFT_JIS", "shift_jis", "sjis", "ja"),
+    ("EUC-JP", "euc_jp", "eucjp", "ja"),
+    ("GB18030", "gb18030", "gb18030", "zh"),
+    ("BIG5", "big5", "big5", "zh-trad"),
+    ("EUC-KR", "euc_kr", "euckr", "ko"),
+]
+
+
+def _mbcs_confidence(lang: str, decoded: str) -> float:
+    """Distribution score of a structurally-valid decoding: fraction of
+    non-ASCII chars that belong to the language's high-frequency set
+    (full weight) or merely to its script (0.3), with replacement chars
+    as strong negatives. Random/garbage decodings land far below real
+    text on the frequent-set fraction."""
+    non_ascii = [ch for ch in decoded if ord(ch) >= 128]
+    if not non_ascii:
+        return 0.0
+    n = len(non_ascii)
+    bad = sum(1 for ch in non_ascii if ch == "�")
+    score = 0.0
+    for ch in non_ascii:
+        o = ord(ch)
+        if lang == "ja":
+            if 0x3040 <= o <= 0x30FF:  # hiragana + katakana
+                score += 1.0
+            elif 0x4E00 <= o <= 0x9FFF or o in (0x3001, 0x3002):
+                score += 0.3
+        elif lang == "ko":
+            if ch in _KO_TOP:
+                score += 1.0
+            elif 0xAC00 <= o <= 0xD7A3:
+                score += 0.3
+        else:  # zh / zh-trad
+            top = _ZH_TOP_TRAD if lang == "zh-trad" else _ZH_TOP_SIMP
+            if ch in top:
+                score += 1.0
+            elif 0x4E00 <= o <= 0x9FFF or o in (0x3001, 0x3002, 0xFF0C):
+                score += 0.3
+    return (score / n) * max(0.0, 1.0 - 2.0 * bad / n)
+
+
+def _probe_mbcs(data: bytes) -> Tuple[Optional[str], float]:
+    best, best_conf = None, 0.0
+    for name, codec, kind, lang in _MBCS_PROBERS:
+        legal, multi = _scan_mbcs(data, kind)
+        if not legal or multi == 0:
+            continue
+        decoded = data.decode(codec, errors="replace")
+        conf = _mbcs_confidence(lang, decoded)
+        if conf > best_conf:
+            best, best_conf = name, conf
+    return best, best_conf
+
+
 # ---- single-byte charset probers --------------------------------------
 
 # language letter-frequency strings, most-common first (public letter
@@ -193,6 +372,7 @@ def _guess_statistical(content: bytes) -> str:
     if valid_utf8:
         # pure ASCII detects nothing (juniversalchardet returns null)
         return "UTF-8"
+    mb_name, mb_conf = _probe_mbcs(data)
     best_name, best_conf = None, 0.0
     for name, codec, frequent, alphabet in _SBCS_PROBERS:
         try:
@@ -205,7 +385,13 @@ def _guess_statistical(content: bytes) -> str:
             conf *= _LATIN1_DISCOUNT
         if conf > best_conf:
             best_name, best_conf = name, conf
-    if best_name is not None and best_conf >= _SBCS_MIN_CONFIDENCE:
+    # pick the most confident prober across both groups, each gated by
+    # its own floor (juniversalchardet returns the max-confidence probe)
+    mb_ok = mb_name is not None and mb_conf >= _MBCS_MIN_CONFIDENCE
+    sb_ok = best_name is not None and best_conf >= _SBCS_MIN_CONFIDENCE
+    if mb_ok and (not sb_ok or mb_conf >= best_conf):
+        return mb_name
+    if sb_ok:
         return best_name
     return "UTF-8"
 
