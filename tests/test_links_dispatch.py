@@ -230,3 +230,55 @@ def test_fast_links_by_regex_matches_dom():
         fast = fast_links_by_regex(html, base, rule, src)
         slow = list(Links().add_by_regex(dom.parse(html, base), rule, src))
         assert fast == slow, (fast, slow)
+
+
+def test_fast_links_random_html_differential():
+    """Randomized differential: the SAX fast scan must match the DOM
+    path over generated html with nested tags, comments, scripts,
+    malformed nesting, entities and duplicate/valueless attrs."""
+    import random
+
+    from webcollector_ray import dom
+    from webcollector_ray.links import Links, fast_links_by_regex
+    from webcollector_ray.regex_rule import RegexRule
+
+    rng = random.Random(99)
+    words = ["alpha", "beta", "gamma", "delta", "x&amp;y", "café"]
+    hrefs = ["a.html", "/b.html", "http://o.test/c.html", "../d.html",
+             "e.html?q=1#f", "", "javascript:void(0)", "dir/sub.html"]
+
+    def rand_elem(depth):
+        if depth > 3 or rng.random() < 0.3:
+            return rng.choice(words)
+        tag = rng.choice(["div", "p", "span", "ul", "li", "b"])
+        inner = "".join(rand_elem(depth + 1) for _ in range(rng.randint(0, 3)))
+        kids = []
+        if rng.random() < 0.5:
+            h = rng.choice(hrefs)
+            attr = f' href="{h}"' if rng.random() < 0.8 else " href"
+            extra = ' class="k" href="shadow.html"' if rng.random() < 0.2 else ""
+            kids.append(f"<a{attr}{extra}>{rng.choice(words)}</a>")
+        if rng.random() < 0.2:
+            kids.append(f"<!-- <a href='{rng.choice(hrefs)}'>c</a> -->")
+        if rng.random() < 0.2:
+            kids.append(f"<script>var a='<a href=\"{rng.choice(hrefs)}\">';</script>")
+        if rng.random() < 0.2:
+            kids.append(f"<img src='{rng.choice(hrefs)}'>")
+        if rng.random() < 0.15:
+            kids.append("<p>unclosed <b>bold")
+        rng.shuffle(kids)
+        return f"<{tag}>{inner}{''.join(kids)}</{tag}>"
+
+    rule_any = RegexRule([".*"])
+    rule_html = RegexRule([r".*\.html.*"])
+    for trial in range(60):
+        body = "".join(rand_elem(0) for _ in range(rng.randint(1, 6)))
+        html = f"<html><head><title>t</title></head><body>{body}</body></html>"
+        base = "http://site9.test/d/e/list-0.html"
+        for rule in (rule_any, rule_html):
+            for src in (False, True):
+                fast = fast_links_by_regex(html, base, rule, src)
+                slow = list(
+                    Links().add_by_regex(dom.parse(html, base), rule, src)
+                )
+                assert fast == slow, (trial, rule.positive, src, fast, slow)
