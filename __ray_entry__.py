@@ -442,6 +442,39 @@ def _q_docs_packed_sequences(sf_dir: str):
     return out.select_columns(["doc_id", "chunk_id", "seq_id", "seq_pos"])
 
 
+_TOKEN_BUDGET = 25_000
+
+
+def _q_docs_token_budget_head(sf_dir: str):
+    """Token-budget corpus subsetting: the ordered doc_id prefix whose
+    inclusive running token sum stays within the budget — the two-wave
+    distributed prefix scan (block sums -> driver folds scalars ->
+    parallel cumsum+filter), no shuffle, no materialization."""
+    from webcollector_ray.functions.packing import token_budget_head
+    from webcollector_ray.functions.textstats import token_count_batch
+
+    with_tokens = _docs(sf_dir).map_batches(
+        lambda b: b.append_column(
+            "n_tokens", token_count_batch(b)["n_tokens"]
+        ).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+    out = token_budget_head(with_tokens, budget=_TOKEN_BUDGET)
+    return out.select_columns(["doc_id", "n_tokens", "cum_tokens"])
+
+
+def _q_events_window_distinct(sf_dir: str):
+    """Distinct users per tumbling hour (DAU-style): batch combiner ->
+    pair-hash exchange (complete in-bucket dedupe) -> window-hash
+    exchange over partial counts. The distinct set never assembles."""
+    from webcollector_ray.functions.windows import window_distinct_keys
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return window_distinct_keys(ev, window_sec=3600)
+
+
 def _q_docs_sample(sf_dir: str):
     """Deterministic 10% hash sample — reproducible corpus subsetting
     (hash-mod on the id, not random_sample, so reruns and the oracle
@@ -1283,6 +1316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": _q_docs_chunks,
         "docs_chunk_dedup": _q_docs_chunk_dedup,
         "docs_packed_sequences": _q_docs_packed_sequences,
+        "docs_token_budget_head": _q_docs_token_budget_head,
+        "events_window_distinct": _q_events_window_distinct,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -2543,6 +2578,26 @@ def _oracle_sql_static() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY user_id, window_start
+        """,
+        "events_window_distinct": """
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                       AS window_start,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY window_start
+        """,
+        "docs_token_budget_head": f"""
+            WITH t AS (
+                SELECT doc_id, {_NTOK}::BIGINT AS n_tokens FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                       )::BIGINT AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, n_tokens, cum_tokens FROM c
+            WHERE cum_tokens <= {_TOKEN_BUDGET}
         """,
         "events_hopping": """
             SELECT user_id,

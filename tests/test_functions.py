@@ -994,3 +994,45 @@ def test_mix_rebalance_uint64_wrap_matches_oracle_math(ray_session):
         params={"ids": big},
     ).fetchall()
     assert got == {r[0] for r in rows}
+
+
+def test_token_budget_head(ray_session):
+    from webcollector_ray.functions.packing import token_budget_head
+
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "n_tokens": pa.array([10, 20, 30, 5, 40, 1], pa.int64()),
+    })
+    # multi-block input (2 rows per block) exercises the cross-block scan
+    ds = rd.from_arrow([t.slice(0, 2), t.slice(2, 2), t.slice(4, 2)])
+    out = token_budget_head(ds, budget=65).to_pandas().sort_values("doc_id")
+    # cumsum: 10,30,60,65,105,106 -> keep docs 0..3 (65 is INCLUSIVE)
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    assert out["cum_tokens"].tolist() == [10, 30, 60, 65]
+    assert token_budget_head(ds, budget=9).to_pandas().empty
+    assert len(token_budget_head(ds, budget=10**9).to_pandas()) == 6
+
+
+def test_window_distinct_keys_matches_pandas(ray_session):
+    import pandas as pd
+
+    from webcollector_ray.functions.windows import window_distinct_keys
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    ts = pd.to_datetime(rng.randint(0, 6 * 3600, n), unit="s")
+    users = rng.randint(0, 40, n).astype(np.int64)
+    t = pa.table({
+        "user_id": pa.array(users),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),  # parquet tables are us
+    })
+    got = (
+        window_distinct_keys(rd.from_arrow(t), window_sec=3600)
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    ref = (
+        pd.DataFrame({"u": users, "w": (ts.astype("int64") // (3600 * 10**9)) * 3600})
+        .groupby("w")["u"].nunique().reset_index()
+    )
+    assert got["window_start"].tolist() == ref["w"].tolist()
+    assert got["n_distinct"].tolist() == ref["u"].tolist()

@@ -113,3 +113,80 @@ def packed_sequences(chunks_ds, *, seq_tokens: int = 1024,
             for off, (_, _, _, b) in zip(offsets, keyed)
         ]
     )
+
+
+# ------------------------------------------- token-budget corpus head
+
+
+@ray.remote
+def _budget_filter(
+    token_col: str, block_offset: int, budget: int, block: pa.Table
+) -> pa.Table:
+    n = block[token_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = block_offset + np.cumsum(n)  # INCLUSIVE running sum
+    block = block.append_column("cum_tokens", pa.array(cum, pa.int64()))
+    return block.filter(pa.array(cum <= budget))
+
+
+def token_budget_head(
+    ds,
+    *,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_cols=("doc_id",),
+):
+    """Deterministic token-budget corpus subsetting: keep the ordered
+    prefix of rows whose INCLUSIVE running token sum stays within
+    `budget` ("the first B tokens of the corpus by doc order") and
+    stamp each kept row with its cum_tokens. The standard move for
+    sizing a training mix to a token target without materializing or
+    sorting anything.
+
+    Same distributed prefix-scan shape as packed_sequences: per-block
+    sums (parallel) -> driver folds num_blocks scalars -> per-block
+    vectorized cumsum + filter (parallel). Blocks whose offset already
+    exceeds the budget emit nothing. ORDER CONTRACT as packed_sequences
+    (disjoint block key ranges, verified, e.g. parquet read of an
+    id-ordered table)."""
+    def _empty():
+        schema = ds.schema()
+        base = pa.schema(list(zip(schema.names, schema.types)))
+        return rd.from_arrow(
+            pa.schema(
+                [f for f in base] + [pa.field("cum_tokens", pa.int64())]
+            ).empty_table()
+        )
+
+    blocks = list(ds.to_arrow_refs())
+    if not blocks:
+        return _empty()
+    stats = ray.get(
+        [_block_token_sum.remote(token_col, order_cols, b) for b in blocks]
+    )
+    keyed = sorted(
+        (
+            (first, last, s, b)
+            for (s, first, last), b in zip(stats, blocks)
+            if first is not None
+        ),
+        key=lambda t: t[0],
+    )
+    if not keyed:
+        return _empty()
+    for (_, prev_last, _, _), (cur_first, _, _, _) in zip(keyed, keyed[1:]):
+        if cur_first <= prev_last:
+            raise ValueError(
+                "token_budget_head: block key ranges overlap on "
+                f"{order_cols} ({cur_first!r} <= {prev_last!r}) — sort "
+                "by the order columns first"
+            )
+    sums = np.array([s for _, _, s, _ in keyed], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    out = [
+        _budget_filter.remote(token_col, int(off), int(budget), b)
+        for off, (_, _, _, b) in zip(offsets, keyed)
+        if off < budget  # blocks past the budget can't contribute
+    ]
+    if not out:
+        return _empty()
+    return rd.from_arrow_refs(out)

@@ -325,3 +325,93 @@ def retention_cohorts(
         per_user, empty1, num_buckets,
     )
     return exchange_reduce(partials, sum_counts, empty2, num_buckets)
+
+
+def window_distinct_keys(
+    events,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_sec: int = 3600,
+    num_buckets: int = 32,
+):
+    """-> (window_start:int64, n_distinct:int64): distinct `key_col`
+    per tumbling window (the classic "DAU per hour" query).
+
+    Scale shape (two bounded exchanges, the distinct SET never
+    assembles anywhere): batch-local (window, key) dedupe combiner ->
+    pair-hash exchange (equal pairs co-locate, so each bucket dedupes
+    its pairs COMPLETELY and collapses them to per-window partial
+    counts) -> window-hash exchange summing the partials (num_buckets
+    rows per window, not events)."""
+    import numpy as np
+
+    from .joins import exchange_reduce
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch[ts_col], pa.int64())
+        wnd = pc.cast(
+            pc.multiply(pc.divide(us, window_sec * 1_000_000), window_sec),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_numpy(zero_copy_only=False),
+                "window_start": wnd.to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return _win_bucketed(df, key_col, num_buckets)
+
+    empty_pairs_out = pa.table(
+        {
+            "window_start": pa.nulls(0, pa.int64()),
+            "n": pa.nulls(0, pa.int64()),
+            "__bucket": pa.nulls(0, pa.int32()),
+        }
+    )
+
+    def dedupe_and_count(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["__bucket"]).to_pandas().drop_duplicates(
+            [key_col, "window_start"]
+        )
+        g = df.groupby("window_start", sort=False).size().reset_index(name="n")
+        w = g["window_start"].to_numpy().astype(np.int64)
+        bk = (
+            (w.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "window_start": pa.array(w),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+                "__bucket": pa.array(bk),
+            }
+        )
+
+    partial_counts = exchange_reduce(
+        events.map_batches(pairs, batch_format="pyarrow"),
+        dedupe_and_count, empty_pairs_out, num_buckets,
+    )
+
+    empty_out = pa.table(
+        {
+            "window_start": pa.nulls(0, pa.int64()),
+            "n_distinct": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def sum_partials(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["__bucket"]).to_pandas()
+        out = df.groupby("window_start", sort=False, as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    out["window_start"].to_numpy().astype(np.int64)
+                ),
+                "n_distinct": pa.array(out["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return exchange_reduce(
+        partial_counts, sum_partials, empty_out, num_buckets
+    )
