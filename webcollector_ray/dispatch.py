@@ -157,9 +157,24 @@ class VisitorMethodDispatcher:
             self.after_parse_method(page, next)
 
     def _parse_link(self, page: Page, next: CrawlDatums) -> None:  # noqa: A002
-        # VisitorMethodDispatcher.java:240-250
+        # VisitorMethodDispatcher.java:240-250. When the routed visit
+        # never built the DOM (page._doc untouched), extract links with
+        # the SAX fast scan instead of building a tree just to walk it —
+        # differential-tested equal to the DOM path
+        # (test_fast_links_random_html_differential). A visitor that DID
+        # parse gets its cached doc reused, no second parse.
         ct = page.content_type
         if ct is not None and "text/html" in ct:
+            if page._doc is None:
+                from .links import fast_links_by_regex
+
+                next.add(
+                    fast_links_by_regex(
+                        page.html(), page.url() or "",
+                        self.regex_rule, self.auto_detect_img,
+                    )
+                )
+                return
             doc = page.doc()
             if doc is not None:
                 links = Links().add_by_regex(
