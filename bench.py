@@ -145,8 +145,10 @@ def run_once(sf_dir: str, cpus: int, *, headline_only: bool = False,
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    steal0, total0 = _cpu_steal_sample()
     crawl = crawl_headline(sf_dir, sites=sites)
     queries = {} if (headline_only or skip_queries) else run_queries(sf_dir)
+    steal1, total1 = _cpu_steal_sample()
     result = {
         "metric": "crawl_e2e",
         "value": crawl["seconds"],
@@ -155,9 +157,33 @@ def run_once(sf_dir: str, cpus: int, *, headline_only: bool = False,
         "sf": _sf_of(sf_dir),
         "num_cpus": cpus,
         "crawl": crawl,
+        # hypervisor-steal evidence (BASELINE.md round-2 addendum): how
+        # much of this run's cpu-time the host stole. ratio ~0 = clean
+        # number; ratio >> 0 = wall-times inflated by external load
+        "steal": _steal_dict(steal0, total0, steal1, total1),
     }
     ray.shutdown()
     return result
+
+
+def _cpu_steal_sample():
+    """(steal_jiffies, total_jiffies) from /proc/stat, 0s if absent."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
+def _steal_dict(s0, t0, s1, t1):
+    ds, dt = s1 - s0, t1 - t0
+    return {
+        "steal_jiffies": ds,
+        "steal_ratio": round(ds / dt, 4) if dt > 0 else 0.0,
+    }
 
 
 def run_scaling(sf_dir: str, n_cpus: int, n4_cpus: int,
@@ -181,6 +207,7 @@ def run_scaling(sf_dir: str, n_cpus: int, n4_cpus: int,
             )
             line = proc.stdout.strip().splitlines()[-1]
             r = json.loads(line)
+            # max throughput == the least-stolen sample of the three
             if best is None or r["crawl"]["pages_per_s"] > best["crawl"]["pages_per_s"]:
                 best = r
         runs[cpus] = best
@@ -204,6 +231,9 @@ def run_scaling(sf_dir: str, n_cpus: int, n4_cpus: int,
             "frontier_rows_per_s_4n": runs[n4_cpus]["crawl"]["frontier_rows_per_s"],
             "speedup": round(speedup, 3),
             "efficiency": round(eff, 3),
+            # steal observed during each chosen leg (see run_once)
+            "steal_n": runs[n_cpus].get("steal"),
+            "steal_4n": runs[n4_cpus].get("steal"),
         },
     }
 
