@@ -134,6 +134,23 @@ def _filter_links_shard(shard_actor, *parts):
     return kept, len(kept)
 
 
+@ray.remote
+def _count_generate_eligible(max_count: int, block: pa.Table) -> int:
+    """Rows the default G1/G2 generate predicate would keep (status !=
+    SUCCESS and execute_count <= max). User generator filters and topN
+    can only DROP among these, so 0 here ⇒ generate output is 0 for
+    every configuration."""
+    import pyarrow.compute as pc
+
+    if block is None or len(block) == 0 or "status" not in block.column_names:
+        return 0
+    mask = pc.and_(
+        pc.not_equal(block["status"], STATUS_DB_SUCCESS),
+        pc.less_equal(block["execute_count"], max_count),
+    )
+    return int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+
+
 @ray.remote(num_returns=3)
 def _split_exec_block(table: pa.Table):
     """One executed block -> (fetch rows, link rows, tallies). A raw
@@ -526,12 +543,48 @@ class Crawler:
             else:
                 crawldb = crawldb.materialize()
                 m.crawldb_size = crawldb.count()
+            # A2 early termination: count generate-ELIGIBLE rows (the
+            # default G1/G2 predicate; user filters/topN can only DROP
+            # among them) in one tiny raw-task wave over the merged
+            # refs. 0 eligible ⇒ this depth would generate nothing —
+            # skip the execute pipeline entirely instead of spinning a
+            # full Dataset execution over empty batches (~2s of pure
+            # fixed cost on the terminal depth of every crawl).
+            eligible = sum(
+                ray.get(
+                    [
+                        _count_generate_eligible.remote(
+                            cfg.max_execute_count, r
+                        )
+                        for r in crawldb.to_arrow_refs()
+                    ]
+                )
+            )
             if ckpt is not None:
                 ckpt.write_table(crawldb, i, "crawldb")
                 if cfg.checkpoint_readback:
                     # swap refs for the parquet copy so the object
                     # store can evict frontier state (100TB mode)
                     crawldb = ckpt.read_dataset(i, "crawldb")
+
+            if eligible == 0:
+                m.seconds = time.time() - dt0
+                result.depths.append(m)
+                if ckpt is not None:
+                    ckpt.write_manifest(
+                        i,
+                        {
+                            "depth": i,
+                            "generated": 0,
+                            "links": 0,
+                            "fetch_success": 0,
+                            "fetch_failed": 0,
+                            "crawldb_size": m.crawldb_size,
+                            "seconds": m.seconds,
+                        },
+                    )
+                fetch_seg = link_seg = None
+                break
 
             # 2. generate (G1-G4 + topN) + routing: politeness wins
             # (hosts), else store-bucket locality for bucketed stores
