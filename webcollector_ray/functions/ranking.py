@@ -27,27 +27,32 @@ def global_top_n(
     n x num_blocks survivors. At 10^10 rows this moves n rows per block
     instead of shuffling the entire dataset through a distributed sort.
     Deterministic: ties on order_col break by tie_col ascending."""
-    sort_cols = [order_col] + ([tie_col] if tie_col else [])
-    asc = [not descending] + ([True] if tie_col else [])
+    keys = [(order_col, "descending" if descending else "ascending")] + (
+        [(tie_col, "ascending")] if tie_col else []
+    )
 
     def local_topn(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            sort_cols, ascending=asc, kind="mergesort"
-        ).head(n)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native sort+take: preserves the input schema EXACTLY
+        # (a pandas roundtrip degrades all-null columns to null type)
+        import pyarrow.compute as pc
+
+        if len(batch) <= n:
+            idx = pc.sort_indices(batch, sort_keys=keys)
+            return batch.take(idx)
+        return batch.take(pc.sort_indices(batch, sort_keys=keys).slice(0, n))
 
     import ray
     import ray.data as rd
 
     @ray.remote
     def final_reduce(*blocks):
+        import pyarrow.compute as pc
+
         tabs = [t for t in blocks if t is not None and len(t)]
         if not tabs:
             return None
-        df = pa.concat_tables(tabs).to_pandas().sort_values(
-            sort_cols, ascending=asc, kind="mergesort"
-        ).head(n)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        cat = pa.concat_tables(tabs, promote_options="permissive")
+        return cat.take(pc.sort_indices(cat, sort_keys=keys).slice(0, n))
 
     local = ds.map_batches(local_topn, batch_format="pyarrow")
     out_ref = final_reduce.remote(*local.to_arrow_refs())

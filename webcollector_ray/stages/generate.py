@@ -75,17 +75,37 @@ def generate(
                 "__priority", pa.array(pri, pa.float64())
             )
 
-        ds = (
-            ds.map_batches(add_priority, batch_format="pyarrow")
-            .sort(["__priority", "key"], descending=[True, False])
-            .map_batches(
+        if config.topn > 0:
+            # capped priority queue: local top-n per block + one reduce
+            # over n x blocks survivors — no distributed sort
+            from ..functions.ranking import global_top_n
+
+            with_p = ds.map_batches(add_priority, batch_format="pyarrow")
+            top = global_top_n(
+                with_p, order_col="__priority", n=config.topn,
+                descending=True, tie_col="key",
+            )
+            ds = top.map_batches(
                 lambda b: b.drop_columns(["__priority"]),
                 batch_format="pyarrow",
             )
-        )
-        if config.topn > 0:
-            ds = ds.limit(config.topn)
+        else:
+            # full-frontier priority ORDERING (no cap): inherently a
+            # global sort — the only remaining Dataset.sort in the loop
+            ds = (
+                ds.map_batches(add_priority, batch_format="pyarrow")
+                .sort(["__priority", "key"], descending=[True, False])
+                .map_batches(
+                    lambda b: b.drop_columns(["__priority"]),
+                    batch_format="pyarrow",
+                )
+            )
     elif config.topn > 0:
-        # G3: global limit in canonical key order (SURVEY.md §7.4)
-        ds = ds.sort("key").limit(config.topn)
+        # G3: first-N in canonical key order (KV-iteration order) via
+        # local top-n + single reduce (SURVEY.md §7.4) — replaces the
+        # frontier-wide sort+limit
+        from ..functions.ranking import global_top_n
+
+        ds = global_top_n(ds, order_col="key", n=config.topn,
+                          descending=False)
     return ds
