@@ -1036,3 +1036,14 @@ def test_window_distinct_keys_matches_pandas(ray_session):
     )
     assert got["window_start"].tolist() == ref["w"].tolist()
     assert got["n_distinct"].tolist() == ref["u"].tolist()
+
+
+def test_cosine_pairs_blocked_empty(ray_session):
+    from webcollector_ray.functions.similarity import cosine_pairs_blocked
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    out = cosine_pairs_blocked(empty, threshold=0.5).to_pandas()
+    assert len(out) == 0
