@@ -319,3 +319,29 @@ def test_fast_path_matches_dispatch_path(ray_session):
         if len(out_f) == len(out_s) else (len(out_f), len(out_s))
     )
     assert len(out_f) > len(batch)  # links actually extracted
+
+
+def test_resume_completed_crawl_terminates_fast(ray_session, pages, tmp_path):
+    """Resuming a crawl that already reached its fixed point must break
+    on the first depth via the generate-eligible short-circuit (no
+    execute pipeline spins) and leave the crawldb unchanged."""
+    cfg = CrawlerConfig(fetch_concurrency=2, merge_num_buckets=4)
+    c1 = BreadthCrawler(
+        str(tmp_path / "z"), True, pages, config=cfg, deterministic_time=True
+    )
+    c1.add_seed(SPEC.seeds())
+    c1.add_regex(REGEX)
+    df_a = _final_state(c1.start(10))
+
+    c2 = BreadthCrawler(
+        str(tmp_path / "z"), True, pages,
+        config=cfg.replace(resumable=True), deterministic_time=True,
+    )
+    c2.add_seed(SPEC.seeds())
+    c2.add_regex(REGEX)
+    res = c2.start(5)
+    assert len(res.depths) == 1
+    assert res.depths[0].generated == 0
+    df_b = _final_state(res)
+    cols = ["url", "status", "execute_count", "code"]
+    assert df_a[cols].equals(df_b[cols])
