@@ -535,31 +535,31 @@ class Crawler:
                     parts.append((crawldb, 1))
                 if link_seg is not None:
                     parts.append((link_seg, 2))
-                table_refs, count_refs = dedupe_by_key_refs(
-                    parts, cfg.merge_num_buckets
+                # A2 early termination input rides back WITH the merge:
+                # each reduce bucket also returns its generate-eligible
+                # count (default G1/G2 predicate; user filters/topN can
+                # only DROP among those rows) — no extra task wave
+                table_refs, count_refs, elig_refs = dedupe_by_key_refs(
+                    parts, cfg.merge_num_buckets,
+                    eligible_max_count=cfg.max_execute_count,
                 )
                 crawldb = rd.from_arrow_refs(table_refs)
                 m.crawldb_size = sum(ray.get(count_refs))
+                eligible = sum(ray.get(elig_refs))
             else:
                 crawldb = crawldb.materialize()
                 m.crawldb_size = crawldb.count()
-            # A2 early termination: count generate-ELIGIBLE rows (the
-            # default G1/G2 predicate; user filters/topN can only DROP
-            # among them) in one tiny raw-task wave over the merged
-            # refs. 0 eligible ⇒ this depth would generate nothing —
-            # skip the execute pipeline entirely instead of spinning a
-            # full Dataset execution over empty batches (~2s of pure
-            # fixed cost on the terminal depth of every crawl).
-            eligible = sum(
-                ray.get(
-                    [
-                        _count_generate_eligible.remote(
-                            cfg.max_execute_count, r
-                        )
-                        for r in crawldb.to_arrow_refs()
-                    ]
+                # no merge this depth (fresh inject): one tiny wave
+                eligible = sum(
+                    ray.get(
+                        [
+                            _count_generate_eligible.remote(
+                                cfg.max_execute_count, r
+                            )
+                            for r in crawldb.to_arrow_refs()
+                        ]
+                    )
                 )
-            )
             if ckpt is not None:
                 ckpt.write_table(crawldb, i, "crawldb")
                 if cfg.checkpoint_readback:

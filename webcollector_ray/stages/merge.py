@@ -42,7 +42,7 @@ import pyarrow as pa
 
 import ray
 
-from ..model import FRONTIER_SCHEMA
+from ..model import FRONTIER_SCHEMA, STATUS_DB_SUCCESS
 
 _HELPER_COLS = ["__prec"]
 
@@ -108,25 +108,40 @@ def _restore_schema(batch: pa.Table) -> pa.Table:
     return pa.table(dict(zip(FRONTIER_SCHEMA.names, cols)), schema=FRONTIER_SCHEMA)
 
 
-@ray.remote(num_returns=2)
-def _reduce_bucket(*parts):
+@ray.remote(num_returns=3)
+def _reduce_bucket(eligible_max_count, *parts):
+    """-> (merged bucket table, row count, generate-eligible count).
+    The eligible count (default G1/G2 predicate: status != SUCCESS and
+    execute_count <= max) rides back with the merge so the crawler's A2
+    early-termination check costs no extra task wave."""
+    import pyarrow.compute as pc
+
     tables = [t for t in parts if t is not None and len(t)]
     if not tables:
-        return FRONTIER_SCHEMA.empty_table(), 0
+        return FRONTIER_SCHEMA.empty_table(), 0, 0
     cat = pa.concat_tables(tables, promote_options="permissive")
     df = _dedupe_bucket(cat.to_pandas())
     out = _restore_schema(pa.Table.from_pandas(df, preserve_index=False))
-    return out, len(out)
+    elig = 0
+    if len(out):
+        mask = pc.and_(
+            pc.not_equal(out["status"], STATUS_DB_SUCCESS),
+            pc.less_equal(out["execute_count"], eligible_max_count),
+        )
+        elig = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+    return out, len(out), elig
 
 
 def dedupe_by_key_refs(
     parts: List[Tuple["ray.data.Dataset", int]],  # noqa: F821
     num_buckets: int = 64,
     max_split_tasks: int = 64,
+    eligible_max_count: int = 2**62,
 ):
-    """The raw exchange: -> (bucket table refs, bucket row-count refs).
-    Counts ride back as separate tiny refs so the driver can report
-    frontier sizes without a Dataset count() execution."""
+    """The raw exchange: -> (bucket table refs, bucket row-count refs,
+    generate-eligible count refs). Counts ride back as separate tiny
+    refs so the driver can report frontier sizes (and decide A2
+    termination) without a Dataset count() execution."""
     if not parts:
         raise ValueError("no parts to merge")
     pairs = []
@@ -145,12 +160,15 @@ def dedupe_by_key_refs(
         if num_buckets == 1:
             refs = [refs]
         split_refs.append(refs)
-    table_refs, count_refs = [], []
+    table_refs, count_refs, elig_refs = [], [], []
     for b in range(num_buckets):
-        t_ref, c_ref = _reduce_bucket.remote(*[sr[b] for sr in split_refs])
+        t_ref, c_ref, e_ref = _reduce_bucket.remote(
+            eligible_max_count, *[sr[b] for sr in split_refs]
+        )
         table_refs.append(t_ref)
         count_refs.append(c_ref)
-    return table_refs, count_refs
+        elig_refs.append(e_ref)
+    return table_refs, count_refs, elig_refs
 
 
 def dedupe_by_key(
@@ -162,7 +180,7 @@ def dedupe_by_key(
     Dataset of exactly `num_buckets` hash-partitioned blocks."""
     import ray.data as rd
 
-    table_refs, _ = dedupe_by_key_refs(parts, num_buckets)
+    table_refs, _, _ = dedupe_by_key_refs(parts, num_buckets)
     return rd.from_arrow_refs(table_refs)
 
 
