@@ -325,8 +325,11 @@ def test_media_pipeline_deterministic(ray_session):
     assert all(len(f) == 6 for f in a["features"])  # 3 means + 3 stds
 
 
-def test_media_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_media_decode_rejects_unknown_format():
+    # synth_media_table payloads are raw md5 bytes — not BMP/PPM — so the
+    # real decoder must refuse them with a format error (the seam where
+    # PIL would plug in for compressed formats).
+    with pytest.raises(ValueError, match="unsupported image format"):
         DecodeStage(fake=False)(synth_media_table(1))
 
 
@@ -351,7 +354,9 @@ def test_frame_sample_stage(ray_session):
     a = list(out.sort_values(["media_id", "frame"])["pixels"].iloc[0])
     b = list(again.to_pandas().sort_values(["media_id", "frame"])["pixels"].iloc[0])
     assert a == b
-    with pytest.raises(NotImplementedError):
+    # synth_media_table payloads are raw digests, not P6 streams — the
+    # real decoder must refuse them with a format error
+    with pytest.raises(ValueError, match="P6"):
         FrameSampleStage(fake=False)(media)
 
 
@@ -493,7 +498,8 @@ def test_audio_feature_stage(ray_session):
     # deterministic across calls
     again = AudioFeatureStage(fake=True)(media).to_pandas().sort_values("media_id")
     assert out["rms"].tolist() == again["rms"].tolist()
-    with pytest.raises(NotImplementedError):
+    # raw digest payloads are not RIFF/WAV — real decoder refuses them
+    with pytest.raises(ValueError, match="WAV"):
         AudioFeatureStage(fake=False)(media)
 
 

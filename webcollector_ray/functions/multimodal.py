@@ -1,16 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are `binary` columns with a JSON meta column
-(same convention as the frontier's meta, SURVEY.md §1.1). The decode
-kernels themselves are STUBBED — no image/audio libraries exist in this
-container — behind `DecodeStage(fake=...)`:
+(same convention as the frontier's meta, SURVEY.md §1.1). Each decode
+stage has two kernels behind `DecodeStage(fake=...)`:
 
-- fake=False: raises NotImplementedError at first batch (the real
-  deployment would plug PIL/ffmpeg here);
-- fake=True: a deterministic md5-seeded pixel array per payload, so the
-  downstream plumbing (actor-pool signature, Arrow tensor columns,
-  batch sizing for wide binary rows, resize/feature stages) is real and
-  testable.
+- fake=False: REAL decode via the pure-stdlib codecs in
+  media_codecs.py — BMP / binary-PPM images, concatenated-P6 video
+  streams, PCM WAV audio. Compressed formats (JPEG/PNG/H.264/MP3) need
+  PIL/ffmpeg, absent in this container; the codec module raises a
+  ValueError naming the seam where they plug in.
+- fake=True: a deterministic md5-seeded pixel array per payload whose
+  byte stream is re-derivable in SQL, so the driver oracles can pin the
+  full pipeline without decoding binaries in DuckDB.
 
 All stages are callable classes -> actor pools (decode state built once
 per actor), batch_format="pyarrow" end-to-end, small batch sizes
@@ -25,6 +26,8 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+
+from webcollector_ray.functions import media_codecs
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -68,7 +71,13 @@ def _fake_decode(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
 
 
 class DecodeStage:
-    """payload -> pixels (flattened) + shape columns."""
+    """payload -> pixels (flattened) + shape columns.
+
+    fake=False decodes the payload bytes for real (BMP / binary PPM via
+    media_codecs) and emits each image's ACTUAL height/width; the
+    `height`/`width` ctor args only shape the fake kernel. Payload rows
+    decode one-by-one (variable-size binaries are inherently per-record
+    work), but each decode is a numpy reshape — no per-pixel Python."""
 
     def __init__(self, fake: bool = False, height: int = 16, width: int = 16):
         self.fake = fake
@@ -77,10 +86,21 @@ class DecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "real media decode requires PIL/ffmpeg — not available in "
-                "this container; construct DecodeStage(fake=True) for the "
-                "deterministic test path"
+            pixels, hs, ws = [], [], []
+            for p in batch["payload"].to_pylist():
+                arr = media_codecs.decode_image(p)
+                pixels.append(arr.reshape(-1))
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "pixels": pa.array(
+                        [p.tolist() for p in pixels], pa.list_(pa.uint8())
+                    ),
+                    "height": pa.array(hs, pa.int32()),
+                    "width": pa.array(ws, pa.int32()),
+                }
             )
         seeds = np.array(
             [_seed64((p or b"").hex()) for p in batch["payload"].to_pylist()],
@@ -149,10 +169,12 @@ class FeatureStage:
 
 
 class FrameSampleStage:
-    """Video payload -> every k-th frame's pixels (fake decode derives a
-    deterministic frame sequence from the payload digest; a real
-    deployment plugs ffmpeg here). Actor-pool stage: one output row per
-    sampled frame (flat-map shape)."""
+    """Video payload -> every k-th frame's pixels. fake=False decodes a
+    concatenated-P6 frame stream (media_codecs.decode_ppm_stream, the
+    ffmpeg image2pipe layout) and samples from the clip's ACTUAL frame
+    count; the fake kernel derives a deterministic frame sequence from
+    the payload digest. Actor-pool stage: one output row per sampled
+    frame (flat-map shape)."""
 
     def __init__(self, fake: bool = False, num_frames: int = 8,
                  every: int = 4, height: int = 8, width: int = 8):
@@ -164,10 +186,26 @@ class FrameSampleStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "real video decode requires ffmpeg — not available in this "
-                "container; construct FrameSampleStage(fake=True) for the "
-                "deterministic test path"
+            ids, fidx, pixels, hs, ws = [], [], [], [], []
+            for mid, payload in zip(
+                batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+            ):
+                frames = media_codecs.decode_ppm_stream(payload or b"")
+                for f in range(0, len(frames), self.every):
+                    arr = frames[f]
+                    ids.append(mid)
+                    fidx.append(f)
+                    pixels.append(arr.reshape(-1).tolist())
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+            return pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "frame": pa.array(fidx, pa.int32()),
+                    "pixels": pa.array(pixels, pa.list_(pa.uint8())),
+                    "height": pa.array(hs, pa.int32()),
+                    "width": pa.array(ws, pa.int32()),
+                }
             )
         ids, frames, seeds = [], [], []
         for mid, payload in zip(
@@ -192,9 +230,10 @@ class FrameSampleStage:
 
 
 class AudioFeatureStage:
-    """Audio payload -> (duration_s, rms, zero_crossings). Fake decode
-    derives a deterministic PCM-ish waveform from the payload digest;
-    a real deployment plugs soundfile/ffmpeg here."""
+    """Audio payload -> (duration_s, rms, zero_crossings). fake=False
+    decodes real PCM WAV bytes (media_codecs.decode_wav; stdlib `wave`)
+    at each clip's own sample rate / length; the fake kernel derives a
+    deterministic waveform from the payload digest."""
 
     def __init__(self, fake: bool = False, sample_rate: int = 8000,
                  n_samples: int = 4096):
@@ -204,10 +243,20 @@ class AudioFeatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "real audio decode requires soundfile/ffmpeg — not available "
-                "in this container; construct AudioFeatureStage(fake=True) "
-                "for the deterministic test path"
+            durs, rms, zc = [], [], []
+            for p in batch["payload"].to_pylist():
+                x, sr = media_codecs.decode_wav(p or b"")
+                durs.append(len(x) / sr if sr else 0.0)
+                rms.append(float(np.sqrt((x**2).mean())) if len(x) else 0.0)
+                neg = x < 0
+                zc.append(int((neg[1:] != neg[:-1]).sum()))
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "duration_s": pa.array(durs, pa.float64()),
+                    "rms": pa.array(rms, pa.float64()),
+                    "zero_crossings": pa.array(zc, pa.int64()),
+                }
             )
         seeds = np.array(
             [_seed64((p or b"").hex()) for p in batch["payload"].to_pylist()],
@@ -238,6 +287,67 @@ def synth_media_table(n: int = 32, kind: str = "image") -> pa.Table:
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array([kind] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def _formula_pixels(i: int, h: int, w: int, frame: int = 0) -> np.ndarray:
+    """(x*7 + y*13 + c*31 + i*17 + frame*29) % 256 — closed form so the
+    DuckDB oracle can regenerate the exact pixels the real decoders
+    produce, without decoding binaries in SQL."""
+    y, x, c = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+    )
+    return ((x * 7 + y * 13 + c * 31 + i * 17 + frame * 29) % 256).astype(
+        np.uint8
+    )
+
+
+def synth_real_media_table(
+    n: int = 32,
+    kind: str = "image",
+    height: int = 16,
+    width: int = 16,
+    num_frames: int = 8,
+    n_samples: int = 4096,
+    sample_rate: int = 8000,
+) -> pa.Table:
+    """Byte-real fixture payloads: BMP images / concatenated-P6 video
+    streams / 16-bit PCM WAVs, all from closed-form content (see
+    _formula_pixels; audio sample j of clip i is
+    ((j*2654435761 + i*40503) % 65536 - 32768) / 32768)."""
+    payloads, metas = [], []
+    for i in range(n):
+        if kind == "image":
+            payloads.append(
+                media_codecs.encode_bmp(_formula_pixels(i, height, width))
+            )
+            metas.append(json.dumps({"codec": "bmp", "i": i}))
+        elif kind == "video":
+            frames = [
+                _formula_pixels(i, height, width, frame=f)
+                for f in range(num_frames)
+            ]
+            payloads.append(media_codecs.encode_ppm_stream(frames))
+            metas.append(json.dumps({"codec": "ppm-stream", "i": i}))
+        elif kind == "audio":
+            j = np.arange(n_samples, dtype=np.int64)
+            s = (j * 2654435761 + i * 40503) % 65536 - 32768
+            payloads.append(
+                media_codecs.encode_wav(
+                    s.astype(np.float64) / 32768.0, sample_rate, sampwidth=2
+                )
+            )
+            metas.append(json.dumps({"codec": "pcm16", "i": i}))
+        else:
+            raise ValueError(f"unknown kind {kind!r}")
+    return pa.table(
+        {
+            "media_id": pa.array(list(range(n)), pa.int64()),
             "kind": pa.array([kind] * n, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
             "meta": pa.array(metas, pa.string()),
