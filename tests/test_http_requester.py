@@ -26,6 +26,31 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/slow":
             time.sleep(1.5)
+        if self.path == "/huge":
+            # 1 MiB body, Content-Length declared, so a capped reader
+            # must stop mid-stream rather than buffer it all
+            body = b"x" * (1024 * 1024)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        if self.path == "/dribble":
+            # headers arrive instantly, then the body stalls — only a
+            # per-read timeout (not a connect timeout) catches this
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", "10")
+            self.end_headers()
+            self.wfile.write(b"abc")
+            self.wfile.flush()
+            time.sleep(2.0)
+            try:
+                self.wfile.write(b"defghij")
+            except OSError:
+                pass
+            return
         entry = PAGES.get(self.path)
         if entry is None:
             self.send_response(404)
@@ -81,6 +106,34 @@ def test_requester_timeout_and_refused(http_server):
     # a port nothing listens on -> refused -> no route
     assert HttpRequester(timeout=1.0).get("http://127.0.0.1:1/never") is None
     assert HttpRequester(timeout=1.0).get("ftp://h.test/x") is None
+
+
+def test_requester_body_capped_not_buffered(http_server):
+    """An oversized response is truncated AT the cap while streaming —
+    the reference's MAX_RECEIVE_SIZE contract (Config.java:28) — instead
+    of being read whole and trimmed afterwards."""
+    r = HttpRequester(max_receive_size=64 * 1024)
+    row = r.get(f"{http_server}/huge")
+    assert row["code"] == 200
+    assert len(row["html"]) == 64 * 1024
+    # under the cap: the body arrives complete through the same path
+    full = HttpRequester(max_receive_size=8 * 1024 * 1024).get(
+        f"{http_server}/huge"
+    )
+    assert len(full["html"]) == 1024 * 1024
+
+
+def test_requester_read_timeout_mid_body(http_server):
+    """Headers arrive fast but the body stalls: the READ timeout must
+    trip (separate from connect, Config.java:34-35) => no route."""
+    t0 = time.monotonic()
+    assert (
+        HttpRequester(connect_timeout=3.0, read_timeout=0.3).get(
+            f"{http_server}/dribble"
+        )
+        is None
+    )
+    assert time.monotonic() - t0 < 1.5  # did not wait out the 2 s stall
 
 
 def test_requester_socks_proxy_rejected(http_server):

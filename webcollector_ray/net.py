@@ -53,6 +53,9 @@ class Requester(Protocol):
 DEFAULT_USER_AGENT = "Mozilla/5.0 (compatible; webcollector-ray/1.0)"
 
 
+_READ_CHUNK = 64 * 1024
+
+
 class HttpRequester:
     """Live-HTTP Requester with the reference fetcher's semantics
     (plugin/net/OkHttpRequester.java:48-131):
@@ -60,7 +63,14 @@ class HttpRequester:
     - redirects are NOT auto-followed (followRedirects(false)): a
       301/302 response is returned as-is with its Location header
       captured, so the engine's redirect-resolution idiom (X8) sees it;
-    - one connect/read timeout governs the whole exchange;
+    - connect and read timeouts are SEPARATE, defaulting to the
+      reference's 3 s / 10 s (Config.java:34-35,
+      OkHttpRequester.java:62-63); the read timeout applies per socket
+      read, like OkHttp's readTimeout;
+    - the body is streamed in chunks and STOPS at max_receive_size
+      (Config.java:28, default 10 MiB) — a hostile multi-GB response is
+      never buffered; the truncation matches ExecuteStage._fetch's cap
+      so both transports agree byte-for-byte;
     - the success-code policy is NOT enforced here — ExecuteStage._fetch
       applies SUCCESS_CODES exactly as it does for page stores;
     - any transport failure (refused / DNS / timeout / protocol error)
@@ -76,15 +86,35 @@ class HttpRequester:
     def __init__(
         self,
         *,
-        timeout: float = 10.0,
+        timeout: Optional[float] = None,
+        connect_timeout: float = 3.0,
+        read_timeout: float = 10.0,
+        max_receive_size: int = 10 * 1024 * 1024,
         user_agent: str = DEFAULT_USER_AGENT,
         headers: Optional[dict] = None,
         proxies: Optional[Proxies] = None,
     ):
-        self.timeout = timeout
+        # `timeout` is the legacy single knob: when given it governs
+        # both phases (old handles / call sites keep working)
+        self.connect_timeout = timeout if timeout is not None else connect_timeout
+        self.read_timeout = timeout if timeout is not None else read_timeout
+        self.max_receive_size = max_receive_size
         self.user_agent = user_agent
         self.headers = dict(headers or {})
         self.proxies = proxies
+
+    def _read_capped(self, resp) -> bytes:
+        """Stream the body, never holding more than max_receive_size
+        (+ one chunk) in memory; stop reading once the cap is hit."""
+        cap = self.max_receive_size
+        chunks, got = [], 0
+        while got < cap:
+            chunk = resp.read(min(_READ_CHUNK, cap - got))
+            if not chunk:
+                break
+            chunks.append(chunk)
+            got += len(chunk)
+        return b"".join(chunks)
 
     def get(self, url: str) -> Optional[dict]:
         import http.client
@@ -114,20 +144,24 @@ class HttpRequester:
         try:
             if proxy is not None:
                 conn = http.client.HTTPConnection(
-                    proxy.host, proxy.port, timeout=self.timeout
+                    proxy.host, proxy.port, timeout=self.connect_timeout
                 )
                 target = url  # absolute-form request line via proxy
             else:
                 conn = conn_cls(
-                    parts.hostname, parts.port, timeout=self.timeout
+                    parts.hostname, parts.port, timeout=self.connect_timeout
                 )
                 target = urlunsplit(
                     ("", "", parts.path or "/", parts.query, "")
                 )
+            # connect under the connect timeout, then switch the socket
+            # to the read timeout for the request/response exchange
+            conn.connect()
+            conn.sock.settimeout(self.read_timeout)
             hdrs = {"User-Agent": self.user_agent, **self.headers}
             conn.request("GET", target, headers=hdrs)
             resp = conn.getresponse()
-            body = resp.read()
+            body = self._read_capped(resp)
             return {
                 "code": resp.status,
                 "location": resp.getheader("Location"),
@@ -152,13 +186,19 @@ class HttpPageStore:
     def __init__(
         self,
         *,
-        timeout: float = 10.0,
+        timeout: Optional[float] = None,
+        connect_timeout: float = 3.0,
+        read_timeout: float = 10.0,
+        max_receive_size: int = 10 * 1024 * 1024,
         user_agent: str = DEFAULT_USER_AGENT,
         headers: Optional[dict] = None,
     ):
         self._handle = {
             "kind": "http",
             "timeout": timeout,
+            "connect_timeout": connect_timeout,
+            "read_timeout": read_timeout,
+            "max_receive_size": max_receive_size,
             "user_agent": user_agent,
             "headers": dict(headers or {}),
         }

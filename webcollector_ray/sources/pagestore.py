@@ -163,7 +163,12 @@ class PageStoreReader:
             from ..net import HttpRequester
 
             self._requester = HttpRequester(
-                timeout=handle["timeout"],
+                timeout=handle.get("timeout"),
+                connect_timeout=handle.get("connect_timeout", 3.0),
+                read_timeout=handle.get("read_timeout", 10.0),
+                max_receive_size=handle.get(
+                    "max_receive_size", 10 * 1024 * 1024
+                ),
                 user_agent=handle["user_agent"],
                 headers=handle["headers"],
             )
@@ -187,7 +192,9 @@ class PageStoreReader:
         if kind == "http":
             return (
                 "http",
-                handle["timeout"],
+                handle.get("timeout"),
+                handle.get("connect_timeout"),
+                handle.get("read_timeout"),
                 handle["user_agent"],
                 tuple(sorted(handle["headers"].items())),
             )
