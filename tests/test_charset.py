@@ -159,3 +159,59 @@ def test_multibyte_meta_still_wins(text, codec, want):
         + text.encode(codec) + b"</body></html>"
     )
     assert guess_encoding(body).upper() == "UTF-8"
+
+
+# ---- round-4 envelope: Hebrew/Thai SBCS + UTF-16/32 without BOM ----
+
+HE_TEXT = (
+    "האתר הזה מכיל מידע רב על ההיסטוריה של העיר ירושלים "
+    "ועל תושביה לאורך הדורות " * 2
+)
+TH_TEXT = (
+    "ประเทศไทยมีประวัติศาสตร์อันยาวนานและวัฒนธรรมที่หลากหลาย " * 2
+)
+
+
+def test_statistical_hebrew_thai():
+    # juniversalchardet reports windows-1255 for Hebrew (its dedicated
+    # HebrewProber); the letter bytes are identical in ISO-8859-8, so
+    # the windows name doubles for both
+    assert guess_encoding(_meta_less_page("cp1255", HE_TEXT)) == "WINDOWS-1255"
+    assert guess_encoding(_meta_less_page("iso8859_8", HE_TEXT)) == "WINDOWS-1255"
+    assert guess_encoding(_meta_less_page("tis_620", TH_TEXT)) == "TIS-620"
+    # decode round-trips
+    page = _meta_less_page("tis_620", TH_TEXT)
+    assert TH_TEXT.rstrip() in decode_html(page)
+    page = _meta_less_page("cp1255", HE_TEXT)
+    assert HE_TEXT.rstrip() in decode_html(page)
+    # existing scripts still probe to their own charsets
+    assert guess_encoding(_meta_less_page("cp1251", RU_TEXT)) == "WINDOWS-1251"
+
+
+@pytest.mark.parametrize(
+    "codec,want",
+    [
+        ("utf-16-le", "UTF-16LE"),
+        ("utf-16-be", "UTF-16BE"),
+        ("utf-32-le", "UTF-32LE"),
+        ("utf-32-be", "UTF-32BE"),
+    ],
+)
+def test_utf16_32_without_bom(codec, want):
+    # no BOM: text encoded directly with the endian-specific codec
+    body = f"<html><body><p>{RU_TEXT}</p></body></html>".encode(codec)
+    # endian-specific codecs write NO BOM (UTF-32BE's leading
+    # \x00\x00\x00< is the '<' code unit, not a byte-order mark)
+    assert not body.startswith(
+        (b"\xff\xfe", b"\xfe\xff", b"\x00\x00\xfe\xff")
+    )
+    assert guess_encoding(body) == want
+    assert RU_TEXT.rstrip() in decode_html(body)
+
+
+def test_utf16_probe_no_false_positives():
+    # plain ASCII, UTF-8 multibyte and SBCS bodies have no interleaved
+    # null pattern -> the wide-char probe must stay silent
+    assert guess_encoding(b"just plain ascii text, long enough to sample") == "UTF-8"
+    assert guess_encoding(_meta_less_page("utf-8", RU_TEXT)) == "UTF-8"
+    assert guess_encoding(_meta_less_page("koi8_r", RU_TEXT)) == "KOI8-R"

@@ -16,8 +16,12 @@ Reference: util/CharsetDetector.java.
    language letter-frequency — covering the charsets pinned by
    CharsetDetectorTest.java:34-49 (KOI8-R / WINDOWS-1251 / ISO-8859-5
    Cyrillic, ISO-8859-7 / WINDOWS-1253 Greek, discounted WINDOWS-1252
-   Latin). Pure-ASCII input detects nothing and falls to UTF-8, like
-   juniversalchardet returning null.
+   Latin) plus the rest of the juniversalchardet envelope
+   (CharsetDetector.java:33-124): WINDOWS-1255/ISO-8859-8 Hebrew,
+   TIS-620 Thai, and UTF-16/32 in either endianness WITHOUT a BOM
+   (null-pattern gate + strict-decode plausibility scoring, multi-byte
+   CJK group in _probe_mbcs). Pure-ASCII input detects nothing and
+   falls to UTF-8, like juniversalchardet returning null.
 """
 
 from __future__ import annotations
@@ -293,6 +297,17 @@ _EL_FREQ = "αοιετσνηυρπκμλωδγχθφβξζψς"
 _EL_ACCENT = "άέήίόύώϊϋΐΰ"
 _LATIN_EXT = "àáâãäåæçèéêëìíîïñòóôõöøùúûüýÿšžœßðþ"
 
+# Hebrew and Thai models (juniversalchardet's HebrewProber / Thai
+# sequence model, CharsetDetector.java:33-124 envelope). Both scripts
+# are caseless; letter frequencies from public corpus tables.
+_HE_FREQ = "יהוארתמלשב"
+_HE_ALPHA = "אבגדהוזחטיכךלמםנןסעפףצץקרשת"
+_TH_FREQ = "านรเอิงกมยตวลดส"
+_TH_ALPHA = (
+    "กขฃคฅฆงจฉชซฌญฎฏฐฑฒณดตถทธนบปผฝพฟภมยรฤลฦวศษสหฬอฮ"
+    "ะัาำิีึืุูเแโใไๅๆ็่้๊๋์"
+)
+
 # (codec, frequent letters, full alphabet) per candidate, in the probe
 # order juniversalchardet's SBCS group uses for these charsets
 _SBCS_PROBERS = [
@@ -301,6 +316,9 @@ _SBCS_PROBERS = [
     ("ISO-8859-5", "iso8859_5", _RU_FREQ[:16], _RU_FREQ),
     ("ISO-8859-7", "iso8859_7", _EL_FREQ[:14], _EL_FREQ + _EL_ACCENT),
     ("WINDOWS-1253", "cp1253", _EL_FREQ[:14], _EL_FREQ + _EL_ACCENT),
+    ("WINDOWS-1255", "cp1255", _HE_FREQ, _HE_ALPHA),
+    ("ISO-8859-8", "iso8859_8", _HE_FREQ, _HE_ALPHA),
+    ("TIS-620", "tis_620", _TH_FREQ, _TH_ALPHA),
     ("WINDOWS-1252", "cp1252", _LATIN_EXT[:12], _LATIN_EXT),
 ]
 
@@ -346,7 +364,9 @@ def _sbcs_score(
                 score += 0.5  # adjacent in-model letters: word shape
             prev_in = True
         elif ch in alpha_set:
-            lower = ch.islower()
+            # caseless scripts (Hebrew/Thai) count as running text, not
+            # as the rare-uppercase shape
+            lower = not ch.isupper()
             score += 1.0 if lower else 0.25
             prev_in = lower
         else:
@@ -363,11 +383,62 @@ def _sbcs_score(
     return score / (2.5 * total)  # 1.0 == all frequent+adjacent
 
 
+_WIDE_CANDIDATES = (
+    ("UTF-32LE", "utf-32-le", 4),
+    ("UTF-32BE", "utf-32-be", 4),
+    ("UTF-16LE", "utf-16-le", 2),
+    ("UTF-16BE", "utf-16-be", 2),
+)
+
+
+def _probe_utf1632(data: bytes) -> Optional[str]:
+    """UTF-16/32 WITHOUT a BOM (the juniversalchardet envelope,
+    CharsetDetector.java:33-124). Gate: real wide-char text of any
+    script carries null bytes (markup/spaces/newlines are ASCII-range),
+    so a byte stream with <10% nulls is never probed — ASCII, UTF-8 and
+    every SBCS page exits here for the cost of one count(). Candidates
+    that survive a STRICT decode are scored on text plausibility
+    (letters/digits/ASCII-printables) with a minimum whitespace share;
+    wrong widths/endianness produce NULs, lone surrogates or private-
+    use soup and fail. CJK-dominant UTF-16 with no markup is out of
+    reach, as it is for the reference's detector. This must run BEFORE
+    the UTF-8 validator: interleaved nulls are valid UTF-8 bytes, so
+    the validator would happily claim the stream."""
+    n = len(data)
+    if n < 20 or data.count(0) / n < 0.10:
+        return None
+    best, best_score = None, 0.0
+    for name, codec, unit in _WIDE_CANDIDATES:
+        q = n - (n % unit)
+        if q < unit * 10:
+            continue
+        try:
+            s = data[:q].decode(codec)
+        except (UnicodeDecodeError, ValueError):
+            continue
+        if not s:
+            continue
+        ws = sum(1 for ch in s if ch in " \t\r\n")
+        if ws / len(s) < 0.02:
+            continue
+        ok = sum(
+            1 for ch in s if ch.isalnum() or ch in " \t\r\n" or 32 < ord(ch) < 127
+        )
+        score = ok / len(s)
+        if score >= 0.9 and score > best_score:
+            best, best_score = name, score
+    return best
+
+
 def _guess_statistical(content: bytes) -> str:
-    """guessEncodingByMozilla equivalent: UTF-8 state machine, then the
-    single-byte prober group; None-equivalent (pure ASCII / nothing
-    confident) falls back to UTF-8."""
+    """guessEncodingByMozilla equivalent: null-pattern UTF-16/32 probe,
+    UTF-8 state machine, then the single-byte prober group;
+    None-equivalent (pure ASCII / nothing confident) falls back to
+    UTF-8."""
     data = bytes(content)
+    wide = _probe_utf1632(data)
+    if wide is not None:
+        return wide
     valid_utf8, n_multi = _utf8_scan(data)
     if valid_utf8:
         # pure ASCII detects nothing (juniversalchardet returns null)
