@@ -1356,6 +1356,61 @@ def _q_media_real_audio(sf_dir: str):
     return _round_cols(out, {"rms": 6, "duration_s": 6})
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """Common-Crawl-style WARC source: documents are serialized to
+    per-record-gzip .warc.gz shards (the CC layout), read back through
+    the distributed read_warc generator source, and summarized — the
+    oracle re-derives every column from the documents table, pinning
+    the record framing, HTTP parse, WARC-Date parse and payload bytes."""
+    import hashlib as _hl
+    import os
+    from datetime import datetime as _dt, timedelta as _td
+
+    from webcollector_ray.sources.warc import read_warc, write_response_warc
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base = _dt(2020, 1, 1)
+    shards: dict[int, list] = {}
+    for doc_id, text in zip(
+        tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+    ):
+        html = f"<html><body>{text}</body></html>".encode()
+        shards.setdefault(doc_id % 4, []).append(
+            {
+                "url": f"http://docs.test/doc-{doc_id}.html",
+                "code": 200,
+                "content_type": "text/html",
+                "html": html,
+                "warc_ts": base + _td(seconds=int(doc_id)),
+            }
+        )
+    out_dir = f"/tmp/warc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for s, pages in sorted(shards.items()):
+        p = f"{out_dir}/shard-{s}.warc.gz"
+        write_response_warc(p, pages)
+        paths.append(p)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        html = batch["html"].to_pylist()
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "code": batch["code"],
+                "n_bytes": pa.array(
+                    [len(h) for h in html], pa.int64()
+                ),
+                "body_md5": pa.array(
+                    [_hl.md5(h).hexdigest() for h in html], pa.string()
+                ),
+            }
+        )
+
+    return read_warc(paths).map_batches(summarize, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Never-driver-recorded queries first (the driver's correctness
@@ -1371,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_features": _q_media_real_features,
         "media_real_frames": _q_media_real_frames,
         "media_real_audio": _q_media_real_audio,
+        "warc_roundtrip": _q_warc_roundtrip,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_quantiles": _q_events_quantiles,
         "events_quantiles_sketch": _q_events_quantiles_sketch,
@@ -2535,6 +2591,17 @@ def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_static()
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out.update(_minhash_oracle_sqls())
+    out["warc_roundtrip"] = """
+        SELECT 'http://docs.test/doc-' || doc_id || '.html' AS url,
+               TIMESTAMP '2020-01-01 00:00:00'
+                   + INTERVAL (doc_id) SECOND AS warc_ts,
+               200 AS code,
+               octet_length(encode(
+                   '<html><body>' || text || '</body></html>'))::BIGINT
+                   AS n_bytes,
+               md5('<html><body>' || text || '</body></html>') AS body_md5
+        FROM documents
+    """
     out["crawl_extract"] = _crawl_extract_oracle_sql()
     out["crawl_anchor_texts"] = _crawl_anchor_texts_oracle_sql()
     out["crawl_pagerank"] = _crawl_pagerank_oracle_sql()
