@@ -183,3 +183,82 @@ def test_crawl_from_warc_archive(ray_session, tmp_path):
             .reset_index(drop=True)
         )
     assert dbs[0].equals(dbs[1])
+
+
+def test_index_and_ranged_fetch(tmp_path):
+    from webcollector_ray.sources.warc import fetch_warc_record, index_warc
+
+    pages = _pages(10)
+    for suffix in (".warc", ".warc.gz"):
+        path = str(tmp_path / f"idx{suffix}")
+        write_response_warc(path, pages)
+        entries = list(index_warc(path))
+        assert [e["url"] for e in entries] == [p["url"] for p in pages]
+        # every record fetches independently through its byte range
+        for e, p in zip(entries, pages):
+            row = fetch_warc_record(e["path"], e["offset"], e["length"])
+            assert row["url"] == p["url"]
+            assert row["html"] == p["html"]
+            assert row["code"] == p["code"]
+        # ranges tile the file without overlap
+        for a, b in zip(entries, entries[1:]):
+            assert a["offset"] + a["length"] <= b["offset"] + 1
+
+
+def test_gzip_member_walk_ignores_embedded_magic(tmp_path):
+    from webcollector_ray.sources.warc import _iter_gzip_members
+
+    # payload containing the gzip magic must not split the member walk
+    pages = [{
+        "url": "http://a.test/x.html", "code": 200,
+        "content_type": "application/octet-stream",
+        "html": b"\x1f\x8b\x08" * 100, "warc_ts": datetime(2020, 1, 1),
+    }] + _pages(3)
+    path = str(tmp_path / "magic.warc.gz")
+    write_response_warc(path, pages)
+    with open(path, "rb") as f:
+        members = list(_iter_gzip_members(f))
+    assert len(members) == 4
+
+
+def test_crawl_from_warc_cdx_store(ray_session, tmp_path):
+    """The random-access WARC store (CDX + ranged reads, no page copy)
+    drives the crawler to the same crawldb as the live synthetic
+    store."""
+    from datetime import datetime as dt
+
+    from webcollector_ray.pipelines.crawler import RamCrawler
+    from webcollector_ray.sources.pagestore import SynthPageStore
+    from webcollector_ray.sources.warc import build_warc_cdx
+    from webcollector_ray.synth import SynthSpec, page_row
+
+    spec = SynthSpec(num_sites=2)
+    pages = []
+    for gid in range(spec.total_pages):
+        row = page_row(spec, gid)
+        pages.append({
+            "url": row["url"], "code": row["code"],
+            "location": row["location"],
+            "content_type": row["content_type"], "html": row["html"],
+            "warc_ts": dt.utcfromtimestamp(row["warc_ts"] / 1000.0),
+        })
+    # two shards to exercise multi-file CDX
+    a = str(tmp_path / "a.warc.gz")
+    b = str(tmp_path / "b.warc")
+    write_response_warc(a, pages[::2])
+    write_response_warc(b, pages[1::2])
+    store = build_warc_cdx([a, b], str(tmp_path / "cdx"), num_buckets=4)
+
+    regex = r"http://site[0-9]+\.test/(list|show|old|bad)-[0-9]+\.html"
+    dbs = []
+    for s in (store, SynthPageStore(spec)):
+        c = RamCrawler(s, deterministic_time=True)
+        c.add_seed(spec.seeds())
+        c.add_regex(regex)
+        res = c.start(10)
+        dbs.append(
+            res.crawldb.to_pandas()
+            .sort_values("key")[["key", "status", "code", "location"]]
+            .reset_index(drop=True)
+        )
+    assert dbs[0].equals(dbs[1])

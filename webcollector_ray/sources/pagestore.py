@@ -159,6 +159,13 @@ class PageStoreReader:
             self._spec = handle["spec"]
         elif self.kind == "broadcast":
             self._lookup = _Lookup(ray.get(handle["ref"][0]))
+        elif self.kind == "warc":
+            from .warc import WarcStoreReader
+
+            self._warc = WarcStoreReader(
+                handle["cdx_dir"], handle["num_buckets"],
+                cache_buckets=cache_buckets,
+            )
         elif self.kind == "http":
             from ..net import HttpRequester
 
@@ -189,6 +196,8 @@ class PageStoreReader:
             return ("broadcast", handle["ref"][0].hex())
         if kind == "bucketed":
             return ("bucketed", handle["dir"])
+        if kind == "warc":
+            return ("warc", handle["cdx_dir"])
         if kind == "http":
             return (
                 "http",
@@ -251,4 +260,6 @@ class PageStoreReader:
             return self._lookup.get(url)
         if self.kind == "http":
             return self._requester.get(url)
+        if self.kind == "warc":
+            return self._warc.get(url)
         return self._bucket_lookup(url_hash64(url) % self.num_buckets).get(url)

@@ -19,6 +19,10 @@ from __future__ import annotations
 
 import gzip
 import io
+import json
+import os
+import zlib
+from collections import OrderedDict
 from datetime import datetime
 from typing import Iterator, List, Optional, Tuple
 
@@ -204,6 +208,260 @@ def read_warc(paths, *, rows_per_block: int = 256):
     return files.map_batches(
         parse_file, batch_format="pyarrow", batch_size=None
     )
+
+
+# ------------------------------------------- CDX index + random access
+#
+# Common Crawl pairs every .warc.gz with a CDX index (url -> file,
+# member offset, member length) so a single record is one ranged read
+# + one gzip-member decompress. The same shape here: build_warc_cdx
+# writes a parquet CDX bucketed by md5(url) % B, and WarcPageStore
+# serves the crawler's fetch lookups straight off the archive — the
+# pages are NEVER copied into a second store, which at 100 TB archive
+# scale is the difference between an index build and a full rewrite.
+
+
+def _iter_gzip_members(f, chunk_size: int = 1 << 20):
+    """Yield (offset, length, decompressed_bytes) per gzip MEMBER by
+    walking the stream with zlib (the magic bytes can occur inside
+    compressed data, so member boundaries must come from the
+    decompressor, not a byte scan)."""
+    offset = 0
+    member_len = 0
+    d = zlib.decompressobj(31)
+    out = bytearray()
+    pending = b""
+    while True:
+        data = pending or f.read(chunk_size)
+        pending = b""
+        if not data:
+            if member_len:
+                raise ValueError("truncated gzip member")
+            return
+        out += d.decompress(data)
+        if d.eof:
+            used = len(data) - len(d.unused_data)
+            member_len += used
+            yield offset, member_len, bytes(out)
+            offset += member_len
+            member_len = 0
+            pending = d.unused_data
+            d = zlib.decompressobj(31)
+            out = bytearray()
+        else:
+            member_len += len(data)
+
+
+def _record_url(data: bytes) -> Optional[str]:
+    """Target URI of the record at the head of `data`, if it is a
+    response record."""
+    try:
+        headers = _read_headers(io.BytesIO(data))
+    except ValueError:
+        return None
+    if headers is None or headers.get("warc-type") != "response":
+        return None
+    return headers.get("warc-target-uri")
+
+
+def index_warc(path: str) -> Iterator[dict]:
+    """Yield {url, path, offset, length} for every response record —
+    offsets into the FILE (gzip-member offsets for .warc.gz, raw byte
+    offsets for plain .warc), so a fetch is seek + read + parse one
+    record."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+        f.seek(0)
+        if head == b"\x1f\x8b":
+            for offset, length, data in _iter_gzip_members(f):
+                url = _record_url(data)
+                if url is not None:
+                    yield {
+                        "url": url, "path": path,
+                        "offset": offset, "length": length,
+                    }
+            return
+        while True:
+            start = f.tell()
+            headers = _read_headers(f)
+            if headers is None:
+                return
+            length = int(headers.get("content-length", 0))
+            block_start = f.tell()
+            f.seek(block_start + length)
+            # consume the record separator so tell() lands on the next
+            # record (also the length we report includes it — fetch
+            # re-parses with the same tolerance)
+            while True:
+                pos = f.tell()
+                line = f.readline()
+                if line in (b"\r\n", b"\n"):
+                    continue
+                f.seek(pos)
+                break
+            if headers.get("warc-type") == "response":
+                url = headers.get("warc-target-uri")
+                if url:
+                    yield {
+                        "url": url, "path": path,
+                        "offset": start, "length": f.tell() - start,
+                    }
+
+
+def fetch_warc_record(path: str, offset: int, length: int) -> Optional[dict]:
+    """Ranged read of ONE record; returns the response row dict
+    (url/warc_ts/code/location/content_type/html) or None."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        data = f.read(length)
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    for headers, block in iter_warc_records(io.BytesIO(data)):
+        if headers.get("warc-type") != "response":
+            continue
+        try:
+            status, http_headers, body = parse_http_response(block)
+        except ValueError:
+            return None
+        return {
+            "url": headers.get("warc-target-uri"),
+            "warc_ts": _parse_warc_ts(headers.get("warc-date", "")),
+            "code": status,
+            "location": http_headers.get("location"),
+            "content_type": http_headers.get("content-type"),
+            "html": body,
+        }
+    return None
+
+
+_CDX_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("path", pa.string()),
+        ("offset", pa.int64()),
+        ("length", pa.int64()),
+    ]
+)
+
+
+def build_warc_cdx(paths, out_dir: str, num_buckets: int = 16) -> "WarcPageStore":
+    """Index WARC file(s) into a bucketed parquet CDX (one index task
+    per archive file, streaming; layout bucket=<i>/part-*.parquet like
+    the bucketed page store) and return the random-access store."""
+    import ray.data as rd
+
+    from ..urls import url_hash64
+
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def index_files(batch: pa.Table) -> Iterator[pa.Table]:
+        for p in batch["path"].to_pylist():
+            rows = list(index_warc(p))
+            if not rows:
+                continue
+            tbl = pa.table(
+                {
+                    "url": pa.array([r["url"] for r in rows], pa.string()),
+                    "path": pa.array([r["path"] for r in rows], pa.string()),
+                    "offset": pa.array(
+                        [r["offset"] for r in rows], pa.int64()
+                    ),
+                    "length": pa.array(
+                        [r["length"] for r in rows], pa.int64()
+                    ),
+                },
+                schema=_CDX_SCHEMA,
+            )
+            buckets = pa.array(
+                [url_hash64(u) % num_buckets for u in tbl["url"].to_pylist()],
+                pa.int32(),
+            )
+            yield tbl.append_column("bucket", buckets)
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = rd.from_items([{"path": p} for p in paths]).repartition(len(paths))
+    files.map_batches(
+        index_files, batch_format="pyarrow", batch_size=None
+    ).write_parquet(out_dir, partition_cols=["bucket"])
+    with open(os.path.join(out_dir, "_cdx_meta.json"), "w") as f:
+        json.dump({"num_buckets": num_buckets}, f)
+    return WarcPageStore(out_dir)
+
+
+class WarcPageStore:
+    """Page store whose lookups resolve through the CDX into ranged
+    reads of the original archives (kind 'warc' in PageStoreReader).
+    handle() carries only the index directory — actors page in CDX
+    buckets on demand and never hold archive bytes beyond one record."""
+
+    def __init__(self, cdx_dir: str):
+        self.cdx_dir = cdx_dir
+        with open(os.path.join(cdx_dir, "_cdx_meta.json")) as f:
+            self.num_buckets = json.load(f)["num_buckets"]
+
+    def handle(self) -> dict:
+        return {
+            "kind": "warc",
+            "cdx_dir": self.cdx_dir,
+            "num_buckets": self.num_buckets,
+        }
+
+
+class CdxBucketLookup:
+    """In-memory url -> (path, offset, length) map over one CDX bucket."""
+
+    __slots__ = ("index",)
+
+    def __init__(self, cdx_dir: str, bucket: int):
+        import pyarrow.parquet as pq
+
+        path = os.path.join(cdx_dir, f"bucket={bucket}")
+        if os.path.isdir(path):
+            t = pq.read_table(path)
+            self.index = {
+                u: (p, o, ln)
+                for u, p, o, ln in zip(
+                    t["url"].to_pylist(),
+                    t["path"].to_pylist(),
+                    t["offset"].to_pylist(),
+                    t["length"].to_pylist(),
+                )
+            }
+        else:
+            self.index = {}
+
+    def get(self, url: str) -> Optional[dict]:
+        hit = self.index.get(url)
+        if hit is None:
+            return None
+        return fetch_warc_record(*hit)
+
+
+class WarcStoreReader:
+    """Per-actor CDX reader with a small LRU of bucket indexes (same
+    shape as the bucketed page store's reader)."""
+
+    def __init__(self, cdx_dir: str, num_buckets: int,
+                 cache_buckets: int = 8):
+        self.cdx_dir = cdx_dir
+        self.num_buckets = num_buckets
+        self.cache_buckets = cache_buckets
+        self._cache: "OrderedDict[int, CdxBucketLookup]" = OrderedDict()
+
+    def get(self, url: str) -> Optional[dict]:
+        from ..urls import url_hash64
+
+        b = url_hash64(url) % self.num_buckets
+        lk = self._cache.get(b)
+        if lk is None:
+            lk = CdxBucketLookup(self.cdx_dir, b)
+            self._cache[b] = lk
+            while len(self._cache) > self.cache_buckets:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(b)
+        return lk.get(url)
 
 
 # ------------------------------------------------------------ writer
