@@ -33,6 +33,7 @@ from ray.data.aggregate import Count, Sum
 
 from webcollector_ray.config import CrawlerConfig
 from webcollector_ray.functions.dedup import (
+    dup_span_stats,
     exact_dedup,
     embedding_dedup_pairs,
     minhash_dedup_pairs,
@@ -1411,6 +1412,16 @@ def _q_warc_roundtrip(sf_dir: str):
     return read_warc(paths).map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_docs_dup_spans(sf_dir: str):
+    # Cross-document duplicated 5-gram statistics (Lee et al. exact-
+    # substring dedup signal): per doc, occurrences of grams shared
+    # with at least one OTHER document.
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dup_span_stats(ds, k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Never-driver-recorded queries first (the driver's correctness
@@ -1427,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_frames": _q_media_real_frames,
         "media_real_audio": _q_media_real_audio,
         "warc_roundtrip": _q_warc_roundtrip,
+        "docs_dup_spans": _q_docs_dup_spans,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_quantiles": _q_events_quantiles,
         "events_quantiles_sketch": _q_events_quantiles_sketch,
@@ -1799,6 +1811,71 @@ _DECONTAM_SQL = rf"""
         GROUP BY g.doc_id
     )
 """
+
+
+def _dup_spans_oracle_sql() -> str:
+    """docs_dup_spans re-derived in SQL: the engine's word-md5 +
+    position-mix 5-gram hash (numpy mod-2^64 wrap via split
+    multiplication), dup grams = hash in >= 2 distinct docs, per-doc
+    occurrence counts. Grouping by the SAME 64-bit hash on both sides
+    means even a collision cannot produce a mismatch."""
+    from webcollector_ray.functions.dedup import _POS_MIX
+
+    m = [int(_POS_MIX[j]) for j in range(5)]
+    sh = _mulmod64_sql("e.h", m[4])
+    for col, mix in (("d.h", m[3]), ("c.h", m[2]), ("b.h", m[1]), ("a.h", m[0])):
+        sh = f"xor({_mulmod64_sql(col, mix)}, {sh})"
+    return rf"""
+        WITH docs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                       '\s+') AS words
+            FROM documents
+        ),
+        wpos AS (
+            SELECT doc_id, unnest(words) AS w,
+                   unnest(range(1, len(words) + 1)) AS i,
+                   len(words) AS nw
+            FROM docs
+        ),
+        wh AS (
+            SELECT doc_id, i, nw,
+                   CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+            FROM wpos
+        ),
+        grams AS (
+            SELECT a.doc_id, {sh} AS sh
+            FROM wh a
+            JOIN wh b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN wh c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            JOIN wh d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+            JOIN wh e ON e.doc_id = a.doc_id AND e.i = a.i + 4
+            WHERE a.nw >= 5
+        ),
+        dup AS (
+            SELECT sh FROM grams GROUP BY sh
+            HAVING count(DISTINCT doc_id) >= 2
+        ),
+        occ AS (
+            SELECT doc_id, count(*) AS n_dup FROM grams
+            WHERE sh IN (SELECT sh FROM dup) GROUP BY doc_id
+        ),
+        tot AS (
+            SELECT doc_id,
+                   greatest(
+                       CASE WHEN array_to_string(words, '') = '' THEN 0
+                            ELSE len(words) END - 4, 0) AS n_grams
+            FROM docs
+        )
+        SELECT t.doc_id,
+               t.n_grams::BIGINT AS n_grams,
+               coalesce(o.n_dup, 0)::BIGINT AS n_dup_grams,
+               CASE WHEN t.n_grams > 0
+                    THEN round(coalesce(o.n_dup, 0) / t.n_grams::DOUBLE, 6)
+                    ELSE 0.0 END AS dup_frac
+        FROM tot t LEFT JOIN occ o USING (doc_id)
+    """
 
 
 def _minhash_oracle_sqls() -> dict[str, str]:
@@ -2591,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_static()
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out.update(_minhash_oracle_sqls())
+    out["docs_dup_spans"] = _dup_spans_oracle_sql()
     out["warc_roundtrip"] = """
         SELECT 'http://docs.test/doc-' || doc_id || '.html' AS url,
                TIMESTAMP '2020-01-01 00:00:00'

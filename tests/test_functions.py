@@ -1053,3 +1053,34 @@ def test_cosine_pairs_blocked_empty(ray_session):
     }))
     out = cosine_pairs_blocked(empty, threshold=0.5).to_pandas()
     assert len(out) == 0
+
+
+def test_dup_span_stats(ray_session):
+    from webcollector_ray.functions.dedup import dup_span_stats
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": [
+            "a b c d e f g",        # shares "a b c d e" with doc 2
+            "x a b c d e y",
+            "unique words only in this one document",
+            "tiny",                  # < k tokens -> 0 grams
+            "r r r r r r r r",       # in-doc repeats, no cross-doc dup
+        ],
+    })
+    out = (
+        dup_span_stats(rd.from_arrow(docs), k=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_grams"].tolist() == [3, 3, 3, 0, 4]
+    # only the cross-doc shared gram counts; in-doc repetition doesn't
+    assert out["n_dup_grams"].tolist() == [1, 1, 0, 0, 0]
+    assert out.loc[0, "dup_frac"] == round(1 / 3, 6)
+    assert out.loc[4, "dup_frac"] == 0.0
+    # a duplicated doc: every gram becomes dup for both copies
+    docs2 = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": ["p q r s t u v w"] * 2,
+    })
+    out2 = dup_span_stats(rd.from_arrow(docs2), k=5).to_pandas()
+    assert out2["dup_frac"].tolist() == [1.0, 1.0]

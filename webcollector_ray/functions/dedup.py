@@ -1092,3 +1092,166 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95, n_planes: int = 12,
         ),
         bucket_pairs, empty, 64,
     )
+
+
+# ------------------------------------------------- duplicated spans
+
+
+def dup_span_stats(
+    ds,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+    doc_buckets: int = 8,
+    min_docs: int = 2,
+):
+    """Cross-document duplicated k-gram statistics — the exact-substring
+    dedup signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499), Ray-shaped. A k-gram
+    (lowercased whitespace tokens, the corpus-wide shingle convention)
+    is DUP when it occurs in >= min_docs distinct documents; per doc we
+    report total grams, occurrences of dup grams, and their fraction.
+
+    Physical plan: the extraction batch pre-aggregates (gram-hash,
+    doc, n_occ) rows — gram hashes are the repo's SQL-rederivable
+    word-md5 + position-mix scheme, so no gram STRINGS ever leave the
+    stage. ONE gram-hash exchange then counts distinct docs per gram
+    and, because a gram's occurrences are co-located in its bucket,
+    emits per-doc partial dup counts IN PLACE (no join-back wave). A
+    tiny doc-keyed exchange folds those partials with the per-doc gram
+    totals. Per-task state is bounded by the bucket's gram set; the
+    dup-gram set never assembles anywhere."""
+    import pandas as pd
+
+    from .joins import exchange_reduce
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids_out, grams_out, occ_out = [], [], []
+        for d, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            words = (t or "").lower().split()
+            if len(words) < k:
+                continue
+            wh = np.array([_word_hash64(w) for w in words], dtype=np.uint64)
+            gh = _gram_hashes_from_word_hashes(wh, k)
+            uniq, counts = np.unique(gh, return_counts=True)
+            ids_out.extend([d] * len(uniq))
+            grams_out.append(uniq)
+            occ_out.append(counts)
+        if not grams_out:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.uint64()),
+                    id_col: pa.array([], pa.int64()),
+                    "n_occ": pa.array([], pa.int64()),
+                    "__bucket": pa.array([], pa.int32()),
+                }
+            )
+        gram = np.concatenate(grams_out)
+        occ = np.concatenate(occ_out).astype(np.int64)
+        bucket = (gram % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "gram": pa.array(gram),
+                id_col: pa.array(ids_out, pa.int64()),
+                "n_occ": pa.array(occ),
+                "__bucket": pa.array(bucket),
+            }
+        )
+
+    occ_empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+            "n_dup": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce_grams(t: pa.Table) -> pa.Table:
+        df = t.select(["gram", id_col, "n_occ"]).to_pandas()
+        if not len(df):
+            return occ_empty
+        ndocs = df.groupby("gram", sort=False)[id_col].transform("nunique")
+        dup = df[ndocs >= min_docs]
+        out = dup.groupby(id_col, as_index=False)["n_occ"].sum()
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col].to_numpy(), pa.int64()),
+                "n_grams": pa.array(
+                    np.zeros(len(out), dtype=np.int64)
+                ),
+                "n_dup": pa.array(
+                    out["n_occ"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    partials = exchange_reduce(
+        ds.map_batches(gram_rows, batch_format="pyarrow"),
+        reduce_grams, occ_empty, num_buckets,
+    )
+
+    def totals_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        trimmed = pc.utf8_trim_whitespace(batch[text_col])
+        nt = pc.list_value_length(
+            pc.split_pattern_regex(trimmed, r"\s+")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = np.where(
+            np.asarray(pc.equal(trimmed, "").to_numpy(zero_copy_only=False)),
+            0, nt,
+        )
+        n_grams = np.maximum(nt - (k - 1), 0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_grams": pa.array(n_grams),
+                "n_dup": pa.array(np.zeros(len(batch), dtype=np.int64)),
+            }
+        )
+
+    totals = ds.map_batches(totals_rows, batch_format="pyarrow")
+
+    final_empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+            "n_dup_grams": pa.array([], pa.int64()),
+            "dup_frac": pa.array([], pa.float64()),
+        }
+    )
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            % doc_buckets
+        ).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def fold_docs(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, "n_grams", "n_dup"]).to_pandas()
+        out = df.groupby(id_col, as_index=False).sum()
+        n_grams = out["n_grams"].to_numpy().astype(np.int64)
+        n_dup = out["n_dup"].to_numpy().astype(np.int64)
+        frac = np.where(
+            n_grams > 0,
+            np.round(n_dup / np.maximum(n_grams, 1), 6),
+            0.0,
+        )
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col].to_numpy(), pa.int64()),
+                "n_grams": pa.array(n_grams),
+                "n_dup_grams": pa.array(n_dup),
+                "dup_frac": pa.array(frac),
+            }
+        )
+
+    both = totals.union(partials).map_batches(
+        add_doc_bucket, batch_format="pyarrow"
+    )
+    return exchange_reduce(both, fold_docs, final_empty, doc_buckets)
