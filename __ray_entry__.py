@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from webcollector_ray.config import CrawlerConfig
 from webcollector_ray.functions.dedup import (
@@ -1090,6 +1090,40 @@ def _q_crawl_bfs(sf_dir: str):
     )
 
 
+def _q_crawl_host_stats(sf_dir: str):
+    """Per-host census of the flagship crawl's final frontier — the
+    operational dashboard a crawl operator reads per depth: URL count,
+    article-page count, max BFS depth per host. Vectorized host
+    extraction + per-batch partial groupbys, then one tiny reduce over
+    #hosts groups (never a frontier-wide row exchange)."""
+    from webcollector_ray.urls import hosts_of_array
+
+    _spec, _pages, res = _run_crawl(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = hosts_of_array(batch["url"])
+        depth = pc.subtract(batch["execute_time"], 1_000_000)
+        art = pc.match_substring(batch["url"], "/show-")
+        df = pd.DataFrame({
+            "host": hosts,
+            "depth": depth.to_numpy(zero_copy_only=False).astype("int64"),
+            "art": art.to_numpy(zero_copy_only=False).astype("int64"),
+        })
+        g = df.groupby("host", as_index=False).agg(
+            n_urls=("depth", "size"),
+            n_articles=("art", "sum"),
+            max_depth=("depth", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = res.crawldb.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("host").aggregate(
+        Sum("n_urls", alias_name="n_urls"),
+        Sum("n_articles", alias_name="n_articles"),
+        Max("max_depth", alias_name="max_depth"),
+    )
+
+
 def _q_crawl_robots(sf_dir: str):
     """north_rule path: same synthetic web but served with a robots.txt
     disallowing article pages; fetch stage consults per-host robots
@@ -1422,6 +1456,46 @@ def _q_docs_dup_spans(sf_dir: str):
     return dup_span_stats(ds, k=5)
 
 
+def _q_dedup_containment(sf_dir: str):
+    # Asymmetric near-dup: minhash-LSH candidates at a low bar, then
+    # exact n-gram CONTAINMENT (|∩|/min) — catches a short doc quoted
+    # whole inside a longer one, which Jaccard misses.
+    from webcollector_ray.functions.dedup import verify_pairs_exact_jaccard
+
+    docs = _docs(sf_dir)
+    cand = minhash_dedup_pairs(docs, threshold=0.3)
+    verified = verify_pairs_exact_jaccard(
+        cand, docs, threshold=0.8, k=3, metric="containment"
+    )
+    return verified.select_columns(["id_a", "id_b"])
+
+
+def _q_docs_incremental_new(sf_dir: str):
+    # Incremental-ingest dedup: docs with doc_id % 3 == 0 play the
+    # "daily delta", the rest the existing corpus; keep delta docs whose
+    # text is absent from the corpus, first-wins within the delta.
+    from webcollector_ray.functions.dedup import delta_new
+
+    docs = _docs(sf_dir)
+
+    def side(new: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0)
+            return batch.filter(pa.array(m if new else ~m))
+        return f
+
+    new_ds = docs.map_batches(side(True), batch_format="pyarrow")
+    corpus = docs.map_batches(side(False), batch_format="pyarrow")
+    return delta_new(new_ds, corpus).select_columns(["doc_id"])
+
+
+def _q_docs_length_histogram(sf_dir: str):
+    from webcollector_ray.functions.textstats import length_histogram
+
+    return length_histogram(_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Never-driver-recorded queries first (the driver's correctness
@@ -1439,6 +1513,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_audio": _q_media_real_audio,
         "warc_roundtrip": _q_warc_roundtrip,
         "docs_dup_spans": _q_docs_dup_spans,
+        "dedup_containment": _q_dedup_containment,
+        "docs_incremental_new": _q_docs_incremental_new,
+        "docs_length_histogram": _q_docs_length_histogram,
+        "crawl_host_stats": _q_crawl_host_stats,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_quantiles": _q_events_quantiles,
         "events_quantiles_sketch": _q_events_quantiles_sketch,
@@ -1996,6 +2074,34 @@ def _minhash_oracle_sqls() -> dict[str, str]:
         JOIN gsize gb ON gb.doc_id = c.id_b
         WHERE inter.i::DOUBLE / (ga.n + gb.n - inter.i) >= 0.5
     """
+    containment = prefix + r""",
+        grams AS (
+            SELECT DISTINCT a.doc_id,
+                   a.w || chr(31) || b.w || chr(31) || c.w AS g
+            FROM wpos a
+            JOIN wpos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN wpos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            WHERE a.nw >= 3
+            UNION
+            SELECT doc_id, array_to_string(words, chr(31)) AS g
+            FROM docs WHERE len(words) < 3
+        ),
+        gsize AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        cand03 AS (SELECT id_a, id_b FROM est WHERE e >= 0.3),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS i
+            FROM cand03 c
+            JOIN grams x ON x.doc_id = c.id_a
+            JOIN grams y ON y.doc_id = c.id_b AND y.g = x.g
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT c.id_a, c.id_b
+        FROM cand03 c
+        JOIN inter USING (id_a, id_b)
+        JOIN gsize ga ON ga.doc_id = c.id_a
+        JOIN gsize gb ON gb.doc_id = c.id_b
+        WHERE inter.i::DOUBLE / least(ga.n, gb.n) >= 0.8
+    """
     # fuzzy corpus clean: pairs at est>=0.5 -> connected components
     # (recursive-CTE reachability, cluster = min member id) -> keep
     # representatives plus every unpaired doc
@@ -2021,6 +2127,7 @@ def _minhash_oracle_sqls() -> dict[str, str]:
     return {
         "dedup_minhash": minhash,
         "dedup_ngram_verified": ngram,
+        "dedup_containment": containment,
         "docs_fuzzy_clean_corpus": fuzzy_clean,
     }
 
@@ -2669,6 +2776,15 @@ def oracle_sql() -> dict[str, str]:
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out.update(_minhash_oracle_sqls())
     out["docs_dup_spans"] = _dup_spans_oracle_sql()
+    # per-host census over the same closed-form BFS frontier
+    out["crawl_host_stats"] = f"""
+        SELECT regexp_extract(url, '^http://([^/]+)/', 1) AS host,
+               count(*)::BIGINT AS n_urls,
+               sum(CASE WHEN url LIKE '%/show-%' THEN 1 ELSE 0 END)::BIGINT
+                 AS n_articles,
+               max(depth)::BIGINT AS max_depth
+        FROM ({out["crawl_bfs"]}) GROUP BY host
+    """
     out["warc_roundtrip"] = """
         SELECT 'http://docs.test/doc-' || doc_id || '.html' AS url,
                TIMESTAMP '2020-01-01 00:00:00'
@@ -2694,6 +2810,30 @@ def _oracle_sql_static() -> dict[str, str]:
         "doc_token_counts": (
             f"SELECT doc_id, {_NTOK}::BIGINT AS n_tokens FROM documents"
         ),
+        "docs_length_histogram": f"""
+            SELECT (CASE WHEN {_NTOK} = 0 THEN -1
+                    ELSE floor(log2({_NTOK})) END)::BIGINT AS len_bucket,
+                   count(*)::BIGINT AS n_docs,
+                   sum({_NTOK})::BIGINT AS sum_tokens
+            FROM documents GROUP BY 1
+        """,
+        "docs_incremental_new": """
+            WITH newb AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+            ),
+            corpus AS (
+                SELECT text FROM documents WHERE doc_id % 3 <> 0
+            ),
+            firsts AS (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM newb
+            )
+            SELECT f.doc_id FROM firsts f
+            WHERE f.rn = 1
+              AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = f.text)
+        """,
         "doc_subtoken_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]{1,3}|[^\\sA-Za-z0-9]'))::BIGINT AS n_subtokens "

@@ -79,6 +79,65 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def delta_new(new_ds, corpus_ds, *, text_col: str = "text",
+              id_col: str = "doc_id", num_buckets: int = 32):
+    """Incremental-ingest exact dedup: rows of `new_ds` whose text does
+    not already appear anywhere in `corpus_ds`, deduped within the new
+    batch itself (first-wins by id). The shape a 100-TB pipeline needs
+    for a daily crawl delta against an existing corpus: BOTH sides move
+    through one content-hash-partitioned exchange exactly once — the
+    corpus ships only its text column, there is no driver-side set and
+    no corpus broadcast, and per-bucket membership is checked on the
+    exact text (the hash only balances buckets). Returns (id, text)."""
+    id_type = None
+    sch = new_ds.schema()
+    for nm, t in zip(sch.names, sch.types):
+        if nm == id_col:
+            id_type = t
+    if id_type is None:
+        id_type = pa.int64()
+
+    def tag(is_new: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            texts = np.asarray(batch[text_col].to_pylist(), dtype=object)
+            h = pd.util.hash_array(texts, categorize=False)
+            b = (h % np.uint64(num_buckets)).astype(np.int32)
+            ids = (batch[id_col].cast(id_type) if is_new
+                   else pa.nulls(len(batch), id_type))
+            return pa.table({
+                id_col: ids,
+                text_col: batch[text_col],
+                "__new": pa.array(np.full(len(batch), is_new)),
+                "__bucket": pa.array(b),
+            })
+        return f
+
+    empty = pa.table({id_col: pa.nulls(0, id_type),
+                      text_col: pa.nulls(0, pa.string())})
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        # split at the Arrow level so the delta side's ids never pass
+        # through a nullable-int -> float64 pandas conversion
+        import pyarrow.compute as pc
+
+        is_new = t["__new"]
+        seen = set(t.filter(pc.invert(is_new))[text_col].to_pylist())
+        df = t.filter(is_new).select([id_col, text_col]).to_pandas()
+        df = df[~df[text_col].isin(seen)]
+        df = df.sort_values([text_col, id_col], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.drop_duplicates(text_col, keep="first"),
+            preserve_index=False,
+        ).cast(empty.schema)
+
+    from .joins import exchange_reduce
+
+    tagged = new_ds.map_batches(tag(True), batch_format="pyarrow").union(
+        corpus_ds.map_batches(tag(False), batch_format="pyarrow")
+    )
+    return exchange_reduce(tagged, reduce_bucket, empty, num_buckets)
+
+
 # ------------------------------------------------------------- minhash
 
 
@@ -878,9 +937,14 @@ def simhash_dedup_pairs(ds, *, max_hamming: int = 3, text_col="text",
 # ------------------------------------------------- n-gram exact jaccard
 
 
-def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+def _gram_sets(a: str, b: str, k: int):
     sa = set(zip(*[(a or "").lower().split()[i:] for i in range(k)])) or {tuple((a or "").lower().split())}
     sb = set(zip(*[(b or "").lower().split()[i:] for i in range(k)])) or {tuple((b or "").lower().split())}
+    return sa, sb
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = _gram_sets(a, b, k)
     if not sa and not sb:
         return 1.0
     inter = len(sa & sb)
@@ -888,10 +952,24 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+def ngram_containment(a: str, b: str, k: int = 3) -> float:
+    """|grams(a) ∩ grams(b)| / min(|grams(a)|, |grams(b)|) — the
+    asymmetric near-dup signal: a short doc quoted whole inside a long
+    one scores ~1.0 here but low Jaccard (broder97 containment; the
+    reference has no fuzzy dedup at all — this is training-pipeline
+    surface)."""
+    sa, sb = _gram_sets(a, b, k)
+    if not sa and not sb:
+        return 1.0
+    denom = min(len(sa), len(sb))
+    return len(sa & sb) / denom if denom else 0.0
+
+
 def verify_pairs_exact_jaccard(pairs_ds, docs_ds, *, threshold: float,
                                k: int = 3, text_col="text", id_col="doc_id",
                                num_buckets: int = 64,
-                               broadcast_limit: int = 100_000):
+                               broadcast_limit: int = 100_000,
+                               metric: str = "jaccard"):
     """Re-verify candidate pairs with EXACT n-gram Jaccard.
 
     Never a corpus-wide text broadcast (VERDICT r1 §wrong.2): the only
@@ -906,10 +984,17 @@ def verify_pairs_exact_jaccard(pairs_ds, docs_ds, *, threshold: float,
       text_a/text_b, moving only matched texts through
       num_buckets-bounded partitions.
     Both paths produce identical output (same verify kernel).
+
+    `metric` picks the score: "jaccard" (|∩|/|∪|, symmetric) or
+    "containment" (|∩|/min — catches subset/quotation dups). The score
+    column is named after the metric.
     """
     import ray as _ray
 
     from .joins import hash_join
+
+    scorer = {"jaccard": ngram_jaccard,
+              "containment": ngram_containment}[metric]
 
     pairs_mat = pairs_ds.materialize()
 
@@ -937,9 +1022,9 @@ def verify_pairs_exact_jaccard(pairs_ds, docs_ds, *, threshold: float,
     def verify_batch(batch: pa.Table, ta, tb) -> pa.Table:
         import pyarrow.compute as pc
 
-        js = [ngram_jaccard(a, b, k) for a, b in zip(ta, tb)]
-        out = batch.append_column("jaccard", pa.array(js, pa.float64()))
-        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+        js = [scorer(a, b, k) for a, b in zip(ta, tb)]
+        out = batch.append_column(metric, pa.array(js, pa.float64()))
+        return out.filter(pc.greater_equal(out[metric], threshold))
 
     if docs_cand.count() <= broadcast_limit:
         @_ray.remote

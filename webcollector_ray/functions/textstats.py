@@ -31,6 +31,40 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
 
 
+def length_bucket_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """log2 token-length bucket per doc (the histogram axis every
+    packing/batching design starts from): bucket = floor(log2(n_tokens)),
+    -1 for empty docs. Exact integer bucketing via frexp (no libm log
+    rounding at power-of-two edges), fully vectorized."""
+    t = token_count_batch(batch, text_col)
+    n = t["n_tokens"].to_numpy(zero_copy_only=False)
+    # frexp: n = m * 2**e with m in [0.5, 1) -> floor(log2(n)) == e - 1
+    _, e = np.frexp(n.astype(np.float64))
+    bucket = np.where(n > 0, e.astype(np.int64) - 1, np.int64(-1))
+    return t.append_column("len_bucket", pa.array(bucket, pa.int64()))
+
+
+def length_histogram(ds, text_col: str = "text"):
+    """Corpus token-length histogram: per-block partial counts inside
+    map_batches, then one tiny groupby over <=64 distinct buckets —
+    the pre-aggregated COUNT/SUM shape (never a full-row exchange)."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = length_bucket_batch(batch, text_col)
+        df = t.select(["len_bucket", "n_tokens"]).to_pandas()
+        g = df.groupby("len_bucket", as_index=False).agg(
+            n_docs=("n_tokens", "size"), sum_tokens=("n_tokens", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("len_bucket").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_tokens", alias_name="sum_tokens"),
+    )
+
+
 _BPE_ISH = r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]"
 
 
