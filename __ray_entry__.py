@@ -1496,6 +1496,39 @@ def _q_docs_length_histogram(sf_dir: str):
     return length_histogram(_docs(sf_dir))
 
 
+def _q_docs_remove_dup_spans(sf_dir: str):
+    # Exact duplicated-span REMOVAL (block-aligned Lee et al.): every
+    # 5-word block whose text recurs anywhere in the corpus survives
+    # only at its first (doc_id, block) occurrence; docs reassemble
+    # from surviving blocks.
+    from webcollector_ray.functions.dedup import remove_dup_spans
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return remove_dup_spans(ds, k=5)
+
+
+def _q_docs_hash_split(sf_dir: str):
+    # Deterministic 98/1/1 train/val/test assignment by md5 of the
+    # doc id — reproducible across engines, runs and cluster sizes.
+    from webcollector_ray.functions.sketches import hash_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(ds)
+
+
+def _q_docs_source_gate(sf_dir: str):
+    # Domain-level curation: keep docs whose source's MEAN token count
+    # clears the bar (RefinedWeb-style whole-domain keep/drop).
+    from webcollector_ray.functions.textstats import source_quality_gate
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return source_quality_gate(ds, min_avg_tokens=53.0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Never-driver-recorded queries first (the driver's correctness
@@ -1516,6 +1549,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": _q_dedup_containment,
         "docs_incremental_new": _q_docs_incremental_new,
         "docs_length_histogram": _q_docs_length_histogram,
+        "docs_remove_dup_spans": _q_docs_remove_dup_spans,
+        "docs_hash_split": _q_docs_hash_split,
+        "docs_source_gate": _q_docs_source_gate,
         "crawl_host_stats": _q_crawl_host_stats,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_quantiles": _q_events_quantiles,
@@ -2816,6 +2852,66 @@ def _oracle_sql_static() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs,
                    sum({_NTOK})::BIGINT AS sum_tokens
             FROM documents GROUP BY 1
+        """,
+        # block-aligned duplicated-span removal: 5-word tiles, global
+        # first (doc_id, bidx) occurrence survives, docs reassemble in
+        # block order (engine: dedup.remove_dup_spans)
+        "docs_remove_dup_spans": f"""
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array({_TRIM}, '\\s+') AS words
+                FROM documents
+                WHERE {_TRIM} <> ''
+            ),
+            tiled AS (
+                SELECT doc_id, words,
+                       unnest(range(0, (len(words) + 4) // 5)) AS bidx
+                FROM docs
+            ),
+            b AS (
+                SELECT doc_id, bidx,
+                       array_to_string(
+                           list_slice(words, bidx * 5 + 1, bidx * 5 + 5),
+                           ' ') AS btext
+                FROM tiled
+            ),
+            firsts AS (
+                SELECT doc_id, bidx, btext,
+                       row_number() OVER (PARTITION BY btext
+                                          ORDER BY doc_id, bidx) AS rn
+                FROM b
+            )
+            SELECT doc_id, string_agg(btext, ' ' ORDER BY bidx) AS text
+            FROM firsts WHERE rn = 1 GROUP BY doc_id
+        """,
+        # md5-prefix split: bucket = md5-64('split:'||id) % 100 onto
+        # cumulative 98/1/1 ranges (engine: sketches.hash_split)
+        "docs_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 98 THEN 'train'
+                        WHEN b < 99 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       CAST(concat('0x',
+                           substr(md5('split:' || doc_id), 1, 16))
+                           AS UBIGINT) % 100 AS b
+                FROM documents
+            ) s
+        """,
+        # whole-source keep/drop on mean token count (engine:
+        # textstats.source_quality_gate); the mean is one exactly
+        # rounded double division of exact integer sums on both sides
+        "docs_source_gate": f"""
+            WITH tok AS (
+                SELECT doc_id, source, {_NTOK} AS ntok FROM documents
+            ),
+            ok AS (
+                SELECT source FROM tok GROUP BY source
+                HAVING sum(ntok)::DOUBLE / count(*) >= 53.0
+            )
+            SELECT doc_id, source FROM tok
+            WHERE source IN (SELECT source FROM ok)
         """,
         "docs_incremental_new": """
             WITH newb AS (

@@ -1153,3 +1153,76 @@ def test_length_histogram(ray_session):
     assert out["len_bucket"].tolist() == [-1, 0, 2, 10]
     assert out["n_docs"].tolist() == [1, 1, 1, 1]
     assert out["sum_tokens"].tolist() == [0, 1, 4, 1024]
+
+
+def test_remove_dup_spans(ray_session):
+    from webcollector_ray.functions.dedup import remove_dup_spans
+
+    docs = _docs([
+        (1, "a b c d e f g h i j"),   # blocks "a b c d e", "f g h i j"
+        (2, "a b c d e x y z"),       # loses its first block to doc 1
+        (3, "a b c d e f g h i j"),   # full duplicate -> drops out
+        (4, "unique little document"),
+    ])
+    out = remove_dup_spans(docs, k=5).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == {
+        1: "a b c d e f g h i j",
+        2: "x y z",
+        4: "unique little document",
+    }
+    # whitespace-only and empty docs are skipped, not crashed on
+    edge = _docs([(7, "   "), (8, ""), (9, "one two")])
+    out2 = remove_dup_spans(edge, k=5).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["text"])) == {9: "one two"}
+
+
+def test_hash_split(ray_session):
+    import hashlib as _hl
+
+    from webcollector_ray.functions.sketches import hash_split
+
+    ids = list(range(2000))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    out = hash_split(rd.from_arrow(t)).to_pandas()
+    assert len(out) == len(ids)
+    got = dict(zip(out["doc_id"], out["split"]))
+    # exact per-id recomputation: md5-64("split:<id>") % 100 onto
+    # cumulative ranges [0,98) [98,99) [99,100)
+    for i in (0, 1, 17, 999, 1998):
+        b = int.from_bytes(
+            _hl.md5(f"split:{i}".encode()).digest()[:8], "big") % 100
+        want = "train" if b < 98 else ("val" if b < 99 else "test")
+        assert got[i] == want
+    counts = out["split"].value_counts()
+    assert counts["train"] > 1900 and counts.get("val", 0) > 0
+    # deterministic across runs
+    out2 = hash_split(rd.from_arrow(t)).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["split"])) == got
+
+
+def test_source_quality_gate(ray_session):
+    from webcollector_ray.functions.textstats import source_quality_gate
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "source": ["good", "good", "bad", "bad", "good"],
+        "text": [
+            "one two three four five six",   # 6 tokens
+            "one two three four",            # 4 tokens
+            "x",                             # 1 token
+            "x y",                           # 2
+            "one two three four five",       # 5 -> good mean = 5.0
+        ],
+    })
+    out = source_quality_gate(
+        rd.from_arrow(t), min_avg_tokens=4.0
+    ).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 2, 5]
+    assert set(out["source"]) == {"good"}
+    # threshold above every source's mean -> empty, schema intact
+    # (Dataset.schema(), not to_pandas() — Ray drops columns when every
+    # block filtered to zero rows)
+    ds2 = source_quality_gate(rd.from_arrow(t), min_avg_tokens=100.0)
+    assert ds2.schema().names == ["doc_id", "source"]
+    assert ds2.count() == 0

@@ -1340,3 +1340,116 @@ def dup_span_stats(
         add_doc_bucket, batch_format="pyarrow"
     )
     return exchange_reduce(both, fold_docs, final_empty, doc_buckets)
+
+
+# ------------------------------------------------ duplicated-span removal
+
+
+def remove_dup_spans(
+    ds,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+    doc_buckets: int = 8,
+):
+    """Block-aligned exact duplicated-span REMOVAL — the action to
+    dup_span_stats' signal. Each doc's whitespace tokens tile into
+    consecutive k-word blocks (the last block may be shorter); a block
+    whose exact text occurs anywhere else in the corpus survives only
+    at its globally first occurrence (min (doc_id, block_idx));
+    surviving blocks reassemble, space-joined in block order, into the
+    cleaned document. Docs whose every block was removed drop out.
+
+    Block-aligned tiling is the shuffle-friendly simplification of the
+    suffix-array exact-substring dedup of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (arXiv:2107.06499):
+    semantics stay deterministic and SQL-rederivable while each block
+    text crosses the wire exactly twice — once through the
+    block-text-hash exchange that picks first occurrences in-bucket
+    (identical texts always co-locate, so bucket-first == global
+    first), once through the doc-keyed exchange that reassembles.
+    Per-task state is bounded by a bucket's block set; the duplicated
+    span set never assembles anywhere."""
+    from .joins import exchange_reduce
+
+    def block_rows(batch: pa.Table) -> pa.Table:
+        ids: List[int] = []
+        bidxs: List[int] = []
+        btexts: List[str] = []
+        for d, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            words = (t or "").split()
+            if not words:
+                continue
+            for bi in range(0, len(words), k):
+                ids.append(d)
+                bidxs.append(bi // k)
+                btexts.append(" ".join(words[bi:bi + k]))
+        arr = np.asarray(btexts, dtype=object)
+        bucket = (
+            pd.util.hash_array(arr, categorize=False)
+            % np.uint64(num_buckets)
+        ).astype(np.int32) if len(arr) else np.zeros(0, dtype=np.int32)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "bidx": pa.array(bidxs, pa.int64()),
+                "btext": pa.array(btexts, pa.string()),
+                "__bucket": pa.array(bucket),
+            }
+        )
+
+    kept_empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "bidx": pa.array([], pa.int64()),
+            "btext": pa.array([], pa.string()),
+            "__bucket": pa.array([], pa.int32()),
+        }
+    )
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, "bidx", "btext"]).to_pandas()
+        df = df.sort_values(["btext", id_col, "bidx"], kind="mergesort")
+        df = df.drop_duplicates("btext", keep="first")
+        b = (
+            df[id_col].to_numpy(np.int64) % doc_buckets
+        ).astype(np.int32)
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+                "bidx": pa.array(df["bidx"].to_numpy(), pa.int64()),
+                "btext": pa.array(df["btext"].tolist(), pa.string()),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    kept = exchange_reduce(
+        ds.map_batches(block_rows, batch_format="pyarrow"),
+        keep_first, kept_empty, num_buckets,
+    )
+
+    out_empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            text_col: pa.array([], pa.string()),
+        }
+    )
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, "bidx", "btext"]).to_pandas()
+        if not len(df):
+            return out_empty
+        df = df.sort_values([id_col, "bidx"], kind="mergesort")
+        g = df.groupby(id_col, sort=True)["btext"].agg(" ".join)
+        return pa.table(
+            {
+                id_col: pa.array(g.index.to_numpy(), pa.int64()),
+                text_col: pa.array(g.tolist(), pa.string()),
+            }
+        )
+
+    return exchange_reduce(kept, reassemble, out_empty, doc_buckets)

@@ -460,3 +460,43 @@ def mix_rebalance(
         )
 
     return ds.map_batches(rebalance, batch_format="pyarrow")
+
+
+def hash_split(ds, *, id_col: str = "doc_id",
+               weights: Sequence[int] = (98, 1, 1),
+               labels: Sequence[str] = ("train", "val", "test"),
+               seed: str = "split"):
+    """Deterministic train/val/test assignment — the reproducible-split
+    primitive every training-data pipeline needs: bucket =
+    md5-64(seed ':' id) % sum(weights), mapped onto cumulative weight
+    ranges. Pure map-only (no exchange, no state); the hash is the
+    repo's SQL-rederivable md5-prefix scheme, so the split is
+    byte-stable across engines, runs, and cluster sizes, and any doc's
+    assignment is recomputable from its id alone (resumable ingest
+    keeps split membership without a lookup table). Returns
+    (id_col, "split")."""
+    assert len(weights) == len(labels) and all(w > 0 for w in weights)
+    total = int(sum(weights))
+    cuts = np.cumsum(np.asarray(weights, dtype=np.int64))
+    labs = list(labels)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big"
+                ) % total
+                for i in ids
+            ),
+            dtype=np.int64, count=len(ids),
+        )
+        which = np.searchsorted(cuts, h, side="right")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "split": pa.array([labs[w] for w in which], pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

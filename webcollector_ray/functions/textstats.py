@@ -434,3 +434,52 @@ def chunk_documents_batch(
             "chunk_fp": pa.array(fp_out, pa.string()),
         }
     )
+
+
+def source_quality_gate(ds, *, min_avg_tokens: float,
+                        group_col: str = "source",
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Host/source-level quality gating (the RefinedWeb/C4 curation
+    step where whole domains are kept or dropped on an aggregate
+    signal, not per-doc): keep every doc whose `group_col`'s MEAN
+    token count >= min_avg_tokens. Returns (id_col, group_col).
+
+    Scale shape: per-block integer partials (sum_tokens, n_docs per
+    group) -> a #groups-sized groupby reduce -> the passing-group set
+    (bounded by the domain universe, never by corpus size) broadcasts
+    via ray.put into a map-only filter over the full corpus — the
+    100-TB side never shuffles. The gate's division is one exactly
+    rounded double op on exact integer sums, so the cut is
+    cross-engine deterministic (no summation-order float drift)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = token_count_batch(batch, text_col)
+        df = t.select([group_col, "n_tokens"]).to_pandas()
+        g = df.groupby(group_col, as_index=False).agg(
+            sum_tokens=("n_tokens", "sum"), n_docs=("n_tokens", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    means = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        group_col
+    ).aggregate(
+        Sum("sum_tokens", alias_name="sum_tokens"),
+        Sum("n_docs", alias_name="n_docs"),
+    ).to_pandas()  # bounded: one row per source/domain
+    ok = frozenset(
+        means.loc[
+            means["sum_tokens"].to_numpy(np.int64).astype(np.float64)
+            / means["n_docs"].to_numpy(np.int64) >= min_avg_tokens,
+            group_col,
+        ]
+    )
+    ok_ref = _ray.put(pa.array(sorted(ok), pa.string()))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = _ray.get(ok_ref)  # local-store fetch, zero-copy
+        mask = pc.is_in(batch[group_col], value_set=keep)
+        return batch.filter(mask).select([id_col, group_col])
+
+    return ds.map_batches(gate, batch_format="pyarrow")
