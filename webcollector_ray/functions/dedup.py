@@ -30,6 +30,7 @@ from typing import List, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -1375,29 +1376,46 @@ def remove_dup_spans(
     from .joins import exchange_reduce
 
     def block_rows(batch: pa.Table) -> pa.Table:
-        ids: List[int] = []
-        bidxs: List[int] = []
-        btexts: List[str] = []
-        for d, t in zip(
-            batch[id_col].to_pylist(), batch[text_col].to_pylist()
-        ):
-            words = (t or "").split()
-            if not words:
-                continue
-            for bi in range(0, len(words), k):
-                ids.append(d)
-                bidxs.append(bi // k)
-                btexts.append(" ".join(words[bi:bi + k]))
-        arr = np.asarray(btexts, dtype=object)
+        # Arrow-vectorized tiling: trim -> drop empty/null docs ->
+        # split_whitespace -> flat token array + per-doc offsets ->
+        # block boundaries by arithmetic -> one binary_join kernel
+        # call re-joins every block. No per-row Python in this stage.
+        trimmed = pc.utf8_trim_whitespace(batch[text_col])
+        keep = pc.and_kleene(
+            pc.is_valid(trimmed), pc.not_equal(trimmed, "")
+        )
+        trimmed = trimmed.filter(keep)
+        doc_ids = batch[id_col].filter(keep).combine_chunks()
+        words = pc.utf8_split_whitespace(trimmed).combine_chunks()
+        offs = words.offsets.to_numpy().astype(np.int64)
+        nw = np.diff(offs)
+        nblocks = -(-nw // k)  # ceil; every kept doc has >= 1 block
+        total = int(nblocks.sum())
+        bidx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(nblocks)[:-1])), nblocks
+        )
+        starts = np.repeat(offs[:-1], nblocks) + k * bidx
+        # blocks are contiguous in the flat token array (within and
+        # across docs), so starts + the final end form valid offsets
+        block_offs = np.concatenate((starts, offs[-1:]))
+        blocks = pa.LargeListArray.from_arrays(
+            pa.array(block_offs, pa.int64()), words.values
+        )
+        btext = pc.binary_join(blocks, " ")
         bucket = (
-            pd.util.hash_array(arr, categorize=False)
-            % np.uint64(num_buckets)
-        ).astype(np.int32) if len(arr) else np.zeros(0, dtype=np.int32)
+            pd.util.hash_array(
+                btext.to_numpy(zero_copy_only=False), categorize=False
+            ) % np.uint64(num_buckets)
+        ).astype(np.int32) if total else np.zeros(0, dtype=np.int32)
         return pa.table(
             {
-                id_col: pa.array(ids, pa.int64()),
-                "bidx": pa.array(bidxs, pa.int64()),
-                "btext": pa.array(btexts, pa.string()),
+                id_col: pa.array(
+                    np.repeat(
+                        doc_ids.to_numpy(zero_copy_only=False), nblocks
+                    ), pa.int64()
+                ),
+                "bidx": pa.array(bidx, pa.int64()),
+                "btext": btext,
                 "__bucket": pa.array(bucket),
             }
         )
