@@ -1529,6 +1529,43 @@ def _q_docs_source_gate(sf_dir: str):
     return source_quality_gate(ds, min_avg_tokens=53.0)
 
 
+def _q_docs_fuzzy_decontaminated(sf_dir: str):
+    # NEAR-dup eval decontamination: banded-minhash candidates between
+    # the training split and the eval slice, est-jaccard >= 0.5 drops.
+    from webcollector_ray.functions.decontam import fuzzy_decontaminate
+
+    ds = _docs(sf_dir)
+    ev = ds.map_batches(
+        lambda b: _eval_split_mask(b, True), batch_format="pyarrow"
+    )
+    train = ds.map_batches(
+        lambda b: _eval_split_mask(b, False), batch_format="pyarrow"
+    )
+    return fuzzy_decontaminate(train, ev, threshold=0.5)
+
+
+def _q_source_ngram_overlap(sf_dir: str):
+    # Cross-source duplicate-content census: distinct shared word
+    # 3-grams per source pair, via one gram-hash exchange.
+    from webcollector_ray.functions.dedup import source_ngram_overlap
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return source_ngram_overlap(ds, k=3)
+
+
+def _q_docs_length_band(sf_dir: str):
+    # Per-language exact-percentile length band: keep docs whose token
+    # count sits within [p5, p95] of their language's distribution.
+    from webcollector_ray.functions.textstats import lang_length_band
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return lang_length_band(ds, lo_pct=5, hi_pct=95)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # Never-driver-recorded queries first (the driver's correctness
@@ -1552,6 +1589,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_remove_dup_spans": _q_docs_remove_dup_spans,
         "docs_hash_split": _q_docs_hash_split,
         "docs_source_gate": _q_docs_source_gate,
+        "docs_length_band": _q_docs_length_band,
+        "source_ngram_overlap": _q_source_ngram_overlap,
+        "docs_fuzzy_decontaminated": _q_docs_fuzzy_decontaminated,
         "crawl_host_stats": _q_crawl_host_stats,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_quantiles": _q_events_quantiles,
@@ -2160,11 +2200,36 @@ def _minhash_oracle_sqls() -> dict[str, str]:
         WHERE d.doc_id NOT IN
             (SELECT doc_id FROM clus WHERE cluster <> doc_id)
     """
+    # near-dup eval decontamination: train x eval band-quad candidates,
+    # est-jaccard >= 0.5 drops the training doc (engine:
+    # decontam.fuzzy_decontaminate; same 64-perm/quad-band MinHasher)
+    fuzzy_decon = prefix + f""",
+        cand2 AS (
+            SELECT DISTINCT t.doc_id AS tid, e.doc_id AS eid
+            FROM bandv t JOIN bandv e
+              ON t.band = e.band AND t.quad = e.quad
+            WHERE t.doc_id % {_DECON_MOD} != {_DECON_REM}
+              AND e.doc_id % {_DECON_MOD} = {_DECON_REM}
+        ),
+        est2 AS (
+            SELECT c.tid,
+                   sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0
+                     AS e
+            FROM cand2 c
+            JOIN sig sa ON sa.doc_id = c.tid
+            JOIN sig sb ON sb.doc_id = c.eid AND sb.j = sa.j
+            GROUP BY c.tid, c.eid
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id % {_DECON_MOD} != {_DECON_REM}
+          AND d.doc_id NOT IN (SELECT tid FROM est2 WHERE e >= 0.5)
+    """
     return {
         "dedup_minhash": minhash,
         "dedup_ngram_verified": ngram,
         "dedup_containment": containment,
         "docs_fuzzy_clean_corpus": fuzzy_clean,
+        "docs_fuzzy_decontaminated": fuzzy_decon,
     }
 
 
@@ -2912,6 +2977,72 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT doc_id, source FROM tok
             WHERE source IN (SELECT source FROM ok)
+        """,
+        # distinct shared word 3-grams per source pair (engine:
+        # dedup.source_ngram_overlap; hash-vs-string gram identity,
+        # ~2^-64 collision odds)
+        "source_ngram_overlap": f"""
+            WITH docs AS (
+                SELECT source,
+                       regexp_split_to_array(lower({_TRIM}), '\\s+')
+                         AS words
+                FROM documents
+            ),
+            wpos AS (
+                SELECT source, row_number() OVER () AS rid,
+                       words, len(words) AS nw
+                FROM docs WHERE len(words) >= 3
+            ),
+            w AS (
+                SELECT source, rid,
+                       unnest(words) AS wd,
+                       unnest(range(1, nw + 1)) AS i, nw
+                FROM wpos
+            ),
+            g AS (
+                SELECT DISTINCT a.source,
+                       a.wd || chr(31) || b.wd || chr(31) || c.wd AS gm
+                FROM w a
+                JOIN w b ON b.rid = a.rid AND b.i = a.i + 1
+                JOIN w c ON c.rid = a.rid AND c.i = a.i + 2
+            )
+            SELECT x.source AS source_a, y.source AS source_b,
+                   count(*)::BIGINT AS n_shared
+            FROM g x JOIN g y ON x.gm = y.gm AND x.source < y.source
+            GROUP BY 1, 2
+        """,
+        # per-lang exact-percentile band via bounded cumulative
+        # histogram; integer rank = (pct*n + 99) // 100 on both sides
+        # (engine: textstats.lang_length_band)
+        "docs_length_band": f"""
+            WITH tok AS (
+                SELECT doc_id, lang, {_NTOK}::BIGINT AS n_tokens
+                FROM documents
+            ),
+            hist AS (
+                SELECT lang, n_tokens, count(*)::BIGINT AS c
+                FROM tok GROUP BY 1, 2
+            ),
+            tot AS (SELECT lang, sum(c)::BIGINT AS n FROM hist GROUP BY 1),
+            cum AS (
+                SELECT lang, n_tokens,
+                       sum(c) OVER (PARTITION BY lang
+                                    ORDER BY n_tokens)::BIGINT AS cm
+                FROM hist
+            ),
+            cuts AS (
+                SELECT t.lang,
+                       (SELECT min(n_tokens) FROM cum c
+                         WHERE c.lang = t.lang
+                           AND c.cm >= (5 * t.n + 99) // 100) AS lo,
+                       (SELECT min(n_tokens) FROM cum c
+                         WHERE c.lang = t.lang
+                           AND c.cm >= (95 * t.n + 99) // 100) AS hi
+                FROM tot t
+            )
+            SELECT k.doc_id, k.lang, k.n_tokens
+            FROM tok k JOIN cuts USING (lang)
+            WHERE k.n_tokens BETWEEN cuts.lo AND cuts.hi
         """,
         "docs_incremental_new": """
             WITH newb AS (

@@ -1201,6 +1201,79 @@ def test_hash_split(ray_session):
     assert dict(zip(out2["doc_id"], out2["split"])) == got
 
 
+def test_fuzzy_decontaminate(ray_session):
+    from webcollector_ray.functions.decontam import fuzzy_decontaminate
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet grey town every single evening")
+    near = base.replace("grey", "gray")  # near-dup of the eval doc
+    train = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [near, "totally unrelated words about ray data engines "
+                 "and arrow batches flowing through object stores",
+                 "another separate document mentioning nothing shared"],
+    })
+    ev = pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": [base],
+    })
+    out = fuzzy_decontaminate(
+        rd.from_arrow(train), rd.from_arrow(ev), threshold=0.5
+    ).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [2, 3]
+    # empty eval set -> everything survives
+    ev0 = rd.from_arrow(ev).filter(lambda r: False)
+    out0 = fuzzy_decontaminate(
+        rd.from_arrow(train), ev0, threshold=0.5
+    ).to_pandas()
+    assert sorted(out0["doc_id"].tolist()) == [1, 2, 3]
+
+
+def test_source_ngram_overlap(ray_session):
+    from webcollector_ray.functions.dedup import source_ngram_overlap
+
+    t = pa.table({
+        "source": ["s1", "s1", "s2", "s3", "s3"],
+        "text": [
+            "a b c d",        # s1 grams: abc bcd
+            "x y z",          # s1 grams: xyz
+            "B C D e",        # s2 grams: bcd(!case) cde
+            "a b c",          # s3 grams: abc
+            "hi",             # <3 tokens -> contributes nothing
+        ],
+    })
+    out = source_ngram_overlap(rd.from_arrow(t), k=3).to_pandas()
+    got = {
+        (r.source_a, r.source_b): r.n_shared for r in out.itertuples()
+    }
+    # s1&s2 share "b c d" (case-folded), s1&s3 share "a b c"
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1}
+
+
+def test_lang_length_band(ray_session):
+    from webcollector_ray.functions.textstats import lang_length_band
+
+    # lang "a": lengths 1..10 one doc each; p5 rank=ceil(0.05*10)=1 ->
+    # lo=1, p95 rank=ceil(9.5)=10 -> hi=10: everything kept.
+    # With lo_pct=20, hi_pct=80: ranks 2 and 8 -> band [2, 8].
+    rows = [(i, "a", " ".join(["w"] * i)) for i in range(1, 11)]
+    rows += [(100, "b", "x"), (101, "b", "x y z")]  # lang b: n=2
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": [r[1] for r in rows],
+        "text": [r[2] for r in rows],
+    })
+    out = lang_length_band(
+        rd.from_arrow(t), lo_pct=20, hi_pct=80
+    ).to_pandas()
+    a = out[out["lang"] == "a"]["n_tokens"].tolist()
+    assert sorted(a) == [2, 3, 4, 5, 6, 7, 8]
+    # lang b: ranks ceil(0.4)=1 -> lo=1, ceil(1.6)=2 -> hi=3: both kept
+    assert sorted(out[out["lang"] == "b"]["doc_id"]) == [100, 101]
+    # n_tokens column rides along
+    assert set(out.columns) == {"doc_id", "lang", "n_tokens"}
+
+
 def test_source_quality_gate(ray_session):
     from webcollector_ray.functions.textstats import source_quality_gate
 

@@ -78,3 +78,107 @@ def contamination_flags(
         return pa.table({id_col: batch[id_col], "n_hits": pa.array(hits)})
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ------------------------------------------------ fuzzy decontamination
+
+
+@ray.remote
+def _eval_sig_matrix(num_perm: int, shingle_k: int, text_col: str, *blocks):
+    """Eval-set minhash signatures, one task (eval sets are
+    benchmark-sized; assert the bound so mis-sized input fails loudly
+    instead of broadcasting gigabytes)."""
+    from .dedup import MinHasher
+
+    mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=42)
+    sigs = [
+        mh.signatures_batch(t[text_col].to_pylist())
+        for t in blocks
+        if t is not None and len(t)
+    ]
+    out = (
+        np.vstack(sigs)
+        if sigs
+        else np.zeros((0, num_perm), dtype=np.uint64)
+    )
+    if out.nbytes > 1 << 30:
+        raise ValueError(
+            f"eval signature matrix is {out.nbytes >> 20} MiB — "
+            "fuzzy_decontaminate broadcasts it; the eval side must stay "
+            "benchmark-sized"
+        )
+    return out
+
+
+def fuzzy_decontaminate(
+    train_ds,
+    eval_ds,
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """NEAR-duplicate eval decontamination — the fuzzy complement to
+    the exact k-gram pass above: drop training docs whose minhash
+    est-jaccard against ANY eval doc reaches `threshold`, with
+    banded-LSH candidate generation so signatures are only compared
+    where a band quad matches (the Gopher/Llama "paraphrased benchmark
+    leakage" cut that exact grams miss).
+
+    Scale shape mirrors decontaminate(): the eval signature matrix
+    (num_eval x num_perm uint64) is built in one Ray task and
+    broadcast; the training side is a single map-only pass — per
+    batch, each of the `bands` quad-columns is matched train-vs-eval
+    with one np.unique(axis=0) group-id join (exact equality, no hash
+    collisions), and only the surviving candidate pairs pay the full
+    signature comparison. No shuffle touches the 100-TB side."""
+    from .dedup import MinHasher
+
+    rows = num_perm // bands
+    sig_ref = _eval_sig_matrix.remote(
+        num_perm, shingle_k, text_col, *eval_ds.to_arrow_refs()
+    )
+
+    def survive(batch: pa.Table) -> pa.Table:
+        sig_e = ray.get(sig_ref)  # local-store fetch, zero-copy
+        out_ids = batch.select([id_col])
+        if not len(batch) or not len(sig_e):
+            return out_ids
+        mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=42)
+        sig_t = mh.signatures_batch(batch[text_col].to_pylist())
+        m, n = len(sig_e), len(sig_t)
+        pair_keys = []
+        for b in range(bands):
+            sl = slice(b * rows, (b + 1) * rows)
+            quads = np.ascontiguousarray(
+                np.vstack((sig_e[:, sl], sig_t[:, sl]))
+            )
+            _, inv = np.unique(quads, axis=0, return_inverse=True)
+            ge, gt = inv[:m], inv[m:]
+            order = np.argsort(gt, kind="stable")
+            st = gt[order]
+            lo = np.searchsorted(st, ge)
+            hi = np.searchsorted(st, ge, side="right")
+            cnt = hi - lo
+            if not cnt.any():
+                continue
+            ev = np.repeat(np.arange(m, dtype=np.int64), cnt)
+            tr = order[
+                np.concatenate(
+                    [np.arange(l, h) for l, h in zip(lo, hi) if h > l]
+                )
+            ]
+            pair_keys.append(tr * np.int64(m) + ev)
+        if not pair_keys:
+            return out_ids
+        pk = np.unique(np.concatenate(pair_keys))
+        ti, ej = pk // m, pk % m
+        est = (sig_t[ti] == sig_e[ej]).mean(axis=1)
+        bad = np.zeros(n, dtype=bool)
+        bad[ti[est >= threshold]] = True
+        return out_ids.filter(pa.array(~bad))
+
+    return train_ds.map_batches(survive, batch_format="pyarrow")

@@ -1471,3 +1471,102 @@ def remove_dup_spans(
         )
 
     return exchange_reduce(kept, reassemble, out_empty, doc_buckets)
+
+
+# ------------------------------------------------ cross-source overlap
+
+
+def source_ngram_overlap(
+    ds,
+    *,
+    k: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+    num_buckets: int = 32,
+):
+    """Provenance overlap census: for every unordered source pair
+    (a < b), the number of DISTINCT word k-grams the two sources
+    share. The matrix training-data curators read before mixing
+    sources — high overlap means double-counted content (mirrors,
+    syndication, scrapes of scrapes) that per-doc dedup under-reports.
+    Docs with fewer than k tokens contribute nothing. Returns
+    (source_a, source_b, n_shared).
+
+    Scale shape: per-batch distinct (gram-hash, source) rows through
+    ONE gram-hash exchange; identical grams co-locate, so each bucket
+    pairs its own sources per gram and pre-aggregates per-pair counts;
+    a final groupby folds #buckets partials into the pair matrix. The
+    output and every reduce state are bounded by #sources^2 — this
+    operator assumes the source universe is mixture-component-sized
+    (dozens..thousands), not per-host; census hot hosts first when it
+    isn't. Gram identity is the repo's 64-bit shingle hash (md5-64
+    words + position mix), so the SQL oracle's exact gram strings
+    agree up to ~2^-64-per-pair collisions."""
+    from ray.data.aggregate import Sum
+
+    from .joins import exchange_reduce
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        hs = []
+        srcs = []
+        for s, t in zip(
+            batch[source_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            words = (t or "").lower().split()
+            if len(words) < k:
+                continue
+            wh = np.array([_word_hash64(w) for w in words], dtype=np.uint64)
+            g = np.unique(_gram_hashes_from_word_hashes(wh, k))
+            hs.append(g)
+            srcs.append(np.full(len(g), s, dtype=object))
+        if not hs:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.uint64()),
+                    "src": pa.array([], pa.string()),
+                    "__bucket": pa.array([], pa.int32()),
+                }
+            )
+        h = np.concatenate(hs)
+        src = np.concatenate(srcs)
+        # batch-local distinct (gram, source) shrinks the exchange
+        df = pd.DataFrame({"h": h, "src": src}).drop_duplicates()
+        h = df["h"].to_numpy(np.uint64)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "src": pa.array(df["src"].tolist(), pa.string()),
+                "__bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    pair_empty = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        df = t.select(["h", "src"]).to_pandas().drop_duplicates()
+        m = df.merge(df, on="h")  # per-gram source x source
+        m = m[m["src_x"] < m["src_y"]]
+        g = m.groupby(["src_x", "src_y"], as_index=False).size()
+        return pa.table(
+            {
+                "source_a": pa.array(g["src_x"].tolist(), pa.string()),
+                "source_b": pa.array(g["src_y"].tolist(), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = exchange_reduce(
+        ds.map_batches(gram_rows, batch_format="pyarrow"),
+        pair_counts, pair_empty, num_buckets,
+    )
+    return parts.groupby(["source_a", "source_b"]).aggregate(
+        Sum("n", alias_name="n_shared")
+    )

@@ -436,6 +436,72 @@ def chunk_documents_batch(
     )
 
 
+def lang_length_band(ds, *, lo_pct: int = 5, hi_pct: int = 95,
+                     lang_col: str = "lang", text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Per-language token-length band filter (the CCNet/RedPajama
+    length-outlier cut, computed per language because length norms
+    differ across scripts): keep every doc whose token count lies in
+    [lo, hi], where lo/hi are the language's EXACT lo_pct/hi_pct
+    percentile values. Returns (id_col, lang_col, n_tokens).
+
+    Exact percentiles without a sort: token counts live in a bounded
+    value universe (a doc has at most ~millions of tokens), so the
+    per-(lang, n_tokens) histogram is bounded by #langs x #distinct
+    lengths regardless of corpus size. Per-block partial counts -> one
+    tiny multi-key groupby reduce -> cutoffs from the cumulative
+    histogram on the driver -> per-lang (lo, hi) broadcast via ray.put
+    into a map-only filter. The percentile rank is pure integer
+    arithmetic (rank = ceil(pct * n / 100) via (pct*n + 99) // 100;
+    cutoff = smallest length whose cumulative count reaches the rank),
+    so engines agree bit-for-bit — no float interpolation."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = token_count_batch(batch, text_col)
+        df = t.select([lang_col, "n_tokens"]).to_pandas()
+        g = df.groupby([lang_col, "n_tokens"], as_index=False).agg(
+            c=("n_tokens", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        [lang_col, "n_tokens"]
+    ).aggregate(Sum("c", alias_name="c")).to_pandas()
+    # bounded: one row per (lang, distinct length)
+    cuts: dict = {}
+    for lang, g in hist.groupby(lang_col):
+        g = g.sort_values("n_tokens")
+        cum = g["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        lens = g["n_tokens"].to_numpy(np.int64)
+        r_lo = (lo_pct * n + 99) // 100
+        r_hi = (hi_pct * n + 99) // 100
+        lo = int(lens[np.searchsorted(cum, r_lo)])
+        hi = int(lens[np.searchsorted(cum, r_hi)])
+        cuts[lang] = (lo, hi)
+    cuts_ref = _ray.put(cuts)
+
+    def band(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cuts_ref)  # local-store fetch
+        keys = list(c.keys())
+        lo_arr = np.array([c[k][0] for k in keys], np.int64)
+        hi_arr = np.array([c[k][1] for k in keys], np.int64)
+        t = token_count_batch(batch, text_col)
+        langs = t[lang_col].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        codes = pd.Categorical(langs, categories=keys).codes
+        known = codes >= 0
+        safe = np.where(known, codes, 0)
+        keep = known & (n >= lo_arr[safe]) & (n <= hi_arr[safe])
+        return t.select([id_col, lang_col, "n_tokens"]).filter(
+            pa.array(keep)
+        )
+
+    return ds.map_batches(band, batch_format="pyarrow")
+
+
 def source_quality_gate(ds, *, min_avg_tokens: float,
                         group_col: str = "source",
                         text_col: str = "text", id_col: str = "doc_id"):
