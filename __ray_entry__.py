@@ -1529,6 +1529,18 @@ def _q_docs_source_gate(sf_dir: str):
     return source_quality_gate(ds, min_avg_tokens=53.0)
 
 
+def _q_events_funnel(sf_dir: str):
+    # Ordered view->click->purchase funnel with strict min-ts chaining;
+    # one row per user with the stage reached (0-3).
+    from webcollector_ray.functions.windows import funnel_stages
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+    )
+    return funnel_stages(ds, ["view", "click", "purchase"])
+
+
 def _q_docs_fuzzy_decontaminated(sf_dir: str):
     # NEAR-dup eval decontamination: banded-minhash candidates between
     # the training split and the eval slice, est-jaccard >= 0.5 drops.
@@ -1592,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_band": _q_docs_length_band,
         "source_ngram_overlap": _q_source_ngram_overlap,
         "docs_fuzzy_decontaminated": _q_docs_fuzzy_decontaminated,
+        "events_funnel": _q_events_funnel,
         "crawl_host_stats": _q_crawl_host_stats,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_quantiles": _q_events_quantiles,
@@ -2977,6 +2990,35 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT doc_id, source FROM tok
             WHERE source IN (SELECT source FROM ok)
+        """,
+        # ordered funnel via chained per-step min-ts (engine:
+        # windows.funnel_stages; strict > between consecutive steps)
+        "events_funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON s2.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY 1
+            )
+            SELECT u.user_id,
+                   (CASE WHEN s3.user_id IS NOT NULL THEN 3
+                         WHEN s2.user_id IS NOT NULL THEN 2
+                         WHEN s1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END)::BIGINT AS stage
+            FROM u
+            LEFT JOIN s1 ON s1.user_id = u.user_id
+            LEFT JOIN s2 ON s2.user_id = u.user_id
+            LEFT JOIN s3 ON s3.user_id = u.user_id
         """,
         # distinct shared word 3-grams per source pair (engine:
         # dedup.source_ngram_overlap; hash-vs-string gram identity,

@@ -1201,6 +1201,38 @@ def test_hash_split(ray_session):
     assert dict(zip(out2["doc_id"], out2["split"])) == got
 
 
+def test_funnel_stages(ray_session):
+    import datetime as _dt
+
+    from webcollector_ray.functions.windows import funnel_stages
+
+    def ts(m):
+        return _dt.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 1 completes the whole ordered funnel
+        (1, "view", ts(0)), (1, "click", ts(1)), (1, "purchase", ts(2)),
+        # user 2: purchase BEFORE the view->click chain -> stage 2
+        (2, "purchase", ts(0)), (2, "view", ts(1)), (2, "click", ts(2)),
+        # user 3: click before view -> only stage 1 (the view)
+        (3, "click", ts(0)), (3, "view", ts(1)),
+        # user 4: unrelated events only -> stage 0
+        (4, "error", ts(0)),
+        # user 5: strictness — click at the SAME ts as view doesn't count
+        (5, "view", ts(0)), (5, "click", ts(0)),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": [r[1] for r in rows],
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    out = funnel_stages(
+        rd.from_arrow(t), ["view", "click", "purchase"]
+    ).to_pandas()
+    got = dict(zip(out["user_id"], out["stage"]))
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
 def test_fuzzy_decontaminate(ray_session):
     from webcollector_ray.functions.decontam import fuzzy_decontaminate
 

@@ -415,3 +415,92 @@ def window_distinct_keys(
     return exchange_reduce(
         partial_counts, sum_partials, empty_out, num_buckets
     )
+
+
+# ---------------------------------------------------------------- funnels
+
+
+def funnel_stages(
+    events,
+    steps,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_buckets: int = 32,
+):
+    """Ordered-funnel analysis (the product-analytics primitive:
+    view -> click -> purchase): per user, the number of leading funnel
+    steps completed by a STRICTLY time-increasing event chain — step
+    s+1 counts only if some matching event is later than the earliest
+    valid completion of step s (min-ts chaining, the standard funnel
+    definition). Users with events but no step-1 event report stage 0.
+    Returns (user_col, "stage").
+
+    Scale shape: the routing pass ships only funnel-step events plus
+    one sentinel row per distinct user per batch (the user universe),
+    through ONE user-hash exchange; each bucket owns all rows of its
+    users, so the per-step chained min is exact in-bucket — one
+    vectorized pandas pass per funnel step, never per user. Output is
+    one row per user; no stage sees the whole log."""
+    from .joins import exchange_reduce
+
+    steps = list(steps)
+
+    def route(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                user_col: batch[user_col].to_numpy(zero_copy_only=False),
+                type_col: batch[type_col].to_numpy(zero_copy_only=False),
+                ts_col: batch[ts_col].to_pandas(),
+            }
+        )
+        fun = df[df[type_col].isin(steps)]
+        sent = df[[user_col]].drop_duplicates()
+        sent[type_col] = ""
+        sent[ts_col] = pd.NaT
+        out = pd.concat([fun, sent], ignore_index=True)
+        uid = out[user_col].to_numpy(np.int64).astype(np.uint64)
+        b = (uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    empty = pa.table(
+        {
+            user_col: pa.array([], pa.int64()),
+            "stage": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_user(t: pa.Table) -> pa.Table:
+        df = t.select([user_col, type_col, ts_col]).to_pandas()
+        if not len(df):
+            return empty
+        users = pd.Index(df[user_col].unique())
+        stage = pd.Series(0, index=users, dtype=np.int64)
+        # threshold = earliest valid completion ts of the previous step
+        thr = pd.Series(pd.Timestamp.min, index=users)
+        alive = users
+        for s, step in enumerate(steps, start=1):
+            sub = df[df[type_col].eq(step) & df[user_col].isin(alive)]
+            if not len(sub):
+                break
+            cut = thr.reindex(sub[user_col]).to_numpy()
+            sub = sub[sub[ts_col].to_numpy() > cut]
+            nxt = sub.groupby(user_col, sort=False)[ts_col].min()
+            if not len(nxt):
+                break
+            stage.loc[nxt.index] = s
+            thr = nxt
+            alive = nxt.index
+        return pa.table(
+            {
+                user_col: pa.array(stage.index.to_numpy(), pa.int64()),
+                "stage": pa.array(stage.to_numpy(), pa.int64()),
+            }
+        )
+
+    return exchange_reduce(
+        events.map_batches(route, batch_format="pyarrow"),
+        per_user, empty, num_buckets,
+    )
