@@ -1529,6 +1529,18 @@ def _q_docs_source_gate(sf_dir: str):
     return source_quality_gate(ds, min_avg_tokens=53.0)
 
 
+def _q_events_transitions(sf_dir: str):
+    # Per-user consecutive-event transition matrix (Markov census),
+    # ordered by (ts, event_id) for engine-independent tie handling.
+    from webcollector_ray.functions.windows import event_transitions
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    return event_transitions(ds)
+
+
 def _q_events_funnel(sf_dir: str):
     # Ordered view->click->purchase funnel with strict min-ts chaining;
     # one row per user with the stage reached (0-3).
@@ -1605,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ngram_overlap": _q_source_ngram_overlap,
         "docs_fuzzy_decontaminated": _q_docs_fuzzy_decontaminated,
         "events_funnel": _q_events_funnel,
+        "events_transitions": _q_events_transitions,
         "crawl_host_stats": _q_crawl_host_stats,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_quantiles": _q_events_quantiles,
@@ -2990,6 +3003,22 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT doc_id, source FROM tok
             WHERE source IN (SELECT source FROM ok)
+        """,
+        # per-user consecutive-pair transition counts, (ts, event_id)
+        # ordering (engine: windows.event_transitions)
+        "events_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id
+                       ) AS nxt
+                FROM events
+            )
+            SELECT event_type AS prev_type, nxt AS next_type,
+                   count(*)::BIGINT AS n
+            FROM seq WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
         """,
         # ordered funnel via chained per-step min-ts (engine:
         # windows.funnel_stages; strict > between consecutive steps)

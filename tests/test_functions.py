@@ -1201,6 +1201,34 @@ def test_hash_split(ray_session):
     assert dict(zip(out2["doc_id"], out2["split"])) == got
 
 
+def test_event_transitions(ray_session):
+    import datetime as _dt
+
+    from webcollector_ray.functions.windows import event_transitions
+
+    def ts(m):
+        return _dt.datetime(2024, 1, 1, 0, m)
+
+    rows = [  # (event_id, user, type, ts)
+        (1, 1, "a", ts(0)), (2, 1, "b", ts(1)), (3, 1, "a", ts(2)),
+        (4, 2, "a", ts(0)), (5, 2, "b", ts(1)),
+        # user 3: equal timestamps -> event_id breaks the tie (c then d)
+        (6, 3, "c", ts(0)), (7, 3, "d", ts(0)),
+        (8, 4, "solo", ts(0)),  # single event -> no transition
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": [r[2] for r in rows],
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    })
+    out = event_transitions(rd.from_arrow(t)).to_pandas()
+    got = {
+        (r.prev_type, r.next_type): r.n for r in out.itertuples()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("c", "d"): 1}
+
+
 def test_funnel_stages(ray_session):
     import datetime as _dt
 

@@ -504,3 +504,71 @@ def funnel_stages(
         events.map_batches(route, batch_format="pyarrow"),
         per_user, empty, num_buckets,
     )
+
+
+def event_transitions(
+    events,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 32,
+):
+    """First-order transition census over per-user event sequences:
+    (prev_type, next_type, n) counts of consecutive events, each
+    user's stream ordered by (ts, event id) — the Markov-chain /
+    session-model input. Returns #event-types^2-bounded rows.
+
+    Scale shape: ONE user-hash exchange co-locates each user's events;
+    in-bucket one mergesort + a shifted-column compare produces the
+    bucket's (prev, next) partial counts (vectorized, no per-user
+    loop); a final groupby folds #buckets partials into the bounded
+    transition matrix. The id tiebreak makes ordering — and therefore
+    the counts — engine-independent even under equal timestamps."""
+    from ray.data.aggregate import Sum
+
+    from .joins import exchange_reduce
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = batch.select([user_col, type_col, ts_col, id_col])
+        uid = t[user_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    empty = pa.table(
+        {
+            "prev_type": pa.array([], pa.string()),
+            "next_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.select([user_col, type_col, ts_col, id_col]).to_pandas()
+        if len(df) < 2:
+            return empty
+        df = df.sort_values(
+            [user_col, ts_col, id_col], kind="mergesort"
+        )
+        u = df[user_col].to_numpy()
+        ty = df[type_col].to_numpy()
+        same = u[1:] == u[:-1]
+        g = pd.DataFrame(
+            {"prev_type": ty[:-1][same], "next_type": ty[1:][same]}
+        ).groupby(["prev_type", "next_type"], as_index=False).size()
+        return pa.table(
+            {
+                "prev_type": pa.array(g["prev_type"].tolist(), pa.string()),
+                "next_type": pa.array(g["next_type"].tolist(), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = exchange_reduce(
+        events.map_batches(route, batch_format="pyarrow"),
+        per_bucket, empty, num_buckets,
+    )
+    return parts.groupby(["prev_type", "next_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
