@@ -1431,7 +1431,9 @@ def remove_dup_spans(
 
     def keep_first(t: pa.Table) -> pa.Table:
         df = t.select([id_col, "bidx", "btext"]).to_pandas()
-        df = df.sort_values(["btext", id_col, "bidx"], kind="mergesort")
+        # integer (doc_id, bidx) sort + first-wins drop == "survives at
+        # its globally smallest (doc_id, bidx)" without a string sort
+        df = df.sort_values([id_col, "bidx"], kind="mergesort")
         df = df.drop_duplicates("btext", keep="first")
         b = (
             df[id_col].to_numpy(np.int64) % doc_buckets
