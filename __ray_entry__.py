@@ -1529,6 +1529,47 @@ def _q_docs_source_gate(sf_dir: str):
     return source_quality_gate(ds, min_avg_tokens=53.0)
 
 
+def _q_doc_winnowing_fps(sf_dir: str):
+    # Positional winnowing fingerprint SET (MOSS): rightmost-min of
+    # every 4-hash window over the 8-word rolling hash stream.
+    from webcollector_ray.functions.textstats import (
+        winnowing_fingerprints_batch,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        winnowing_fingerprints_batch, batch_format="pyarrow"
+    )
+
+
+def _q_docs_incremental_fuzzy_new(sf_dir: str):
+    # Fuzzy complement of docs_incremental_new: a "new" doc (id%3==0)
+    # survives unless it is a minhash near-dup (est >= 0.5) of any
+    # EXISTING-corpus doc. New-vs-new near-dups both survive — the
+    # delta only dedups against the corpus.
+    from webcollector_ray.functions.joins import hash_join
+
+    docs = _docs(sf_dir)
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+
+    def cross_drop(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        na, nb = (a % 3 == 0), (b % 3 == 0)
+        drop = np.concatenate((a[na & ~nb], b[nb & ~na]))
+        return pa.table({"doc_id": pa.array(drop, pa.int64())})
+
+    dropped = pairs.map_batches(cross_drop, batch_format="pyarrow")
+    def new_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.select(["doc_id"]).filter(pa.array(ids % 3 == 0))
+
+    new = docs.map_batches(new_side, batch_format="pyarrow")
+    return hash_join(new, dropped, on="doc_id", how="anti")
+
+
 def _q_events_transitions(sf_dir: str):
     # Per-user consecutive-event transition matrix (Markov census),
     # ordered by (ts, event_id) for engine-independent tie handling.
@@ -1618,6 +1659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fuzzy_decontaminated": _q_docs_fuzzy_decontaminated,
         "events_funnel": _q_events_funnel,
         "events_transitions": _q_events_transitions,
+        "doc_winnowing_fps": _q_doc_winnowing_fps,
+        "docs_incremental_fuzzy_new": _q_docs_incremental_fuzzy_new,
         "crawl_host_stats": _q_crawl_host_stats,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "events_quantiles": _q_events_quantiles,
@@ -2250,12 +2293,26 @@ def _minhash_oracle_sqls() -> dict[str, str]:
         WHERE d.doc_id % {_DECON_MOD} != {_DECON_REM}
           AND d.doc_id NOT IN (SELECT tid FROM est2 WHERE e >= 0.5)
     """
+    # fuzzy incremental delta: a new doc (id%3==0) survives unless some
+    # est>=0.5 near-dup pair connects it to an existing-corpus doc
+    # (engine: _q_docs_incremental_fuzzy_new composition)
+    fuzzy_delta = prefix + """
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id % 3 = 0
+          AND NOT EXISTS (
+            SELECT 1 FROM est p
+            WHERE p.e >= 0.5
+              AND ((p.id_a = d.doc_id AND p.id_b % 3 != 0)
+                OR (p.id_b = d.doc_id AND p.id_a % 3 != 0))
+          )
+    """
     return {
         "dedup_minhash": minhash,
         "dedup_ngram_verified": ngram,
         "dedup_containment": containment,
         "docs_fuzzy_clean_corpus": fuzzy_clean,
         "docs_fuzzy_decontaminated": fuzzy_decon,
+        "docs_incremental_fuzzy_new": fuzzy_delta,
     }
 
 
@@ -3003,6 +3060,56 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT doc_id, source FROM tok
             WHERE source IN (SELECT source FROM ok)
+        """,
+        # positional winnowing: rightmost-min per 4-window over the
+        # 8-word rolling-hash stream; short docs use one window
+        # (engine: textstats.winnowing_fingerprints_batch)
+        "doc_winnowing_fps": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                           '\s+') AS words
+                FROM documents
+                WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+            ),
+            wins AS (
+                SELECT w.doc_id, t.i,
+                       CAST(concat('0x', substr(md5(
+                           array_to_string(w.words[t.i:t.i+7], ' ')
+                       ), 1, 16)) AS UBIGINT) AS h
+                FROM w, LATERAL (
+                    SELECT unnest(range(1, greatest(1, len(w.words) - 7)
+                                          + 1)) AS i
+                ) t
+            ),
+            stats AS (SELECT doc_id, max(i) AS n FROM wins GROUP BY 1),
+            m AS (
+                SELECT doc_id, i AS t,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN 3 PRECEDING
+                                             AND CURRENT ROW) AS mn,
+                       count(*) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS BETWEEN 3 PRECEDING
+                                               AND CURRENT ROW) AS c
+                FROM wins
+            ),
+            win_ok AS (
+                SELECT m.doc_id, m.t, m.mn
+                FROM m JOIN stats USING (doc_id)
+                WHERE m.c = 4 OR (stats.n < 4 AND m.t = stats.n)
+            ),
+            sel AS (
+                SELECT k.doc_id, k.t, max(w2.i) AS j
+                FROM win_ok k JOIN wins w2
+                  ON w2.doc_id = k.doc_id
+                 AND w2.i BETWEEN k.t - 3 AND k.t AND w2.h = k.mn
+                GROUP BY k.doc_id, k.t
+            )
+            SELECT DISTINCT s.doc_id,
+                   lpad(lower(hex(w3.h)), 16, '0') AS fp
+            FROM sel s JOIN wins w3
+              ON w3.doc_id = s.doc_id AND w3.i = s.j
         """,
         # per-user consecutive-pair transition counts, (ts, event_id)
         # ordering (engine: windows.event_transitions)

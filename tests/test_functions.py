@@ -1201,6 +1201,61 @@ def test_hash_split(ray_session):
     assert dict(zip(out2["doc_id"], out2["split"])) == got
 
 
+def test_winnowing_fingerprints():
+    import hashlib as _hl
+
+    from webcollector_ray.functions.textstats import (
+        winnowing_fingerprints_batch,
+    )
+
+    def h64(words):
+        return int.from_bytes(
+            _hl.md5(" ".join(words).encode()).digest()[:8], "big"
+        )
+
+    words = [f"w{i}" for i in range(14)]  # 7 rolling 8-gram hashes
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [" ".join(words), "tiny doc", ""],
+    })
+    out = winnowing_fingerprints_batch(t)
+    # reference winnowing: windows of 4 over the 7 hashes, rightmost min
+    hs = [h64(words[i:i + 8]) for i in range(7)]
+    want = set()
+    for tail in range(3, 7):
+        mn = min(hs[tail - 3:tail + 1])
+        want.add(f"{mn:016x}")
+    got1 = {
+        fp for d, fp in zip(out["doc_id"].to_pylist(),
+                            out["fp"].to_pylist()) if d == 1
+    }
+    assert got1 == want
+    # short doc: one window over its single hash
+    got2 = [
+        fp for d, fp in zip(out["doc_id"].to_pylist(),
+                            out["fp"].to_pylist()) if d == 2
+    ]
+    assert got2 == [f"{h64(['tiny', 'doc']):016x}"]
+    # empty doc contributes nothing
+    assert 3 not in out["doc_id"].to_pylist()
+    # guarantee property: two docs sharing an 11-word run (k+w-1)
+    # share at least one selected fingerprint
+    shared = [f"s{i}" for i in range(11)]
+    t2 = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": [
+            " ".join(["pre1 pre2"] + shared),
+            " ".join(shared + ["post1 post2"]),
+        ],
+    })
+    o2 = winnowing_fingerprints_batch(t2)
+    s10 = {fp for d, fp in zip(o2["doc_id"].to_pylist(),
+                               o2["fp"].to_pylist()) if d == 10}
+    s11 = {fp for d, fp in zip(o2["doc_id"].to_pylist(),
+                               o2["fp"].to_pylist()) if d == 11}
+    assert s10 & s11
+
+
 def test_event_transitions(ray_session):
     import datetime as _dt
 

@@ -549,3 +549,60 @@ def source_quality_gate(ds, *, min_avg_tokens: float,
         return batch.filter(mask).select([id_col, group_col])
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def winnowing_fingerprints_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> pa.Table:
+    """Positional winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003,
+    §4 robust winnowing): over the doc's rolling k-word-window md5-64
+    hashes (same hash stream as rolling_fingerprint), slide a window
+    of w consecutive hashes and select the MINIMUM of each, breaking
+    ties by the RIGHTMOST position; docs with fewer than w hashes use
+    one window over all of them. The distinct selected hashes are the
+    doc's fingerprint set — the MOSS index property: any shared run of
+    >= k+w-1 words between two docs is guaranteed to share a selected
+    fingerprint, which the bottom-k sketch above cannot promise.
+    Map-only; emits (id_col, fp) rows, fp as a 16-hex string so both
+    engines compare it textually."""
+    ids_out: list = []
+    fps_out: list = []
+    for d, t in zip(
+        batch[id_col].to_pylist(), batch[text_col].to_pylist()
+    ):
+        words = (t or "").split()
+        if not words:
+            continue
+        n = max(1, len(words) - k + 1)
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(
+                        " ".join(words[i:i + k]).encode()
+                    ).digest()[:8], "big"
+                )
+                for i in range(n)
+            ),
+            dtype=np.uint64, count=n,
+        )
+        if n <= w:
+            sel = hs[[n - 1 - int(np.argmin(hs[::-1]))]]
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(hs, w)
+            # argmin over the reversed window = rightmost minimum
+            jr = np.argmin(sw[:, ::-1], axis=1)
+            pos = np.arange(w - 1, n) - jr
+            sel = hs[np.unique(pos)]
+        for v in np.unique(sel):
+            ids_out.append(d)
+            fps_out.append(f"{int(v):016x}")
+    return pa.table(
+        {
+            id_col: pa.array(ids_out, pa.int64()),
+            "fp": pa.array(fps_out, pa.string()),
+        }
+    )
