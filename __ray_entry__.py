@@ -1204,6 +1204,31 @@ def _q_crawl_pagerank(sf_dir: str):
     )
 
 
+_HITS_ITERS = 2
+
+
+def _q_crawl_hits(sf_dir: str):
+    """Integer fixed-point HITS (hub/authority) over the same link
+    graph as crawl_pagerank — the complementary link-quality signal
+    (authorities = heavily-cited content, hubs = link directories)."""
+    from webcollector_ray.functions.graph import hits_fixed
+    from webcollector_ray.stages.extract import anchor_rows_batch
+
+    spec = _crawl_spec(sf_dir)
+    pages = synth_pages_table(spec)
+    html_pages = rd.from_arrow(pages.select(["url", "html"]))
+    edges = html_pages.map_batches(
+        lambda b: anchor_rows_batch(b, CRAWL_REGEX).select(
+            ["src_url", "target_url"]
+        ),
+        batch_format="pyarrow",
+    )
+    return hits_fixed(
+        edges, iters=_HITS_ITERS, src_col="src_url",
+        dst_col="target_url", num_buckets=8,
+    )
+
+
 def _q_events_distinct_users_hll(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return approx_distinct_hll(ds, "user_id", p=12)
@@ -1640,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_robots": _q_crawl_robots,
         "crawl_anchor_texts": _q_crawl_anchor_texts,
         "crawl_pagerank": _q_crawl_pagerank,
+        "crawl_hits": _q_crawl_hits,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -2558,6 +2584,89 @@ def _crawl_pagerank_oracle_sql() -> str:
     return sql
 
 
+def _crawl_hits_oracle_sql() -> str:
+    """Integer fixed-point HITS re-derived end to end: same structural
+    edge rebuild as the pagerank oracle, then `_HITS_ITERS` hub/auth
+    half-steps unrolled as chained CTEs. Each half-step is an integer
+    contribution sum over the edge multiset followed by L1
+    normalization `raw * HITS_SCALE // total` — the multiply runs in
+    HUGEINT because raw * 10^9 exceeds int64, mirroring the engine's
+    per-bucket Python big-int normalize (graph.py hits_fixed)."""
+    from webcollector_ray.functions.graph import HITS_SCALE
+
+    u = "'http://site' || site || '.test/"
+    np_ = "(SELECT n_shows FROM params)"
+    nl_ = "(SELECT n_lists FROM params)"
+    sql = rf"""
+        WITH params AS (
+            SELECT greatest(2, (SELECT count(*) FROM documents) // 100)
+                     AS num_sites,
+                   4 AS n_lists, 12 AS n_shows
+        ),
+        sites AS (SELECT unnest(range(0, num_sites)) AS site FROM params),
+        shows AS (
+            SELECT site, unnest(range(0, {np_})) AS j FROM sites
+        ),
+        list_idx AS (
+            SELECT site, unnest(range(0, {nl_})) AS i FROM sites
+        ),
+        edges AS MATERIALIZED (
+            SELECT {u}list-' || i || '.html' AS src,
+                   {u}list-0.html' AS dst FROM list_idx
+            UNION ALL
+            SELECT {u}list-' || (j // ({np_} // {nl_})) || '.html',
+                   {u}show-' || j || '.html' FROM shows
+            UNION ALL
+            SELECT {u}list-' || i || '.html',
+                   {u}list-' || (i + 1) || '.html'
+            FROM list_idx WHERE i + 1 < {nl_}
+            UNION ALL
+            SELECT {u}show-' || j || '.html', {u}list-0.html' FROM shows
+            UNION ALL
+            SELECT {u}show-' || j || '.html',
+                   {u}show-' || ((j + 1) % {np_}) || '.html' FROM shows
+            UNION ALL
+            SELECT {u}show-' || j || '.html',
+                   {u}show-' || ((j + 7) % {np_}) || '.html' FROM shows
+        ),
+        nodes AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+        h0 AS MATERIALIZED (
+            SELECT v,
+                   ({HITS_SCALE} // (SELECT count(*) FROM nodes))::BIGINT
+                     AS s
+            FROM nodes
+        )"""
+    for it in range(1, _HITS_ITERS + 1):
+        for raw_k, src_k, dst_k, prev in (
+            (f"a{it}", "dst", "src", f"h{it - 1}"),   # authority pass
+            (f"h{it}", "src", "dst", f"a{it}"),        # hub pass
+        ):
+            sql += f""",
+        {raw_k}_raw AS MATERIALIZED (
+            SELECT e.{src_k} AS v, sum({prev}.s)::BIGINT AS s
+            FROM edges e JOIN {prev} ON {prev}.v = e.{dst_k}
+            GROUP BY e.{src_k}
+        ),
+        {raw_k}_tot AS MATERIALIZED (
+            SELECT coalesce(sum(s), 0)::HUGEINT AS t FROM {raw_k}_raw
+        ),
+        {raw_k} AS MATERIALIZED (
+            SELECT n.v,
+                   CASE WHEN (SELECT t FROM {raw_k}_tot) > 0
+                        THEN ((coalesce(r.s, 0)::HUGEINT * {HITS_SCALE})
+                              // (SELECT t FROM {raw_k}_tot))::BIGINT
+                        ELSE 0::BIGINT END AS s
+            FROM nodes n LEFT JOIN {raw_k}_raw r ON r.v = n.v
+        )"""
+    sql += f"""
+        SELECT n.v AS url, h.s::BIGINT AS hub_fp, a.s::BIGINT AS auth_fp
+        FROM nodes n
+        JOIN h{_HITS_ITERS} h ON h.v = n.v
+        JOIN a{_HITS_ITERS} a ON a.v = n.v
+    """
+    return sql
+
+
 def _rp_oracle_sql() -> str:
     """JL sign projection re-derived: the sign matrix comes from
     md5('rp-i-j') first-hex-digit parity (same seed string as
@@ -2983,6 +3092,7 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_extract"] = _crawl_extract_oracle_sql()
     out["crawl_anchor_texts"] = _crawl_anchor_texts_oracle_sql()
     out["crawl_pagerank"] = _crawl_pagerank_oracle_sql()
+    out["crawl_hits"] = _crawl_hits_oracle_sql()
     out["embeddings_projected"] = _rp_oracle_sql()
     out.update(_media_oracle_sqls())
     out.update(_sketch_oracle_sqls())

@@ -899,6 +899,41 @@ def test_pagerank_fixed(ray_session):
     assert out["a"] > out["b"] == out["c"]
 
 
+def test_hits_fixed(ray_session):
+    from webcollector_ray.functions.graph import HITS_SCALE, hits_fixed
+
+    # a is the authority (b, c, d all cite it); a is also a hub (-> b, c)
+    edges = pa.table({
+        "src": ["a", "a", "b", "c", "d"],
+        "dst": ["b", "c", "a", "a", "a"],
+    })
+    out = hits_fixed(
+        rd.from_arrow(edges), iters=2, src_col="src", dst_col="dst",
+        num_buckets=4,
+    ).to_pandas().set_index("url")
+    # reference integer model: L1-normalized fixed-point half-steps
+    nodes = ["a", "b", "c", "d"]
+    E = list(zip(edges["src"].to_pylist(), edges["dst"].to_pylist()))
+    h = {v: HITS_SCALE // len(nodes) for v in nodes}
+    a = None
+    for _ in range(2):
+        raw = {v: 0 for v in nodes}
+        for s_, d_ in E:
+            raw[d_] += h[s_]
+        tot = sum(raw.values())
+        a = {v: raw[v] * HITS_SCALE // tot for v in nodes}
+        raw = {v: 0 for v in nodes}
+        for s_, d_ in E:
+            raw[s_] += a[d_]
+        tot = sum(raw.values())
+        h = {v: raw[v] * HITS_SCALE // tot for v in nodes}
+    assert dict(out["hub_fp"]) == h
+    assert dict(out["auth_fp"]) == a
+    # structure: a dominates authority; d (pure hub, never cited) has 0
+    assert out["auth_fp"]["a"] > out["auth_fp"]["b"]
+    assert out["auth_fp"]["d"] == 0
+
+
 def test_packed_sequences_rejects_overlapping_blocks(ray_session):
     import ray as _ray
     import ray.data as _rd
