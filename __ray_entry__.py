@@ -1282,6 +1282,68 @@ def _q_vocab_top_words(sf_dir: str):
     return vocab_top_words(ds, text_col="text", n=200)
 
 
+def _q_vocab_mg_top_words(sf_dir: str):
+    """Misra-Gries mergeable heavy hitters — the bounded-state scale
+    path beside the exact vocab_top_words (counts exact here because
+    the corpus vocabulary << capacity, so the oracle hash pins it)."""
+    from webcollector_ray.functions.sketches import mg_top_words
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return mg_top_words(ds, text_col="text", n=50, capacity=4096)
+
+
+_BM25_TERMS = ("table", "query", "join")
+
+
+def _q_docs_bm25(sf_dir: str):
+    """BM25 relevance of every doc against a fixed query (libm-free
+    linear-idf variant; see textstats.bm25_scores)."""
+    from webcollector_ray.functions.textstats import bm25_scores
+
+    return bm25_scores(_docs(sf_dir), query_terms=_BM25_TERMS)
+
+
+def _q_docs_pmi_bigrams(sf_dir: str):
+    """Top-200 collocations by linear PMI over adjacent token pairs
+    (min bigram count 5)."""
+    from webcollector_ray.functions.textstats import pmi_bigrams
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pmi_bigrams(ds, text_col="text", min_count=5, top_n=200)
+
+
+def _q_events_next_order(sf_dir: str):
+    """FORWARD as-of join: each event matched to the user's next order
+    at or after the event time (the look-ahead dual of
+    events_orders_asof); ties on same-date orders resolve to the MIN
+    o_orderkey — pandas merge_asof forward keeps the first row among
+    equals in (right_on, tie) ascending order, which the oracle
+    mirrors with min()."""
+    from webcollector_ray.functions.joins import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    joined = asof_join(
+        ev, orders,
+        by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="o_orderdate",
+        right_tie_cols=["o_orderkey"],
+        direction="forward",
+    ).to_pandas()
+    # float64, not Int64: the forward join HAS unmatched rows (events
+    # after a user's last order), and BIGINT-with-NULLs comes back
+    # from the oracle as float64 — pin both sides to the same dtype
+    joined["o_orderkey"] = joined["o_orderkey"].astype("float64")
+    return joined[["event_id", "o_orderkey"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
 def _q_docs_stratified_sample(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "doc_id"]
@@ -1666,6 +1728,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_anchor_texts": _q_crawl_anchor_texts,
         "crawl_pagerank": _q_crawl_pagerank,
         "crawl_hits": _q_crawl_hits,
+        "docs_bm25": _q_docs_bm25,
+        "docs_pmi_bigrams": _q_docs_pmi_bigrams,
+        "vocab_mg_top_words": _q_vocab_mg_top_words,
+        "events_next_order": _q_events_next_order,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -3064,9 +3130,117 @@ def _sketch_oracle_sqls() -> dict[str, str]:
     }
 
 
+_WORDS_EXPR = (
+    f"CASE WHEN {_TRIM} = '' THEN []::VARCHAR[] "
+    f"ELSE regexp_split_to_array(lower({_TRIM}), '\\s+') END"
+)
+
+
+def _docs_bm25_oracle_sql() -> str:
+    """BM25 re-derived with the engine's exact expression tree
+    (textstats.bm25_scores): linear idf ((N-df)+0.5)/(df+0.5), per-term
+    contribution idf * (tf * (1.2+1.0)) / (tf + (1.2 * ((1.0-0.75) +
+    (0.75 * (dl/avgdl))))), summed left-to-right in _BM25_TERMS order —
+    mul/div/add only, so doubles hash-match."""
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(words, '{t}') THEN 1 ELSE 0 END)"
+        f"::BIGINT AS df{j}"
+        for j, t in enumerate(_BM25_TERMS)
+    )
+    idfs = ", ".join(
+        f"(((SELECT n FROM stats) - df{j})::DOUBLE + 0.5)"
+        f" / (df{j}::DOUBLE + 0.5) AS idf{j}"
+        for j in range(len(_BM25_TERMS))
+    )
+    tfs = ", ".join(
+        f"len(list_filter(words, x -> x = '{t}'))::DOUBLE AS tf{j}"
+        for j, t in enumerate(_BM25_TERMS)
+    )
+    contribs = " + ".join(
+        f"(SELECT idf{j} FROM consts) * (tf{j} * (1.2 + 1.0))"
+        f" / (tf{j} + (1.2 * ((1.0 - 0.75)"
+        f" + (0.75 * (len(words)::DOUBLE"
+        f" / (SELECT avgdl FROM consts))))))"
+        for j in range(len(_BM25_TERMS))
+    )
+    return f"""
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id, {_WORDS_EXPR} AS words FROM documents
+        ),
+        stats AS MATERIALIZED (
+            SELECT count(*)::BIGINT AS n,
+                   sum(len(words))::BIGINT AS toks
+            FROM docs
+        ),
+        dfs AS MATERIALIZED (SELECT {dfs} FROM docs),
+        consts AS MATERIALIZED (
+            SELECT ((SELECT toks FROM stats)::DOUBLE
+                    / (SELECT n FROM stats)::DOUBLE) AS avgdl,
+                   {idfs}
+            FROM dfs
+        ),
+        tf AS (SELECT doc_id, words, {tfs} FROM docs)
+        SELECT doc_id, len(words)::BIGINT AS n_tokens,
+               {contribs} AS score
+        FROM tf
+    """
+
+
+def _docs_pmi_oracle_sql() -> str:
+    """Linear-PMI collocations: bigrams via zipped unnest positions +
+    a self-join on i+1; score (c::DOUBLE * T) / (c1::DOUBLE * c2)
+    mirrors the numpy tree; top-200 by (score DESC, bigram ASC)."""
+    return f"""
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id, {_WORDS_EXPR} AS words FROM documents
+        ),
+        wpos AS MATERIALIZED (
+            SELECT doc_id, unnest(words) AS w,
+                   unnest(range(1, len(words) + 1)) AS i
+            FROM docs
+        ),
+        bc AS MATERIALIZED (
+            SELECT a.w || ' ' || b.w AS bigram, a.w AS w1, b.w AS w2,
+                   count(*)::BIGINT AS c
+            FROM wpos a JOIN wpos b
+              ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            GROUP BY 1, 2, 3
+        ),
+        uc AS MATERIALIZED (
+            SELECT w AS word, count(*)::BIGINT AS n FROM wpos GROUP BY w
+        ),
+        tot AS (SELECT sum(c)::BIGINT AS t FROM bc),
+        scored AS (
+            SELECT bigram, c, u1.n AS c1, u2.n AS c2,
+                   (c::DOUBLE * (SELECT t FROM tot)::DOUBLE)
+                       / (u1.n::DOUBLE * u2.n::DOUBLE) AS score
+            FROM bc
+            JOIN uc u1 ON u1.word = bc.w1
+            JOIN uc u2 ON u2.word = bc.w2
+            WHERE c >= 5
+        )
+        SELECT bigram, c, c1, c2, score FROM scored
+        ORDER BY score DESC, bigram ASC LIMIT 200
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_static()
     out["lang_id_counts"] = _lang_id_oracle_sql()
+    out["docs_bm25"] = _docs_bm25_oracle_sql()
+    out["docs_pmi_bigrams"] = _docs_pmi_oracle_sql()
+    out["vocab_mg_top_words"] = r"""
+        WITH words AS (
+            SELECT unnest(regexp_split_to_array(
+                lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                '\s+')) AS word
+            FROM documents
+            WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ), c AS (
+            SELECT word, count(*)::BIGINT AS n FROM words GROUP BY word
+        )
+        SELECT word, n FROM c ORDER BY n DESC, word ASC LIMIT 50
+    """
     out.update(_minhash_oracle_sqls())
     out["docs_dup_spans"] = _dup_spans_oracle_sql()
     # per-host census over the same closed-form BFS frontier
@@ -3565,6 +3739,18 @@ def _oracle_sql_static() -> dict[str, str]:
                        )) AS k
                 FROM events
             ) GROUP BY user_id, k
+        """,
+        # forward as-of: pandas merge_asof keeps the FIRST row among
+        # equal right_on values in (right_on, tie) ascending order ->
+        # min(o_orderkey) pre-reduce
+        "events_next_order": """
+            WITH o AS (
+                SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, o.o_orderkey::DOUBLE AS o_orderkey
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
         """,
         "events_orders_asof": """
             WITH o AS (

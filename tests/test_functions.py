@@ -1449,3 +1449,85 @@ def test_source_quality_gate(ray_session):
     ds2 = source_quality_gate(rd.from_arrow(t), min_avg_tokens=100.0)
     assert ds2.schema().names == ["doc_id", "source"]
     assert ds2.count() == 0
+
+
+def test_bm25_scores(ray_session):
+    from webcollector_ray.functions.textstats import bm25_scores
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["cat dog cat", "dog dog dog fish", ""],
+    })
+    out = (
+        bm25_scores(rd.from_arrow(t), query_terms=("cat", "fish"))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out["n_tokens"].tolist() == [3, 4, 0]
+    # hand model: N=3, toks=7, avgdl=7/3; df(cat)=1, df(fish)=1
+    avgdl = 7.0 / 3.0
+    idf = ((3 - 1) + 0.5) / (1 + 0.5)
+    k1, b = 1.2, 0.75
+
+    def term(tf, dl):
+        return idf * (tf * (k1 + 1.0)) / (
+            tf + (k1 * ((1.0 - b) + b * (dl / avgdl)))
+        )
+
+    assert out.loc[1, "score"] == term(2.0, 3.0) + term(0.0, 3.0)
+    assert out.loc[2, "score"] == term(0.0, 4.0) + term(1.0, 4.0)
+    assert out.loc[3, "score"] == 0.0
+
+
+def test_pmi_bigrams(ray_session):
+    from webcollector_ray.functions.textstats import pmi_bigrams
+
+    # "a b" x6 in one doc, "a c" x5 across docs, "c c" x4 (below min)
+    docs = ["a b " * 6, "a c " * 5 + "x", "c c " * 4 + "y"]
+    t = pa.table({"doc_id": [1, 2, 3], "text": docs})
+    out = (
+        pmi_bigrams(rd.from_arrow(t), min_count=5, top_n=10)
+        .to_pandas().set_index("bigram")
+    )
+    # bigrams in doc1: a b (x6), b a (x5); doc2: a c(5), c a(4), c x(1);
+    # doc3: c c(7), c y(1)  -> total T = 29
+    assert "c c" in out.index and out.loc["c c", "c"] == 7
+    assert out.loc["a b", "c"] == 6 and out.loc["b a", "c"] == 5
+    assert "c a" not in out.index  # below min_count
+    T = 29.0  # 11 + 10 + 8 bigram occurrences across the three docs
+    row = out.loc["a b"]
+    assert row["score"] == (6.0 * T) / (float(row["c1"]) * float(row["c2"]))
+
+
+def test_mg_top_words_eviction(ray_session):
+    from webcollector_ray.functions.sketches import mg_top_words
+
+    # 10 distinct words, capacity 4: eviction must fire, the heavy
+    # hitter must survive, and undercount is bounded by T/(cap+1)
+    words = ["hot"] * 60 + [f"w{i}" for i in range(9) for _ in range(3)]
+    text = " ".join(words)
+    t = pa.table({"doc_id": [1], "text": [text]})
+    out = (
+        mg_top_words(rd.from_arrow(t), n=5, capacity=4)
+        .to_pandas().set_index("word")["n"]
+    )
+    assert len(out) <= 4
+    assert "hot" in out.index
+    total = len(words)
+    assert 0 < out["hot"] <= 60
+    assert 60 - out["hot"] <= total / (4 + 1)
+
+
+def test_mg_top_words_exact_when_small(ray_session):
+    from webcollector_ray.functions.sketches import mg_top_words
+
+    t = pa.table({
+        "doc_id": [1, 2],
+        "text": ["a a a b b c", "b c c d"],
+    })
+    out = (
+        mg_top_words(rd.from_arrow(t), n=3, capacity=100)
+        .to_pandas()
+    )
+    assert list(map(tuple, out.to_records(index=False))) == [
+        ("a", 3), ("b", 3), ("c", 3),
+    ]

@@ -500,3 +500,75 @@ def hash_split(ds, *, id_col: str = "doc_id",
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- Misra-Gries
+
+def mg_top_words(ds, *, text_col: str = "text", n: int = 50,
+                 capacity: int = 4096, num_buckets: int = 32):
+    """Misra-Gries heavy hitters over corpus words — the BOUNDED-STATE
+    scale path for vocab_top_words (quantiles_sketch_by_key precedent:
+    exact operator + mergeable sketch side by side).
+
+    Each batch keeps at most `capacity` counters (on overflow, the
+    (capacity+1)-th largest count is subtracted from all and <=0
+    counters drop — the classic MG decrement); the per-batch summaries
+    merge in ONE task by counter addition followed by the same
+    decrement (Agarwal et al. 2013 mergeable-summaries merge). State
+    is O(capacity) per task no matter the vocabulary size; every true
+    count is undercounted by at most total_tokens/(capacity+1), and
+    when the corpus vocabulary fits in `capacity` (our synthetic
+    corpus: ~60 words << 4096) nothing ever decrements, so the counts
+    — and the DuckDB oracle hash — are EXACT.
+
+    Output: top-n (word, n), ties word-ascending (vocab_top_words
+    schema, so the two scale paths are drop-in interchangeable)."""
+    from collections import Counter
+
+    from .joins import exchange_reduce
+
+    def mg_trim(c: Counter, cap: int) -> Counter:
+        if len(c) <= cap:
+            return c
+        dec = sorted(c.values(), reverse=True)[cap]
+        return Counter({w: v - dec for w, v in c.items() if v > dec})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            if t:
+                c.update(t.lower().split())
+        c = mg_trim(c, capacity)
+        words = list(c.keys())
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], pa.int64()),
+                "__bucket": pa.array(
+                    np.zeros(len(words), dtype=np.int32)
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.select(["word", "n"]).to_pandas()
+        g = df.groupby("word", sort=False)["n"].sum()
+        c = mg_trim(Counter(g.to_dict()), capacity)
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+        return pa.table(
+            {
+                "word": pa.array([w for w, _ in top], pa.string()),
+                "n": pa.array([v for _, v in top], pa.int64()),
+            }
+        )
+
+    # single-bucket exchange = one off-driver merge task over the
+    # bounded capacity x num_blocks summary rows
+    return exchange_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge, empty, num_buckets=1,
+    )

@@ -606,3 +606,202 @@ def winnowing_fingerprints_batch(
             "fp": pa.array(fps_out, pa.string()),
         }
     )
+
+
+# ------------------------------------------------------------------- bm25
+
+
+def bm25_scores(
+    ds,
+    *,
+    query_terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 relevance of every document against a fixed query-term
+    tuple (Robertson & Walker 1994) — the standard lexical-relevance
+    feature for retrieval-augmented corpus curation.
+
+    Two passes over the input: (1) corpus statistics — doc count,
+    token count and per-term document frequency — reduced from one
+    len(terms)+2-int64 row per block (a Sum aggregate; state is
+    bounded by #terms regardless of corpus size); (2) map-only
+    scoring, embarrassingly parallel.
+
+    Floats follow the repo's libm-free convention (tfidf_top_terms
+    precedent): idf is the LINEAR variant ((N - df) + 0.5) /
+    (df + 0.5) — no log — and the whole per-term expression
+        idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl/avgdl)))
+    is mul/div/add only, evaluated in the same tree shape as the SQL
+    oracle, so the double value-hash is cross-engine exact. The
+    ranking is order-equivalent to Robertson idf for df < N/2.
+    """
+    from ray.data.aggregate import Sum
+
+    terms = tuple(query_terms)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = [
+            (t or "").lower().split() for t in batch[text_col].to_pylist()
+        ]
+        row = {
+            "__docs": [len(toks)],
+            "__toks": [sum(len(w) for w in toks)],
+        }
+        for j, q in enumerate(terms):
+            row[f"__df{j}"] = [sum(1 for w in toks if q in w)]
+        return pa.table(row)
+
+    aggs = [Sum("__docs", alias_name="docs"), Sum("__toks", alias_name="toks")]
+    aggs += [Sum(f"__df{j}", alias_name=f"df{j}") for j in range(len(terms))]
+    stats = ds.map_batches(partials, batch_format="pyarrow").aggregate(*aggs)
+    n_docs = int(stats["docs"] or 0)
+    # float()-then-divide (not int/int) so the value equals the SQL
+    # toks::DOUBLE / n::DOUBLE even past 2^53 tokens
+    avgdl = float(stats["toks"] or 0) / float(max(1, n_docs))
+    idfs = tuple(
+        ((n_docs - int(stats[f"df{j}"] or 0)) + 0.5)
+        / (int(stats[f"df{j}"] or 0) + 0.5)
+        for j in range(len(terms))
+    )
+    k1p1 = k1 + 1.0
+    b1 = 1.0 - b
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks = [
+            (t or "").lower().split() for t in batch[text_col].to_pylist()
+        ]
+        dl = np.array([len(w) for w in toks], dtype=np.float64)
+        dlt = k1 * (b1 + b * (dl / avgdl))
+        s = np.zeros(len(toks), dtype=np.float64)
+        for j, q in enumerate(terms):
+            tf = np.array([w.count(q) for w in toks], dtype=np.float64)
+            s = s + idfs[j] * (tf * k1p1) / (tf + dlt)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(dl.astype(np.int64)),
+                "score": pa.array(s),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------- pmi
+
+
+def pmi_bigrams(
+    ds,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 200,
+    num_buckets: int = 32,
+):
+    """Top collocations by pointwise mutual information over adjacent
+    token pairs — the classic phrase-mining signal (word2vec phrase
+    pass, Mikolov et al. 2013).
+
+    Distribution shape: per-batch bigram Counters -> ONE bigram-hash
+    bucket exchange (each bigram's partials sum in one task); unigram
+    counts ride the existing word_counts exchange; the two frequency
+    attachments are bucketed hash_joins on w1 then w2 (never a
+    broadcast of the unbounded vocabulary); the bigram total is a
+    bounded Sum. Final ranking is global_top_n (local top per block +
+    one tiny reduce), so nothing ever sorts the full bigram table.
+
+    Score is the libm-free LINEAR PMI variant (monotone in PMI):
+        (c * T) / (c1 * c2)
+    with every mul/div mirrored by the oracle's expression tree —
+    cross-engine exact doubles (tfidf precedent).
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .joins import exchange_reduce, hash_join
+    from .ranking import global_top_n
+    from .sketches import word_counts
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            words = (t or "").lower().split()
+            c.update(zip(words, words[1:]))
+        pairs = list(c.keys())
+        bigrams = [f"{a} {b_}" for a, b_ in pairs]
+        bk = (
+            pd.util.hash_array(
+                np.asarray(bigrams, dtype=object), categorize=False
+            ) % np.uint64(num_buckets)
+        ).astype(np.int32) if bigrams else np.zeros(0, dtype=np.int32)
+        return pa.table(
+            {
+                "bigram": pa.array(bigrams, pa.string()),
+                "w1": pa.array([p[0] for p in pairs], pa.string()),
+                "w2": pa.array([p[1] for p in pairs], pa.string()),
+                "c": pa.array([c[p] for p in pairs], pa.int64()),
+                "__bucket": pa.array(bk),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "bigram": pa.array([], pa.string()),
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_sum(t: pa.Table) -> pa.Table:
+        df = t.select(["bigram", "w1", "w2", "c"]).to_pandas()
+        g = df.groupby(["bigram", "w1", "w2"], sort=False, as_index=False)[
+            "c"
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    bc = exchange_reduce(
+        ds.map_batches(bigram_partial, batch_format="pyarrow"),
+        bucket_sum, empty, num_buckets,
+    ).materialize()
+    total = int(bc.aggregate(Sum("c", alias_name="t"))["t"] or 0)
+
+    uni = word_counts(ds, text_col=text_col, num_buckets=num_buckets)
+    u1 = uni.map_batches(
+        lambda t: pa.table({"w1": t["word"], "c1": t["n"]}),
+        batch_format="pyarrow",
+    )
+    u2 = uni.map_batches(
+        lambda t: pa.table({"w2": t["word"], "c2": t["n"]}),
+        batch_format="pyarrow",
+    )
+    j = hash_join(bc, u1, on="w1", num_buckets=num_buckets)
+    j = hash_join(j, u2, on="w2", num_buckets=num_buckets)
+    tot_f = float(total)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            sel = batch.select(["bigram", "c", "c1", "c2"])
+            return sel.append_column("score", pa.array([], pa.float64()))
+        keep = pc.greater_equal(batch["c"], min_count)
+        t = batch.filter(keep)
+        c = t["c"].to_numpy().astype(np.float64)
+        c1 = t["c1"].to_numpy().astype(np.float64)
+        c2 = t["c2"].to_numpy().astype(np.float64)
+        s = (c * tot_f) / (c1 * c2)
+        return pa.table(
+            {
+                "bigram": t["bigram"],
+                "c": t["c"],
+                "c1": t["c1"],
+                "c2": t["c2"],
+                "score": pa.array(s),
+            }
+        )
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+    return global_top_n(scored, order_col="score", n=top_n, tie_col="bigram")
