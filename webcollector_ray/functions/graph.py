@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 SCALE = 10**12
 
@@ -236,17 +237,23 @@ def hits_fixed(
     Exactness contract (pagerank_fixed precedent): scores live as
     int64 units of HITS_SCALE; each half-iteration is an integer
     contribution sum followed by L1 normalization
-    ``score * SCALE // total`` — the one multiply that can exceed
-    int64 runs in Python big-ints per bucket (node-count-bounded), so
-    the fixpoint equals the SQL oracle bit-for-bit in any block order.
+    ``score * SCALE // total`` — when ``raw * SCALE`` could exceed
+    int64 the normalize falls back to Python big-ints per bucket
+    (node-count-bounded), so the fixpoint equals the SQL oracle
+    bit-for-bit in any block order.
 
-    Distribution shape per iteration: authority pass = one src-keyed
-    exchange (edges co-located with hub scores, emitting (dst, h))
-    into one dst-keyed summing exchange; hub pass mirrors it via the
-    dst-bucketed edge copy; each normalization total is a bounded
-    #buckets-partial aggregate. Score state never collects on the
-    driver beyond that scalar."""
-    from ray.data.aggregate import Sum
+    Distribution shape: every block set here — nodes, the two edge
+    copies, and every score vector — is partitioned by the SAME node
+    hash, so all score joins are bucket-ALIGNED zips (task b reads
+    edge block b + score block b; no union, no re-shuffle of the score
+    side). Each half-iteration is exactly three raw task waves:
+    (1) per-bucket merge of scores onto the co-bucketed edges,
+    emitting contributions split by the emit node's hash; (2)
+    per-bucket contribution sum onto the node markers (returns the
+    raw vector + a per-bucket subtotal — the driver folds only
+    #buckets ints into the global L1 total); (3) map-only normalize.
+    Score state never collects on the driver beyond that scalar."""
+    import ray.data as rd
 
     from .joins import exchange_reduce
 
@@ -255,8 +262,6 @@ def hits_fixed(
             "__bucket",
             pa.array(_tag_by(batch[key].to_pylist(), num_buckets)),
         )
-
-    ident = lambda t: t  # noqa: E731 — exchange as a pure re-bucketer
 
     e_empty = pa.table(
         {src_col: pa.array([], pa.string()),
@@ -268,14 +273,18 @@ def hits_fixed(
             batch_format="pyarrow",
         ),
         lambda t: t.select([src_col, dst_col]), e_empty, num_buckets,
-    ).materialize()
-    edges_dst = exchange_reduce(
-        edges_ds.map_batches(
-            lambda b: tag(b.select([src_col, dst_col]), dst_col),
-            batch_format="pyarrow",
-        ),
-        lambda t: t.select([src_col, dst_col]), e_empty, num_buckets,
-    ).materialize()
+    )
+    es_refs = list(edges_src.to_arrow_refs())
+    # dst-bucketed copy derives from the already-exchanged src copy —
+    # the (possibly expensive) edges_ds lineage runs exactly once
+    ed_refs = list(
+        exchange_reduce(
+            rd.from_arrow_refs(list(es_refs)).map_batches(
+                lambda b: tag(b, dst_col), batch_format="pyarrow",
+            ),
+            lambda t: t.select([src_col, dst_col]), e_empty, num_buckets,
+        ).to_arrow_refs()
+    )
 
     def node_rows(batch: pa.Table) -> pa.Table:
         vs = list(
@@ -289,156 +298,154 @@ def hits_fixed(
         )
 
     nodes_empty = pa.table({"url": pa.array([], pa.string())})
-    nodes = exchange_reduce(
-        edges_src.map_batches(node_rows, batch_format="pyarrow"),
-        lambda t: pa.table(
-            {"url": pa.array(sorted(set(t["url"].to_pylist())), pa.string())}
-        ),
-        nodes_empty, num_buckets,
-    ).materialize()
-    n_nodes = nodes.count()
+    node_refs = list(
+        exchange_reduce(
+            rd.from_arrow_refs(list(es_refs)).map_batches(
+                node_rows, batch_format="pyarrow"
+            ),
+            lambda t: pa.table(
+                {"url": pa.array(
+                    sorted(set(t["url"].to_pylist())), pa.string()
+                )}
+            ),
+            nodes_empty, num_buckets,
+        ).to_arrow_refs()
+    )
+    import ray as _ray
+
+    n_nodes = sum(
+        _ray.get([_hits_block_len.remote(r) for r in node_refs])
+    )
     s0 = HITS_SCALE // max(1, n_nodes)
 
-    def init_scores(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"url": batch["url"],
-             "s": pa.array(np.full(len(batch), s0, dtype=np.int64))}
-        )
+    score_refs = [
+        _hits_init_scores.remote(r, s0) for r in node_refs
+    ]
 
-    hub = nodes.map_batches(init_scores, batch_format="pyarrow")
-
-    c_empty = pa.table(
-        {"v": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
-    )
-    s_empty = pa.table(
-        {"url": pa.array([], pa.string()), "s": pa.array([], pa.int64())}
-    )
-
-    def _half(edges_k, scores, join_key: str, emit_key: str):
-        """One HITS half-step: join scores (on join_key) to the
-        co-bucketed edge copy, emit (emit_key's node, score) rows,
-        sum per node over the node markers, L1-normalize."""
-        cols = [src_col, dst_col, "s"]
-        types = {src_col: pa.string(), dst_col: pa.string(),
-                 "s": pa.int64()}
-
-        def pad(batch: pa.Table, key: str) -> pa.Table:
-            n = len(batch)
-            out = pa.table(
-                {c: (batch[c] if c in batch.column_names
-                     else pa.nulls(n, types[c])) for c in cols}
+    def half(edge_refs, scores, join_col, emit_col):
+        parts = [
+            _hits_zip_contrib.options(num_returns=num_buckets).remote(
+                num_buckets, join_col, emit_col, e, s
             )
-            return out.append_column(
-                "__bucket",
-                pa.array(_tag_by(out[key].to_pylist(), num_buckets)),
-            )
+            for e, s in zip(edge_refs, scores)
+        ]
+        if num_buckets == 1:
+            parts = [[p] for p in parts]
+        raw_sub = [
+            _hits_sum_raw.remote(node_refs[b], *[p[b] for p in parts])
+            for b in range(num_buckets)
+        ]
+        total = sum(_ray.get([rs[1] for rs in raw_sub]))
+        return [
+            _hits_norm.remote(node_refs[b], raw_sub[b][0], total)
+            for b in range(num_buckets)
+        ]
 
-        def score_as_key(batch: pa.Table) -> pa.Table:
-            b = pa.table({join_key: batch["url"], "s": batch["s"]})
-            return pad(b, join_key)
-
-        def gather(t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            e = df[df[emit_key].notna() if emit_key != join_key
-                   else df["s"].isna()]
-            e = e[[src_col, dst_col]][df["s"].isna()] \
-                if emit_key == join_key else e[[src_col, dst_col]]
-            r = df[df["s"].notna()][[join_key, "s"]]
-            if not len(e) or not len(r):
-                return c_empty
-            m = e.merge(r, on=join_key)
-            return pa.table(
-                {"v": pa.array(m[emit_key].tolist(), pa.string()),
-                 "c": pa.array(m["s"].to_numpy(np.int64))}
-            )
-
-        joined = edges_k.map_batches(
-            lambda b: pad(b, join_key), batch_format="pyarrow"
-        ).union(scores.map_batches(score_as_key, batch_format="pyarrow"))
-        contrib = exchange_reduce(joined, gather, c_empty, num_buckets)
-
-        total = contrib.aggregate(Sum("c", alias_name="t"))["t"] or 0
-
-        u_cols = ["url", "v", "c"]
-        u_types = {"url": pa.string(), "v": pa.string(), "c": pa.int64()}
-
-        def upad(batch: pa.Table, key: str) -> pa.Table:
-            n = len(batch)
-            out = pa.table(
-                {c: (batch[c] if c in batch.column_names
-                     else pa.nulls(n, u_types[c])) for c in u_cols}
-            )
-            return out.append_column(
-                "__bucket",
-                pa.array(_tag_by(out[key].to_pylist(), num_buckets)),
-            )
-
-        def norm(t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            marks = df[df["url"].notna()][["url"]]
-            cs = df[df["url"].isna()][["v", "c"]]
-            s = (cs.groupby("v", sort=False)["c"].sum().astype("int64")
-                 if len(cs) else pd.Series(dtype="int64"))
-            raw = marks["url"].map(s).fillna(0).astype("int64").tolist()
-            # big-int normalize: raw * SCALE can exceed int64
-            vals = (
-                [int(x) * HITS_SCALE // int(total) for x in raw]
-                if total > 0 else [0] * len(raw)
-            )
-            return pa.table(
-                {"url": pa.array(marks["url"].tolist(), pa.string()),
-                 "s": pa.array(np.array(vals, dtype=np.int64))}
-            )
-
-        j2 = nodes.map_batches(
-            lambda b: upad(b, "url"), batch_format="pyarrow"
-        ).union(contrib.map_batches(
-            lambda b: upad(b, "v"), batch_format="pyarrow"
-        ))
-        return exchange_reduce(j2, norm, s_empty, num_buckets)
-
-    auth = None
+    hub, auth = score_refs, None
     for _ in range(iters):
-        auth = _half(edges_src, hub, src_col, dst_col)
-        hub = _half(edges_dst, auth, dst_col, src_col)
+        auth = half(es_refs, hub, src_col, dst_col)
+        hub = half(ed_refs, auth, dst_col, src_col)
 
-    # zip hub and auth per url through one url-keyed exchange
-    z_cols = ["url", "hub_fp", "auth_fp"]
-    z_types = {c: (pa.string() if c == "url" else pa.int64())
-               for c in z_cols}
+    out_refs = [
+        _hits_zip_out.remote(node_refs[b], hub[b], auth[b])
+        for b in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(out_refs)
 
-    def zpad(batch: pa.Table, which: str) -> pa.Table:
-        n = len(batch)
-        b = pa.table({"url": batch["url"], which: batch["s"]})
-        out = pa.table(
-            {c: (b[c] if c in b.column_names else pa.nulls(n, z_types[c]))
-             for c in z_cols}
-        )
-        return out.append_column(
-            "__bucket",
-            pa.array(_tag_by(out["url"].to_pylist(), num_buckets)),
-        )
 
-    z_empty = pa.table(
-        {"url": pa.array([], pa.string()),
-         "hub_fp": pa.array([], pa.int64()),
-         "auth_fp": pa.array([], pa.int64())}
+@ray.remote
+def _hits_block_len(t: pa.Table) -> int:
+    return len(t)
+
+
+@ray.remote
+def _hits_init_scores(nodes_block: pa.Table, s0: int) -> pa.Table:
+    return pa.table(
+        {"url": nodes_block["url"],
+         "s": pa.array(np.full(len(nodes_block), s0, dtype=np.int64))}
     )
 
-    def zip_scores(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        h = df[df["hub_fp"].notna()][["url", "hub_fp"]]
-        a = df[df["auth_fp"].notna()][["url", "auth_fp"]]
-        m = h.merge(a, on="url")
-        return pa.table(
-            {"url": pa.array(m["url"].tolist(), pa.string()),
-             "hub_fp": pa.array(m["hub_fp"].to_numpy(np.int64)),
-             "auth_fp": pa.array(m["auth_fp"].to_numpy(np.int64))}
-        )
 
-    both = hub.map_batches(
-        lambda b: zpad(b, "hub_fp"), batch_format="pyarrow"
-    ).union(auth.map_batches(
-        lambda b: zpad(b, "auth_fp"), batch_format="pyarrow"
-    ))
-    return exchange_reduce(both, zip_scores, z_empty, num_buckets)
+@ray.remote
+def _hits_zip_contrib(
+    num_buckets: int, join_col: str, emit_col: str,
+    edges_block, scores_block,
+):
+    """Bucket-aligned zip: scores merge onto the co-bucketed edges by
+    `join_col`; contributions (emit node, score) split by the emit
+    node's hash for the summing wave."""
+    empty = [None] * num_buckets
+    if (
+        edges_block is None or scores_block is None
+        or len(edges_block) == 0 or len(scores_block) == 0
+    ):
+        return empty[0] if num_buckets == 1 else tuple(empty)
+    e = edges_block.select([join_col, emit_col]).to_pandas()
+    r = scores_block.to_pandas().rename(columns={"url": join_col})
+    m = e.merge(r, on=join_col)
+    vs = m[emit_col].tolist()
+    t = pa.table(
+        {
+            "v": pa.array(vs, pa.string()),
+            "c": pa.array(m["s"].to_numpy(np.int64)),
+            "__bucket": pa.array(_tag_by(vs, num_buckets)),
+        }
+    )
+    b = t["__bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
+    shuffled = t.take(pa.array(order))
+    out = []
+    for i in range(num_buckets):
+        lo, hi = bounds[i], bounds[i + 1]
+        out.append(shuffled.slice(lo, hi - lo) if hi > lo else None)
+    return out[0] if num_buckets == 1 else tuple(out)
+
+
+@ray.remote(num_returns=2)
+def _hits_sum_raw(nodes_block: pa.Table, *parts):
+    """Sum contributions per node over the node markers; returns the
+    raw int64 vector (aligned to nodes_block row order) and this
+    bucket's subtotal — the driver folds only #buckets subtotals."""
+    urls = nodes_block["url"].to_pandas()
+    tabs = [t for t in parts if t is not None and len(t)]
+    if not tabs:
+        z = np.zeros(len(urls), dtype=np.int64)
+        return z, 0
+    cat = pa.concat_tables(tabs).to_pandas()
+    s = cat.groupby("v", sort=False)["c"].sum().astype("int64")
+    raw = urls.map(s).fillna(0).astype("int64").to_numpy()
+    return raw, int(raw.sum(dtype=np.int64))
+
+
+@ray.remote
+def _hits_norm(nodes_block: pa.Table, raw, total: int) -> pa.Table:
+    """L1 normalize: s = raw * HITS_SCALE // total. Vectorized int64
+    when the multiply provably fits; per-bucket Python big-int
+    fallback otherwise (exact either way)."""
+    if total <= 0:
+        vals = np.zeros(len(raw), dtype=np.int64)
+    elif len(raw) and int(raw.max()) <= (2**63 - 1) // HITS_SCALE:
+        vals = (raw * np.int64(HITS_SCALE)) // np.int64(total)
+    else:
+        vals = np.array(
+            [int(x) * HITS_SCALE // total for x in raw], dtype=np.int64
+        )
+    return pa.table(
+        {"url": nodes_block["url"], "s": pa.array(vals, pa.int64())}
+    )
+
+
+@ray.remote
+def _hits_zip_out(
+    nodes_block: pa.Table, hub_block: pa.Table, auth_block: pa.Table
+) -> pa.Table:
+    """hub and auth vectors are node-aligned by construction — the
+    final zip is a column concat, no join."""
+    return pa.table(
+        {
+            "url": nodes_block["url"],
+            "hub_fp": hub_block["s"],
+            "auth_fp": auth_block["s"],
+        }
+    )

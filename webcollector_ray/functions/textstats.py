@@ -691,8 +691,6 @@ def bm25_scores(
 
 
 # ------------------------------------------------------------------- pmi
-
-
 def pmi_bigrams(
     ds,
     *,
@@ -705,13 +703,17 @@ def pmi_bigrams(
     token pairs — the classic phrase-mining signal (word2vec phrase
     pass, Mikolov et al. 2013).
 
-    Distribution shape: per-batch bigram Counters -> ONE bigram-hash
-    bucket exchange (each bigram's partials sum in one task); unigram
-    counts ride the existing word_counts exchange; the two frequency
-    attachments are bucketed hash_joins on w1 then w2 (never a
-    broadcast of the unbounded vocabulary); the bigram total is a
-    bounded Sum. Final ranking is global_top_n (local top per block +
-    one tiny reduce), so nothing ever sorts the full bigram table.
+    Distribution shape — two exchanges, frequencies attach IN-BUCKET
+    (never a broadcast of the unbounded vocabulary, never a separate
+    join shuffle): ONE tokenize pass emits unigram partials keyed by
+    hash(word) and bigram partials keyed by hash(w1); wave 1 sums
+    both kinds per bucket and attaches c1 to each bigram from the
+    co-bucketed unigram counts; wave 2 re-keys bigrams by hash(w2),
+    attaches c2 the same way, applies the min-count filter and emits
+    a per-bucket bigram subtotal row — the driver folds only #buckets
+    ints into the PMI total. Final ranking is global_top_n (local
+    top per block + one tiny reduce), so nothing ever sorts the full
+    bigram table.
 
     Score is the libm-free LINEAR PMI variant (monotone in PMI):
         (c * T) / (c1 * c2)
@@ -720,88 +722,159 @@ def pmi_bigrams(
     """
     from collections import Counter
 
-    from ray.data.aggregate import Sum
+    import ray
+    import ray.data as rd
 
-    from .joins import exchange_reduce, hash_join
+    from .joins import exchange_reduce
     from .ranking import global_top_n
-    from .sketches import word_counts
 
-    def bigram_partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
+    cols = ["kind", "key", "w1", "w2", "c", "c1", "c2"]
+    types = {
+        "kind": pa.string(), "key": pa.string(), "w1": pa.string(),
+        "w2": pa.string(), "c": pa.int64(), "c1": pa.int64(),
+        "c2": pa.int64(),
+    }
+    empty = pa.table({c: pa.array([], types[c]) for c in cols})
+
+    def _hash_bucket(keys):
+        if not len(keys):
+            return np.zeros(0, dtype=np.int32)
+        return (
+            pd.util.hash_array(
+                np.asarray(keys, dtype=object), categorize=False
+            ) % np.uint64(num_buckets)
+        ).astype(np.int32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # ONE tokenize pass produces both count kinds — at corpus
+        # scale the scan+tokenize dominates, so it must not run twice
+        cb: Counter = Counter()
+        cu: Counter = Counter()
         for t in batch[text_col].to_pylist():
             words = (t or "").lower().split()
-            c.update(zip(words, words[1:]))
-        pairs = list(c.keys())
-        bigrams = [f"{a} {b_}" for a, b_ in pairs]
-        bk = (
-            pd.util.hash_array(
-                np.asarray(bigrams, dtype=object), categorize=False
-            ) % np.uint64(num_buckets)
-        ).astype(np.int32) if bigrams else np.zeros(0, dtype=np.int32)
+            cu.update(words)
+            cb.update(zip(words, words[1:]))
+        pairs = list(cb.keys())
+        uwords = list(cu.keys())
+        n_b, n_u = len(pairs), len(uwords)
+        t = pa.table(
+            {
+                "kind": pa.array(["B"] * n_b + ["U"] * n_u, pa.string()),
+                "key": pa.array(
+                    [f"{a} {b_}" for a, b_ in pairs] + uwords, pa.string()
+                ),
+                "w1": pa.array([p[0] for p in pairs] + uwords, pa.string()),
+                "w2": pa.array(
+                    [p[1] for p in pairs] + [None] * n_u, pa.string()
+                ),
+                "c": pa.array(
+                    [cb[p] for p in pairs] + [cu[w] for w in uwords],
+                    pa.int64(),
+                ),
+                "c1": pa.nulls(n_b + n_u, pa.int64()),
+                "c2": pa.nulls(n_b + n_u, pa.int64()),
+            }
+        )
+        # wave-1 key: unigrams by their word, bigrams by w1 — so each
+        # bigram lands with exactly the unigram counts it needs
+        return t.append_column(
+            "__bucket", pa.array(_hash_bucket(t["w1"].to_pylist()))
+        )
+
+    def attach_c1(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        u = df[df["kind"] == "U"].groupby("key", sort=False)["c"].sum()
+        b = df[df["kind"] == "B"]
+        if len(b):
+            b = b.groupby(["key", "w1", "w2"], sort=False, as_index=False)[
+                "c"
+            ].sum()
+            b["c1"] = b["w1"].map(u).astype("int64")
+            b["kind"] = "B"
+        urows = pd.DataFrame(
+            {"kind": "U", "key": u.index, "c": u.to_numpy()}
+        )
+        out = pd.concat([b, urows], ignore_index=True) if len(b) else urows
         return pa.table(
             {
-                "bigram": pa.array(bigrams, pa.string()),
-                "w1": pa.array([p[0] for p in pairs], pa.string()),
-                "w2": pa.array([p[1] for p in pairs], pa.string()),
-                "c": pa.array([c[p] for p in pairs], pa.int64()),
-                "__bucket": pa.array(bk),
+                c: pa.array(
+                    out[c] if c in out.columns else [None] * len(out),
+                    types[c],
+                )
+                for c in cols
             }
         )
 
-    empty = pa.table(
-        {
-            "bigram": pa.array([], pa.string()),
-            "w1": pa.array([], pa.string()),
-            "w2": pa.array([], pa.string()),
-            "c": pa.array([], pa.int64()),
-        }
+    w1 = exchange_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        attach_c1, empty, num_buckets,
     )
 
-    def bucket_sum(t: pa.Table) -> pa.Table:
-        df = t.select(["bigram", "w1", "w2", "c"]).to_pandas()
-        g = df.groupby(["bigram", "w1", "w2"], sort=False, as_index=False)[
-            "c"
-        ].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def retag_w2(t: pa.Table) -> pa.Table:
+        # unigrams re-key by word (same bucket), bigrams by w2
+        key2 = [
+            (w2 if k == "B" else w)
+            for k, w, w2 in zip(
+                t["kind"].to_pylist(), t["key"].to_pylist(),
+                t["w2"].to_pylist(),
+            )
+        ]
+        return t.append_column("__bucket", pa.array(_hash_bucket(key2)))
 
-    bc = exchange_reduce(
-        ds.map_batches(bigram_partial, batch_format="pyarrow"),
-        bucket_sum, empty, num_buckets,
-    ).materialize()
-    total = int(bc.aggregate(Sum("c", alias_name="t"))["t"] or 0)
+    def attach_c2(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        u = df[df["kind"] == "U"].set_index("key")["c"]
+        b = df[df["kind"] == "B"]
+        sub = int(b["c"].sum()) if len(b) else 0
+        b = b[b["c"] >= min_count].copy()
+        if len(b):
+            b["c2"] = b["w2"].map(u).astype("int64")
+        trow = pd.DataFrame({"kind": ["T"], "c": [sub]})
+        out = pd.concat([b, trow], ignore_index=True) if len(b) else trow
+        return pa.table(
+            {
+                c: pa.array(
+                    out[c] if c in out.columns else [None] * len(out),
+                    types[c],
+                )
+                for c in cols
+            }
+        )
 
-    uni = word_counts(ds, text_col=text_col, num_buckets=num_buckets)
-    u1 = uni.map_batches(
-        lambda t: pa.table({"w1": t["word"], "c1": t["n"]}),
-        batch_format="pyarrow",
+    w2 = exchange_reduce(
+        w1.map_batches(retag_w2, batch_format="pyarrow"),
+        attach_c2, empty, num_buckets,
     )
-    u2 = uni.map_batches(
-        lambda t: pa.table({"w2": t["word"], "c2": t["n"]}),
-        batch_format="pyarrow",
-    )
-    j = hash_join(bc, u1, on="w1", num_buckets=num_buckets)
-    j = hash_join(j, u2, on="w2", num_buckets=num_buckets)
+    refs = list(w2.to_arrow_refs())
+    total = sum(ray.get([_pmi_block_subtotal.remote(r) for r in refs]))
     tot_f = float(total)
 
     def score(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            sel = batch.select(["bigram", "c", "c1", "c2"])
-            return sel.append_column("score", pa.array([], pa.float64()))
-        keep = pc.greater_equal(batch["c"], min_count)
-        t = batch.filter(keep)
+        t = batch.filter(pc.equal(batch["kind"], "B"))
         c = t["c"].to_numpy().astype(np.float64)
-        c1 = t["c1"].to_numpy().astype(np.float64)
-        c2 = t["c2"].to_numpy().astype(np.float64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
         s = (c * tot_f) / (c1 * c2)
         return pa.table(
             {
-                "bigram": t["bigram"],
+                "bigram": t["key"],
                 "c": t["c"],
                 "c1": t["c1"],
                 "c2": t["c2"],
-                "score": pa.array(s),
+                "score": pa.array(s, pa.float64()),
             }
         )
 
-    scored = j.map_batches(score, batch_format="pyarrow")
+    scored = rd.from_arrow_refs(refs).map_batches(
+        score, batch_format="pyarrow"
+    )
     return global_top_n(scored, order_col="score", n=top_n, tie_col="bigram")
+
+
+import ray as _ray_mod
+
+
+@_ray_mod.remote
+def _pmi_block_subtotal(t: pa.Table) -> int:
+    f = t.filter(pc.equal(t["kind"], "T"))
+    return int(pc.sum(f["c"]).as_py() or 0)
