@@ -1229,6 +1229,34 @@ def _q_crawl_hits(sf_dir: str):
     )
 
 
+def _q_crawl_degree_hist(sf_dir: str):
+    """In/out-degree distribution of the synthetic web's link graph
+    (zero-degree nodes counted against the src-union-dst node set)."""
+    from webcollector_ray.functions.graph import degree_histogram
+    from webcollector_ray.stages.extract import anchor_rows_batch
+
+    spec = _crawl_spec(sf_dir)
+    pages = synth_pages_table(spec)
+    html_pages = rd.from_arrow(pages.select(["url", "html"]))
+    edges = html_pages.map_batches(
+        lambda b: anchor_rows_batch(b, CRAWL_REGEX).select(
+            ["src_url", "target_url"]
+        ),
+        batch_format="pyarrow",
+    )
+    return degree_histogram(
+        edges, src_col="src_url", dst_col="target_url", num_buckets=8
+    )
+
+
+def _q_docs_length_pct(sf_dir: str):
+    """Percentile rank of every doc by token length — distributed
+    rank via a bounded value histogram, no sort, no shuffle."""
+    from webcollector_ray.functions.textstats import length_percentile
+
+    return length_percentile(_docs(sf_dir))
+
+
 def _q_events_distinct_users_hll(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return approx_distinct_hll(ds, "user_id", p=12)
@@ -1732,6 +1760,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pmi_bigrams": _q_docs_pmi_bigrams,
         "vocab_mg_top_words": _q_vocab_mg_top_words,
         "events_next_order": _q_events_next_order,
+        "crawl_degree_hist": _q_crawl_degree_hist,
+        "docs_length_pct": _q_docs_length_pct,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -2650,20 +2680,15 @@ def _crawl_pagerank_oracle_sql() -> str:
     return sql
 
 
-def _crawl_hits_oracle_sql() -> str:
-    """Integer fixed-point HITS re-derived end to end: same structural
-    edge rebuild as the pagerank oracle, then `_HITS_ITERS` hub/auth
-    half-steps unrolled as chained CTEs. Each half-step is an integer
-    contribution sum over the edge multiset followed by L1
-    normalization `raw * HITS_SCALE // total` — the multiply runs in
-    HUGEINT because raw * 10^9 exceeds int64, mirroring the engine's
-    per-bucket Python big-int normalize (graph.py hits_fixed)."""
-    from webcollector_ray.functions.graph import HITS_SCALE
-
+def _crawl_edges_cte() -> str:
+    """Shared structural rebuild of the synthetic web's link graph
+    (same construction as the pagerank oracle): CTEs `edges` (src,
+    dst multiset) and `nodes` (src UNION dst), MATERIALIZED so that
+    oracles referencing them many times don't explode the planner."""
     u = "'http://site' || site || '.test/"
     np_ = "(SELECT n_shows FROM params)"
     nl_ = "(SELECT n_lists FROM params)"
-    sql = rf"""
+    return rf"""
         WITH params AS (
             SELECT greatest(2, (SELECT count(*) FROM documents) // 100)
                      AS num_sites,
@@ -2695,7 +2720,22 @@ def _crawl_hits_oracle_sql() -> str:
             SELECT {u}show-' || j || '.html',
                    {u}show-' || ((j + 7) % {np_}) || '.html' FROM shows
         ),
-        nodes AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+        nodes AS MATERIALIZED (
+            SELECT src AS v FROM edges UNION SELECT dst FROM edges
+        )"""
+
+
+def _crawl_hits_oracle_sql() -> str:
+    """Integer fixed-point HITS re-derived end to end: same structural
+    edge rebuild as the pagerank oracle, then `_HITS_ITERS` hub/auth
+    half-steps unrolled as chained CTEs. Each half-step is an integer
+    contribution sum over the edge multiset followed by L1
+    normalization `raw * HITS_SCALE // total` — the multiply runs in
+    HUGEINT because raw * 10^9 exceeds int64, mirroring the engine's
+    per-bucket big-int normalize (graph.py hits_fixed)."""
+    from webcollector_ray.functions.graph import HITS_SCALE
+
+    sql = _crawl_edges_cte() + f""",
         h0 AS MATERIALIZED (
             SELECT v,
                    ({HITS_SCALE} // (SELECT count(*) FROM nodes))::BIGINT
@@ -3229,6 +3269,43 @@ def oracle_sql() -> dict[str, str]:
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out["docs_bm25"] = _docs_bm25_oracle_sql()
     out["docs_pmi_bigrams"] = _docs_pmi_oracle_sql()
+    out["crawl_degree_hist"] = _crawl_edges_cte() + """,
+        od AS (
+            SELECT n.v, coalesce(e.cnt, 0)::BIGINT AS d
+            FROM nodes n LEFT JOIN (
+                SELECT src, count(*)::BIGINT AS cnt FROM edges GROUP BY src
+            ) e ON e.src = n.v
+        ),
+        idg AS (
+            SELECT n.v, coalesce(e.cnt, 0)::BIGINT AS d
+            FROM nodes n LEFT JOIN (
+                SELECT dst, count(*)::BIGINT AS cnt FROM edges GROUP BY dst
+            ) e ON e.dst = n.v
+        )
+        SELECT 'out' AS kind, d AS degree, count(*)::BIGINT AS n_nodes
+        FROM od GROUP BY d
+        UNION ALL
+        SELECT 'in' AS kind, d AS degree, count(*)::BIGINT AS n_nodes
+        FROM idg GROUP BY d
+    """
+    out["docs_length_pct"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_NTOK}::BIGINT AS n_tokens FROM documents
+        ),
+        h AS (SELECT n_tokens AS v, count(*)::BIGINT AS c FROM t GROUP BY v),
+        cum AS (
+            SELECT v,
+                   coalesce(sum(c) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS nb
+            FROM h
+        )
+        SELECT t.doc_id, t.n_tokens, cum.nb AS n_below,
+               (cum.nb::DOUBLE
+                / (SELECT count(*) FROM t)::DOUBLE) AS pct
+        FROM t JOIN cum ON cum.v = t.n_tokens
+    """
     out["vocab_mg_top_words"] = r"""
         WITH words AS (
             SELECT unnest(regexp_split_to_array(

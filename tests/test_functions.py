@@ -1531,3 +1531,43 @@ def test_mg_top_words_exact_when_small(ray_session):
     assert list(map(tuple, out.to_records(index=False))) == [
         ("a", 3), ("b", 3), ("c", 3),
     ]
+
+
+def test_degree_histogram(ray_session):
+    from webcollector_ray.functions.graph import degree_histogram
+
+    # a->b, a->c, b->a, b->a (multi-edge), d is a pure sink via c->d
+    edges = pa.table({
+        "src": ["a", "a", "b", "b", "c"],
+        "dst": ["b", "c", "a", "a", "d"],
+    })
+    out = (
+        degree_histogram(rd.from_arrow(edges), num_buckets=4)
+        .to_pandas()
+    )
+    got = {
+        (k, d): n
+        for k, d, n in zip(out["kind"], out["degree"], out["n_nodes"])
+    }
+    # out-degrees: a=2, b=2, c=1, d=0
+    assert got[("out", 0)] == 1 and got[("out", 1)] == 1
+    assert got[("out", 2)] == 2
+    # in-degrees: a=2 (multi-edge counts), b=1, c=1, d=1
+    assert got[("in", 2)] == 1 and got[("in", 1)] == 3
+    assert ("in", 0) not in got
+
+
+def test_length_percentile(ray_session):
+    from webcollector_ray.functions.textstats import length_percentile
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a", "a b", "a b", "a b c", ""],
+    })
+    out = (
+        length_percentile(rd.from_arrow(t))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out["n_tokens"].tolist() == [1, 2, 2, 3, 0]
+    assert out["n_below"].tolist() == [1, 2, 2, 4, 0]
+    assert out.loc[4, "pct"] == 4.0 / 5.0

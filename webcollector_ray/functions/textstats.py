@@ -878,3 +878,85 @@ import ray as _ray_mod
 def _pmi_block_subtotal(t: pa.Table) -> int:
     f = t.filter(pc.equal(t["kind"], "T"))
     return int(pc.sum(f["c"]).as_py() or 0)
+
+
+# ------------------------------------------------------------- percentile
+
+
+def length_percentile(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Global percentile rank of every doc by token length — the
+    distributed-rank-WITHOUT-a-sort pattern: ranking against a global
+    order needs only a value HISTOGRAM (bounded by the distinct-length
+    count, not the corpus size), never a full shuffle.
+
+    Pass 1 reduces per-batch (n_tokens -> count) partials into one
+    histogram; the driver folds it into a cumulative strictly-below
+    map (state bounded by distinct lengths) and broadcasts it via
+    ray.put. Pass 2 is a map-only lookup: n_below and
+    pct = n_below::DOUBLE / N::DOUBLE (exactly-rounded div — oracle
+    mirrors the expression)."""
+    import ray
+
+    from .joins import exchange_reduce
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = token_count_batch(batch.select([text_col]), text_col)
+        h = pd.Series(
+            t["n_tokens"].to_numpy(zero_copy_only=False)
+        ).value_counts()
+        n = len(h)
+        return pa.table(
+            {
+                "v": pa.array(h.index.to_numpy(np.int64)),
+                "c": pa.array(h.to_numpy(np.int64)),
+                "__bucket": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        )
+
+    empty = pa.table(
+        {"v": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select(["v", "c"]).to_pandas().groupby("v", as_index=False)[
+            "c"
+        ].sum()
+        return pa.Table.from_pandas(
+            df.sort_values("v"), preserve_index=False
+        )
+
+    hist = exchange_reduce(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        fold, empty, num_buckets=1,
+    ).to_pandas()
+    total = int(hist["c"].sum())
+    below = dict(
+        zip(
+            hist["v"].tolist(),
+            np.concatenate([[0], hist["c"].to_numpy().cumsum()[:-1]])
+            .astype(np.int64).tolist(),
+        )
+    )
+    below_ref = ray.put(below)
+    total_f = float(max(1, total))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        bmap = ray.get(below_ref)
+        t = token_count_batch(batch.select([id_col, text_col]), text_col)
+        n_tok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        nb = np.array([bmap[int(v)] for v in n_tok], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_below": pa.array(nb),
+                "pct": pa.array(nb.astype(np.float64) / total_f),
+            }
+        )
+
+    return ds.map_batches(rank, batch_format="pyarrow")
