@@ -1249,6 +1249,41 @@ def _q_crawl_degree_hist(sf_dir: str):
     )
 
 
+def _q_crawl_components(sf_dir: str):
+    """Connected-component size census of the synthetic web's link
+    graph (each site is one island by construction — the census must
+    find exactly num_sites components of equal size)."""
+    from webcollector_ray.functions.graph import component_size_census
+    from webcollector_ray.stages.extract import anchor_rows_batch
+
+    spec = _crawl_spec(sf_dir)
+    pages = synth_pages_table(spec)
+    html_pages = rd.from_arrow(pages.select(["url", "html"]))
+    edges = html_pages.map_batches(
+        lambda b: anchor_rows_batch(b, CRAWL_REGEX).select(
+            ["src_url", "target_url"]
+        ),
+        batch_format="pyarrow",
+    )
+    return component_size_census(
+        edges, src_col="src_url", dst_col="target_url", num_buckets=8
+    )
+
+
+def _q_events_spikes(sf_dir: str):
+    """Tumbling-window volume anomalies per event type: windows with
+    more than 2x the type's mean hourly volume (integer-exact test)."""
+    from webcollector_ray.functions.windows import spike_windows
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+    )
+    return spike_windows(
+        ds, key_col="event_type", window_sec=3600, factor=2
+    )
+
+
 def _q_docs_length_pct(sf_dir: str):
     """Percentile rank of every doc by token length — distributed
     rank via a bounded value histogram, no sort, no shuffle."""
@@ -1762,6 +1797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_order": _q_events_next_order,
         "crawl_degree_hist": _q_crawl_degree_hist,
         "docs_length_pct": _q_docs_length_pct,
+        "crawl_components": _q_crawl_components,
+        "events_spikes": _q_events_spikes,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -3287,6 +3324,45 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'in' AS kind, d AS degree, count(*)::BIGINT AS n_nodes
         FROM idg GROUP BY d
+    """
+    out["crawl_components"] = _crawl_edges_cte().replace(
+        "WITH params", "WITH RECURSIVE params", 1
+    ) + """,
+        ed AS (
+            SELECT src AS x, dst AS y FROM edges
+            UNION SELECT dst, src FROM edges
+            UNION SELECT src, src FROM edges
+            UNION SELECT dst, dst FROM edges
+        ),
+        reach(x, y) AS (
+            SELECT x, y FROM ed
+            UNION
+            SELECT r.x, ed.y FROM reach r JOIN ed ON r.y = ed.x
+        ),
+        clus AS (SELECT x, min(y) AS cluster FROM reach GROUP BY x),
+        sizes AS (
+            SELECT cluster, count(*)::BIGINT AS sz FROM clus
+            GROUP BY cluster
+        )
+        SELECT sz AS size, count(*)::BIGINT AS n_components
+        FROM sizes GROUP BY sz
+    """
+    out["events_spikes"] = """
+        WITH w AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                       AS window_start,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY event_type, window_start
+        ),
+        tot AS (
+            SELECT event_type, sum(n_events)::HUGEINT AS tn,
+                   count(*)::HUGEINT AS nw
+            FROM w GROUP BY event_type
+        )
+        SELECT w.event_type, w.window_start, w.n_events
+        FROM w JOIN tot USING (event_type)
+        WHERE w.n_events::HUGEINT * tot.nw > 2 * tot.tn
     """
     out["docs_length_pct"] = f"""
         WITH t AS (

@@ -1571,3 +1571,41 @@ def test_length_percentile(ray_session):
     assert out["n_tokens"].tolist() == [1, 2, 2, 3, 0]
     assert out["n_below"].tolist() == [1, 2, 2, 4, 0]
     assert out.loc[4, "pct"] == 4.0 / 5.0
+
+
+def test_component_size_census(ray_session):
+    from webcollector_ray.functions.graph import component_size_census
+
+    # components: {a,b,c} (triangle-ish), {d,e}, {f,g} -> sizes 3,2,2
+    edges = pa.table({
+        "src": ["a", "b", "d", "f"],
+        "dst": ["b", "c", "e", "g"],
+    })
+    out = (
+        component_size_census(rd.from_arrow(edges), num_buckets=4)
+        .to_pandas()
+    )
+    got = dict(zip(out["size"], out["n_components"]))
+    assert got == {2: 2, 3: 1}
+
+
+def test_spike_windows(ray_session):
+    import datetime as dt
+
+    from webcollector_ray.functions.windows import spike_windows
+
+    base = dt.datetime(2024, 1, 1)
+    # type X: hour0 has 8 events, hours 1-3 have 1 each -> total 11,
+    # nw=4: flag iff n*4 > 2*11=22 -> only n=8 (32>22)
+    ts = [base] * 8 + [base + dt.timedelta(hours=h) for h in (1, 2, 3)]
+    t = pa.table({
+        "event_type": ["X"] * 11,
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": [1.0] * 11,
+    })
+    out = spike_windows(
+        rd.from_arrow(t), key_col="event_type", window_sec=3600, factor=2
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_events"] == 8
+    assert out.iloc[0]["window_start"] == int(base.timestamp())

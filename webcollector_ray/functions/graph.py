@@ -586,3 +586,99 @@ def _deg_hist_fold(*parts) -> pa.Table:
             "n_nodes": pa.array(df["n_nodes"].to_numpy(np.int64)),
         }
     )
+
+
+def component_size_census(
+    edges_ds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+):
+    """Connected-component size distribution of a link graph — the
+    corpus-level connectivity census (site islands, the giant
+    component, orphan clusters).
+
+    Rides the dedup CC machinery: string nodes map to int64 labels by
+    md5-le64 (collision odds ~n^2/2^64 — negligible below ~10^8
+    nodes and only ever MERGING two components in the census, never
+    corrupting a label); components resolve by distributed min-label
+    propagation with star contraction (dedup.cluster_pairs_minlabel
+    — two task waves per round, no driver union-find); sizes count in
+    one label-hash exchange; the final histogram is bounded by the
+    distinct-size count. Output: (size, n_components)."""
+    import ray.data as rd
+
+    from .dedup import cluster_pairs_minlabel
+    from .joins import exchange_reduce
+    from .sketches import _md5le64
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        a = [
+            _md5le64(u) - 2**63
+            for u in batch[src_col].to_pylist()
+        ]
+        b = [
+            _md5le64(u) - 2**63
+            for u in batch[dst_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+            }
+        )
+
+    pairs = edges_ds.map_batches(to_ids, batch_format="pyarrow")
+    labels = cluster_pairs_minlabel(
+        pairs, id_col="node", num_buckets=num_buckets
+    )
+
+    def tag_cluster(batch: pa.Table) -> pa.Table:
+        c = batch["cluster"].to_numpy(zero_copy_only=False)
+        bk = (
+            c.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(bk))
+
+    empty = pa.table(
+        {"size": pa.array([], pa.int64()),
+         "n_components": pa.array([], pa.int64())}
+    )
+
+    def size_hist(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        sizes = df.groupby("cluster", sort=False).size()
+        h = sizes.value_counts()
+        return pa.table(
+            {
+                "size": pa.array(h.index.to_numpy(np.int64)),
+                "n_components": pa.array(h.to_numpy(np.int64)),
+            }
+        )
+
+    parts = exchange_reduce(
+        labels.map_batches(tag_cluster, batch_format="pyarrow"),
+        size_hist, empty, num_buckets,
+    )
+    # fold the bounded per-bucket histograms
+    return rd.from_arrow(
+        ray.get(_deg_hist_fold_sizes.remote(*parts.to_arrow_refs()))
+    )
+
+
+@ray.remote
+def _deg_hist_fold_sizes(*parts) -> pa.Table:
+    cat = pa.concat_tables([p for p in parts if p is not None and len(p)])
+    df = cat.to_pandas().groupby("size", as_index=False)[
+        "n_components"
+    ].sum().sort_values("size").reset_index(drop=True)
+    return pa.table(
+        {
+            "size": pa.array(df["size"].to_numpy(np.int64)),
+            "n_components": pa.array(
+                df["n_components"].to_numpy(np.int64)
+            ),
+        }
+    )

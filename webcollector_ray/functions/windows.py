@@ -572,3 +572,79 @@ def event_transitions(
     return parts.groupby(["prev_type", "next_type"]).aggregate(
         Sum("n", alias_name="n")
     )
+
+
+def spike_windows(
+    events,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: int = 3600,
+    factor: int = 2,
+    num_buckets: int = 8,
+):
+    """Volume-anomaly detection: tumbling windows whose event count
+    exceeds `factor` x the key's mean window volume — the basic
+    traffic-spike / hot-topic monitor over an event stream.
+
+    The test is INTEGER-EXACT (no float mean):
+        n * n_windows > factor * total_n        (per key)
+    evaluated in Python big-ints per bucket so it cannot overflow —
+    cross-engine identical to the oracle's HUGEINT compare.
+
+    Shape: the existing tumbling-window combiner tree (per-batch
+    partials, one window-key exchange) followed by ONE key-hash
+    exchange of the (key, window) count table — per-key state there
+    is bounded by that key's window count, not its event count.
+    Output: (key, window_start, n_events) for flagged windows."""
+    from .joins import exchange_reduce
+
+    wins = tumbling_window_agg(
+        events, key_col=key_col, ts_col=ts_col, value_col=value_col,
+        window_sec=window_sec, num_buckets=num_buckets,
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, "window_start", "n_events"])
+        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        bk = (
+            pd.util.hash_array(keys, categorize=False)
+            % np.uint64(num_buckets)
+        ).astype(np.int32) if len(keys) else np.zeros(0, dtype=np.int32)
+        return t.append_column("__bucket", pa.array(bk))
+
+    empty = pa.table(
+        {
+            key_col: pa.array([], pa.string()),
+            "window_start": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, "window_start", "n_events"]).to_pandas()
+        out = []
+        for _, g in df.groupby(key_col, sort=False):
+            ns = [int(x) for x in g["n_events"]]
+            tn, nw = sum(ns), len(ns)
+            keep = [n * nw > factor * tn for n in ns]
+            out.append(g[np.asarray(keep, dtype=bool)])
+        got = (
+            pd.concat(out, ignore_index=True)
+            if out else df.iloc[0:0]
+        )
+        return pa.table(
+            {
+                key_col: pa.array(got[key_col], pa.string()),
+                "window_start": pa.array(
+                    got["window_start"].to_numpy(np.int64)
+                ),
+                "n_events": pa.array(got["n_events"].to_numpy(np.int64)),
+            }
+        )
+
+    return exchange_reduce(
+        wins.map_batches(tag, batch_format="pyarrow"),
+        flag, empty, num_buckets,
+    )
