@@ -1292,6 +1292,84 @@ def _q_docs_length_pct(sf_dir: str):
     return length_percentile(_docs(sf_dir))
 
 
+def _q_docs_mix_report(sf_dir: str):
+    """Corpus mix crosstab: docs and token mass per (source, lang) —
+    the report every mix-rebalance decision starts from. Per-batch
+    combiner collapses to one row per cell, then a tiny bounded
+    groupby (length_histogram pattern)."""
+    from ray.data.aggregate import Sum
+
+    from webcollector_ray.functions.textstats import token_count_batch
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = token_count_batch(batch, "text")
+        df = t.select(["source", "lang", "n_tokens"]).to_pandas()
+        g = df.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_tokens", "size"), sum_tokens=("n_tokens", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["source", "lang"]
+    ).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_tokens", alias_name="sum_tokens"),
+    )
+
+
+def _q_docs_trigram_diversity(sf_dir: str):
+    """Per-doc distinct-trigram ratio (map-only diversity score)."""
+    from webcollector_ray.functions.textstats import trigram_diversity_batch
+
+    return _docs(sf_dir).map_batches(
+        trigram_diversity_batch, batch_format="pyarrow"
+    )
+
+
+def _q_docs_length_balanced_sample(sf_dir: str):
+    """Length-balanced corpus sample: k docs per log2 length bucket —
+    the histogram-equalizing counter to natural length skew. Composes
+    the length-bucket kernel with the deterministic stratified
+    sampler (same md5 rank as docs_stratified_sample)."""
+    from webcollector_ray.functions.textstats import length_bucket_batch
+
+    ds = _docs(sf_dir).map_batches(
+        lambda b: length_bucket_batch(b, "text").select(
+            ["len_bucket", "doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    return stratified_sample(
+        ds, strata_col="len_bucket", id_col="doc_id", k=30
+    )
+
+
+def _q_events_trending(sf_dir: str):
+    """Trending census: top-3 event types per 6-hour window by count
+    — tumbling-window combiner tree into the grouped top-n (local
+    top per bucket block + rank), never a global sort."""
+    from webcollector_ray.functions.ranking import top_n_per_group
+    from webcollector_ray.functions.windows import tumbling_window_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    wins = tumbling_window_agg(
+        ds, key_col="event_type", window_sec=21600
+    ).map_batches(
+        lambda b: b.select(["window_start", "event_type", "n_events"]),
+        batch_format="pyarrow",
+    )
+    return top_n_per_group(
+        wins, key_col="window_start", order_col="n_events", n=3,
+        tie_col="event_type",
+    )
+
+
 def _q_events_distinct_users_hll(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return approx_distinct_hll(ds, "user_id", p=12)
@@ -1799,6 +1877,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_pct": _q_docs_length_pct,
         "crawl_components": _q_crawl_components,
         "events_spikes": _q_events_spikes,
+        "docs_mix_report": _q_docs_mix_report,
+        "docs_trigram_diversity": _q_docs_trigram_diversity,
+        "docs_length_balanced_sample": _q_docs_length_balanced_sample,
+        "events_trending": _q_events_trending,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -3363,6 +3445,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT w.event_type, w.window_start, w.n_events
         FROM w JOIN tot USING (event_type)
         WHERE w.n_events::HUGEINT * tot.nw > 2 * tot.tn
+    """
+    out["docs_mix_report"] = f"""
+        SELECT source, lang, count(*)::BIGINT AS n_docs,
+               sum({_NTOK})::BIGINT AS sum_tokens
+        FROM documents GROUP BY source, lang
+    """
+    out["docs_trigram_diversity"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_WORDS_EXPR} AS words FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   greatest(len(words) - 2, 0)::BIGINT AS n_trigrams,
+                   (CASE WHEN len(words) >= 3 THEN
+                        len(list_distinct(
+                            [words[i] || ' ' || words[i + 1] || ' '
+                             || words[i + 2]
+                             FOR i IN range(1, len(words) - 1)]
+                        ))
+                    ELSE 0 END)::BIGINT AS n_distinct
+            FROM t
+        )
+        SELECT doc_id, n_trigrams, n_distinct,
+               CASE WHEN n_trigrams > 0
+                    THEN n_distinct::DOUBLE / n_trigrams::DOUBLE
+                    ELSE 0.0 END AS ratio
+        FROM g
+    """
+    out["docs_length_balanced_sample"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   (CASE WHEN {_NTOK} = 0 THEN -1
+                    ELSE floor(log2({_NTOK})) END)::BIGINT AS len_bucket
+            FROM documents
+        )
+        SELECT len_bucket, doc_id FROM (
+            SELECT len_bucket, doc_id,
+                   row_number() OVER (
+                       PARTITION BY len_bucket
+                       ORDER BY md5_number_upper(doc_id::VARCHAR), doc_id
+                   ) AS rn
+            FROM t
+        ) WHERE rn <= 30
+    """
+    out["events_trending"] = """
+        WITH w AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600
+                       AS window_start,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY event_type, window_start
+        ),
+        r AS (
+            SELECT window_start, event_type, n_events,
+                   row_number() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n_events DESC, event_type ASC
+                   ) AS rnk
+            FROM w
+        )
+        SELECT window_start, event_type, n_events, rnk::BIGINT AS "rank"
+        FROM r WHERE rnk <= 3
     """
     out["docs_length_pct"] = f"""
         WITH t AS (

@@ -960,3 +960,41 @@ def length_percentile(
         )
 
     return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def trigram_diversity_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-doc lexical diversity: distinct word-trigram ratio — the
+    self-repetition signal generation-quality filters threshold on
+    (low ratio = templated/looping text). Map-only.
+
+    ratio = n_distinct::DOUBLE / n_trigrams::DOUBLE (exactly-rounded
+    div, oracle mirrors; 0.0 when the doc has < 3 tokens)."""
+    ids = batch[id_col]
+    nt_out, nd_out = [], []
+    for t in batch[text_col].to_pylist():
+        words = (t or "").lower().split()
+        n = max(0, len(words) - 2)
+        if n == 0:
+            nt_out.append(0)
+            nd_out.append(0)
+            continue
+        trigs = {
+            (words[i], words[i + 1], words[i + 2]) for i in range(n)
+        }
+        nt_out.append(n)
+        nd_out.append(len(trigs))
+    nt = np.array(nt_out, dtype=np.int64)
+    nd = np.array(nd_out, dtype=np.int64)
+    ratio = np.where(
+        nt > 0, nd.astype(np.float64) / nt.astype(np.float64), 0.0
+    )
+    return pa.table(
+        {
+            id_col: ids,
+            "n_trigrams": pa.array(nt),
+            "n_distinct": pa.array(nd),
+            "ratio": pa.array(ratio, pa.float64()),
+        }
+    )
