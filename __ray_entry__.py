@@ -1292,6 +1292,18 @@ def _q_docs_length_pct(sf_dir: str):
     return length_percentile(_docs(sf_dir))
 
 
+def _q_events_cms_counts(sf_dir: str):
+    """Count-min sketch frequency estimates per event type — bounded
+    d x w state; md5 hashing is deterministic so the oracle rebuilds
+    the sketch bit-for-bit, collisions included."""
+    from webcollector_ray.functions.sketches import cms_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type"]
+    )
+    return cms_counts(ds, key_col="event_type", depth=4, width=2048)
+
+
 def _q_docs_mix_report(sf_dir: str):
     """Corpus mix crosstab: docs and token mass per (source, lang) —
     the report every mix-rebalance decision starts from. Per-batch
@@ -1878,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_components": _q_crawl_components,
         "events_spikes": _q_events_spikes,
         "docs_mix_report": _q_docs_mix_report,
+        "events_cms_counts": _q_events_cms_counts,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -3445,6 +3458,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT w.event_type, w.window_start, w.n_events
         FROM w JOIN tot USING (event_type)
         WHERE w.n_events::HUGEINT * tot.nw > 2 * tot.tn
+    """
+    out["events_cms_counts"] = """
+        WITH counts AS (
+            SELECT event_type AS k, count(*)::BIGINT AS c
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1
+        ),
+        hashed AS (
+            SELECT k, c, d.i,
+                   (md5_number_upper('cms-' || d.i || '-' || k)
+                    % 2048)::BIGINT AS cell
+            FROM counts
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS i) d
+        ),
+        cells AS (
+            SELECT i, cell, sum(c)::BIGINT AS s
+            FROM hashed GROUP BY i, cell
+        )
+        SELECT h.k AS key, min(cl.s)::BIGINT AS n_est
+        FROM hashed h JOIN cells cl ON cl.i = h.i AND cl.cell = h.cell
+        GROUP BY h.k
     """
     out["docs_mix_report"] = f"""
         SELECT source, lang, count(*)::BIGINT AS n_docs,

@@ -1609,3 +1609,35 @@ def test_spike_windows(ray_session):
     assert len(out) == 1
     assert out.iloc[0]["n_events"] == 8
     assert out.iloc[0]["window_start"] == int(base.timestamp())
+
+
+def test_cms_counts_collisions(ray_session):
+    from collections import Counter
+
+    from webcollector_ray.functions.sketches import _md5le64, cms_counts
+
+    # width 8 << 20 keys: collisions must fire; the engine must equal
+    # the reference sketch exactly and never underestimate
+    keys = [f"k{i}" for i in range(20)]
+    rows = []
+    for j, k in enumerate(keys):
+        rows += [k] * (j + 1)
+    t = pa.table({"event_type": rows})
+    out = (
+        cms_counts(
+            rd.from_arrow(t), key_col="event_type", depth=2, width=8
+        )
+        .to_pandas().set_index("key")["n_est"]
+    )
+    c = Counter(rows)
+    grid = np.zeros((2, 8), dtype=np.int64)
+    for k, n in c.items():
+        for i in range(2):
+            grid[i][_md5le64(f"cms-{i}-{k}") % 8] += n
+    assert len(out) == 20
+    for k in keys:
+        ref = min(
+            grid[i][_md5le64(f"cms-{i}-{k}") % 8] for i in range(2)
+        )
+        assert out[k] == ref
+        assert out[k] >= c[k]

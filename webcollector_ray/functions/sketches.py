@@ -30,6 +30,7 @@ from typing import List, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .joins import exchange_reduce
 from .ranking import global_top_n
@@ -572,3 +573,142 @@ def mg_top_words(ds, *, text_col: str = "text", n: int = 50,
         ds.map_batches(partial, batch_format="pyarrow"),
         merge, empty, num_buckets=1,
     )
+
+
+# --------------------------------------------------------- count-min
+
+def cms_counts(ds, *, key_col: str, depth: int = 4, width: int = 2048,
+               num_buckets: int = 32):
+    """Count-min sketch frequency estimates (Cormode & Muthukrishnan
+    2005) — the fourth classic mergeable summary beside HLL, the
+    histogram quantile sketch and Misra-Gries: point-estimate
+    n_est(k) = min_i grid[i][h_i(k)], always >= the true count,
+    within eps*N w.h.p. for width ~ e/eps.
+
+    State is bounded by depth x width CELLS regardless of key
+    cardinality or row count: per-batch nonzero-cell partials ride
+    one (row, cell)-keyed exchange; the summed grid (<= d*w int64,
+    ~64 KiB here) broadcasts via ray.put; the distinct-key pass is
+    the word_counts-style exchange and the estimate lookup is
+    map-only.
+
+    DETERMINISTIC hashing (md5-le64, the stratified-sample /
+    md5_number_upper equivalence), so the DuckDB oracle reproduces
+    the sketch bit-for-bit INCLUDING collisions. Output:
+    (key, n_est)."""
+    import ray
+
+    from .joins import exchange_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for v in batch[key_col].to_pylist():
+            if v is not None:
+                c[str(v)] += 1
+        rows_i, rows_cell, rows_c, keys = [], [], [], list(c.keys())
+        for k, n in c.items():
+            for i in range(depth):
+                rows_i.append(i)
+                rows_cell.append(_md5le64(f"cms-{i}-{k}") % width)
+                rows_c.append(n)
+        # cell rows + key-marker rows in one table (kind discriminates)
+        n_cells, n_keys = len(rows_i), len(keys)
+        bk = np.concatenate([
+            (np.asarray(rows_i, dtype=np.int64) * width
+             + np.asarray(rows_cell, dtype=np.int64))
+            % num_buckets if n_cells else np.zeros(0, dtype=np.int64),
+            pd.util.hash_array(
+                np.asarray(keys, dtype=object), categorize=False
+            ).astype(np.int64) % num_buckets if n_keys
+            else np.zeros(0, dtype=np.int64),
+        ]).astype(np.int32)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    ["C"] * n_cells + ["K"] * n_keys, pa.string()
+                ),
+                "i": pa.array(
+                    rows_i + [0] * n_keys, pa.int64()
+                ),
+                "cell": pa.array(
+                    rows_cell + [0] * n_keys, pa.int64()
+                ),
+                "c": pa.array(rows_c + [0] * n_keys, pa.int64()),
+                "key": pa.array([None] * n_cells + keys, pa.string()),
+                "__bucket": pa.array(bk),
+            }
+        )
+
+    cols = ["kind", "i", "cell", "c", "key"]
+    types = {
+        "kind": pa.string(), "i": pa.int64(), "cell": pa.int64(),
+        "c": pa.int64(), "key": pa.string(),
+    }
+    empty = pa.table({c_: pa.array([], types[c_]) for c_ in cols})
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        cells = df[df["kind"] == "C"].groupby(
+            ["i", "cell"], as_index=False
+        )["c"].sum()
+        keys = df[df["kind"] == "K"]["key"].drop_duplicates()
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {"kind": "C", "i": cells["i"], "cell": cells["cell"],
+                     "c": cells["c"]}
+                ),
+                pd.DataFrame({"kind": "K", "key": keys}),
+            ],
+            ignore_index=True,
+        )
+        return pa.table(
+            {
+                c_: pa.array(
+                    out[c_] if c_ in out.columns else [None] * len(out),
+                    types[c_],
+                )
+                for c_ in cols
+            }
+        )
+
+    merged = exchange_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        reduce_fn, empty, num_buckets,
+    ).materialize()
+
+    # the summed grid is bounded by depth*width cells -> broadcast
+    grid_df = (
+        merged.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], "C")).select(
+                ["i", "cell", "c"]
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+    )
+    grid = np.zeros((depth, width), dtype=np.int64)
+    grid[grid_df["i"].to_numpy(), grid_df["cell"].to_numpy()] = (
+        grid_df["c"].to_numpy()
+    )
+    grid_ref = ray.put(grid)
+
+    def estimate(t: pa.Table) -> pa.Table:
+        g = ray.get(grid_ref)
+        keys = t.filter(pc.equal(t["kind"], "K"))["key"].to_pylist()
+        est = [
+            int(min(
+                g[i][_md5le64(f"cms-{i}-{k}") % width]
+                for i in range(depth)
+            ))
+            for k in keys
+        ]
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "n_est": pa.array(est, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(estimate, batch_format="pyarrow")
