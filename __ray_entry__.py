@@ -327,6 +327,33 @@ def _q_docs_decontaminated(sf_dir: str):
     )
 
 
+_BLOOM_M = 1 << 17
+
+
+def _q_docs_bloom_decontaminated(sf_dir: str):
+    """Bloom-filter decontamination — the bounded-state scale path
+    beside the exact gram-set broadcast (the bloom is m/8 bytes no
+    matter how large the held-out side grows). Overdrop-only error;
+    the oracle rebuilds the bloom bit-for-bit so false positives
+    hash-match too."""
+    from webcollector_ray.functions.decontam import (
+        bloom_decontaminate,
+        build_eval_gram_bloom,
+    )
+
+    ds = _docs(sf_dir)
+    ev = ds.map_batches(
+        lambda b: _eval_split_mask(b, True), batch_format="pyarrow"
+    )
+    train = ds.map_batches(
+        lambda b: _eval_split_mask(b, False), batch_format="pyarrow"
+    )
+    bloom_ref = build_eval_gram_bloom(ev, k=_DECON_K, m_bits=_BLOOM_M)
+    return bloom_decontaminate(
+        train, bloom_ref, k=_DECON_K, m_bits=_BLOOM_M
+    )
+
+
 _LM_TOP_V = 1024
 
 
@@ -1891,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_spikes": _q_events_spikes,
         "docs_mix_report": _q_docs_mix_report,
         "events_cms_counts": _q_events_cms_counts,
+        "docs_bloom_decontaminated": _q_docs_bloom_decontaminated,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -3458,6 +3486,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT w.event_type, w.window_start, w.n_events
         FROM w JOIN tot USING (event_type)
         WHERE w.n_events::HUGEINT * tot.nw > 2 * tot.tn
+    """
+    out["docs_bloom_decontaminated"] = rf"""
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                       '\s+') AS words
+            FROM documents
+        ),
+        grams AS MATERIALIZED (
+            SELECT doc_id,
+                   array_to_string(
+                       list_slice(words, i, i + {_DECON_K - 1}),
+                       chr(31)) AS g
+            FROM docs, unnest(range(1, len(words) - {_DECON_K - 2}))
+                 AS t(i)
+            WHERE len(words) >= {_DECON_K}
+            UNION ALL
+            SELECT doc_id, array_to_string(words, chr(31)) AS g
+            FROM docs WHERE len(words) < {_DECON_K}
+        ),
+        ev AS (
+            SELECT DISTINCT g FROM grams
+            WHERE doc_id % {_DECON_MOD} = {_DECON_REM}
+        ),
+        bits AS MATERIALIZED (
+            SELECT DISTINCT pos FROM (
+                SELECT ((md5_number_upper(g) & 4294967295)
+                        % {_BLOOM_M})::BIGINT AS pos FROM ev
+                UNION ALL
+                SELECT ((md5_number_upper(g) >> 32)
+                        % {_BLOOM_M})::BIGINT FROM ev
+                UNION ALL
+                SELECT ((md5_number_lower(g) & 4294967295)
+                        % {_BLOOM_M})::BIGINT FROM ev
+                UNION ALL
+                SELECT ((md5_number_lower(g) >> 32)
+                        % {_BLOOM_M})::BIGINT FROM ev
+            )
+        ),
+        tpos AS MATERIALIZED (
+            SELECT doc_id,
+                   ((md5_number_upper(g) & 4294967295)
+                    % {_BLOOM_M})::BIGINT AS p0,
+                   ((md5_number_upper(g) >> 32)
+                    % {_BLOOM_M})::BIGINT AS p1,
+                   ((md5_number_lower(g) & 4294967295)
+                    % {_BLOOM_M})::BIGINT AS p2,
+                   ((md5_number_lower(g) >> 32)
+                    % {_BLOOM_M})::BIGINT AS p3
+            FROM grams WHERE doc_id % {_DECON_MOD} != {_DECON_REM}
+        ),
+        hit AS (
+            SELECT DISTINCT doc_id FROM tpos
+            WHERE p0 IN (SELECT pos FROM bits)
+              AND p1 IN (SELECT pos FROM bits)
+              AND p2 IN (SELECT pos FROM bits)
+              AND p3 IN (SELECT pos FROM bits)
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id % {_DECON_MOD} != {_DECON_REM}
+          AND d.doc_id NOT IN (SELECT doc_id FROM hit)
     """
     out["events_cms_counts"] = """
         WITH counts AS (

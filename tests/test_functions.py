@@ -1641,3 +1641,47 @@ def test_cms_counts_collisions(ray_session):
         )
         assert out[k] == ref
         assert out[k] >= c[k]
+
+
+def test_bloom_decontaminate_false_positives(ray_session):
+    import ray
+
+    from webcollector_ray.functions.decontam import (
+        _bloom_positions,
+        _doc_gram_strings,
+        bloom_decontaminate,
+        build_eval_gram_bloom,
+    )
+
+    # k=2 grams, 16-bit bloom: eval and train share NO grams, so every
+    # drop is a bloom false positive — the engine must reproduce the
+    # reference bloom exactly, overdrops included
+    m, k = 16, 2
+    ev = pa.table({"doc_id": [1], "text": ["alpha beta gamma delta"]})
+    train_rows = [
+        (i, f"w{i}x w{i}y w{i}z") for i in range(100, 140)
+    ]
+    tr = pa.table({
+        "doc_id": [r[0] for r in train_rows],
+        "text": [r[1] for r in train_rows],
+    })
+    bloom_ref = build_eval_gram_bloom(
+        rd.from_arrow(ev), k=k, m_bits=m
+    )
+    got = sorted(
+        bloom_decontaminate(
+            rd.from_arrow(tr), bloom_ref, k=k, m_bits=m
+        ).to_pandas()["doc_id"]
+    )
+    # reference bloom in pure python
+    bits = np.zeros(m, dtype=bool)
+    for g in _doc_gram_strings("alpha beta gamma delta", k):
+        bits[_bloom_positions([g], m).ravel()] = True
+    ref = []
+    for i, text in train_rows:
+        pos = _bloom_positions(_doc_gram_strings(text, k), m)
+        if not bits[pos].all(axis=1).any():
+            ref.append(i)
+    assert got == sorted(ref)
+    # the fixture must actually exercise the overdrop path
+    assert len(ref) < len(train_rows)

@@ -182,3 +182,100 @@ def fuzzy_decontaminate(
         return out_ids.filter(pa.array(~bad))
 
     return train_ds.map_batches(survive, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- bloom scale path
+
+_BLOOM_M_DEFAULT = 1 << 17
+
+
+def _doc_gram_strings(text, k: int):
+    """The oracle's exact gram strings: k-word windows joined by
+    chr(31) over lower().split(); docs shorter than k words contribute
+    their whole token list as one gram (same branch as the exact
+    decontam SQL)."""
+    words = (text or "").lower().split()
+    if len(words) < k:
+        return ["\x1f".join(words)]
+    return [
+        "\x1f".join(words[i:i + k]) for i in range(len(words) - k + 1)
+    ]
+
+
+def _bloom_positions(grams, m_bits: int) -> np.ndarray:
+    """(n_grams, 4) bit positions from ONE md5 per gram: the 128-bit
+    digest splits into four 32-bit lanes (little-endian halves ==
+    DuckDB md5_number_upper/lower), each % m_bits — so the oracle
+    recomputes every position exactly."""
+    import hashlib
+
+    out = np.empty((len(grams), 4), dtype=np.int64)
+    for i, g in enumerate(grams):
+        d = hashlib.md5(g.encode()).digest()
+        u = int.from_bytes(d[:8], "little")
+        lo = int.from_bytes(d[8:], "little")
+        out[i] = (
+            (u & 0xFFFFFFFF) % m_bits,
+            (u >> 32) % m_bits,
+            (lo & 0xFFFFFFFF) % m_bits,
+            (lo >> 32) % m_bits,
+        )
+    return out
+
+
+@ray.remote
+def _eval_bloom_block(k: int, text_col: str, m_bits: int, block):
+    bits = np.zeros(m_bits, dtype=bool)
+    if block is not None and len(block):
+        for text in block[text_col].to_pylist():
+            pos = _bloom_positions(_doc_gram_strings(text, k), m_bits)
+            bits[pos.ravel()] = True
+    return np.packbits(bits)
+
+
+@ray.remote
+def _bloom_or(*packed) -> np.ndarray:
+    out = packed[0].copy()
+    for p in packed[1:]:
+        np.bitwise_or(out, p, out=out)
+    return out
+
+
+def build_eval_gram_bloom(
+    eval_ds, *, k: int = 8, text_col: str = "text",
+    m_bits: int = _BLOOM_M_DEFAULT,
+):
+    """ObjectRef[packed m_bits-bit bloom] over the eval set's grams.
+
+    This is the BOUNDED-STATE sibling of build_eval_gram_set: the
+    exact set grows with the eval corpus (1 GiB guard), the bloom is
+    m_bits/8 bytes NO MATTER how large the held-out side gets — the
+    scale path when decontaminating against a whole reserved shard
+    rather than benchmark-sized suites. Per-block partial bitmaps
+    OR-fold in one task (each is bounded, m_bits/8 bytes)."""
+    refs = list(eval_ds.to_arrow_refs())
+    parts = [
+        _eval_bloom_block.remote(k, text_col, m_bits, r) for r in refs
+    ]
+    return _bloom_or.remote(*parts)
+
+
+def bloom_decontaminate(
+    ds, bloom_ref, *, k: int = 8, text_col: str = "text",
+    id_col: str = "doc_id", m_bits: int = _BLOOM_M_DEFAULT,
+):
+    """Map-only survivor pass: keep docs with NO gram whose four
+    bloom lanes are all set. Overdrop-only error (bloom false
+    positives can drop clean docs, never leak contaminated ones) —
+    and the oracle reproduces those false positives bit-for-bit, so
+    the output is still hash-exact."""
+
+    def survive(batch: pa.Table) -> pa.Table:
+        bits = np.unpackbits(ray.get(bloom_ref)).astype(bool)
+        keep = []
+        for text in batch[text_col].to_pylist():
+            pos = _bloom_positions(_doc_gram_strings(text, k), m_bits)
+            keep.append(not bool(bits[pos].all(axis=1).any()))
+        return batch.filter(pa.array(keep, pa.bool_())).select([id_col])
+
+    return ds.map_batches(survive, batch_format="pyarrow")
