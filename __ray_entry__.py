@@ -1331,6 +1331,17 @@ def _q_events_cms_counts(sf_dir: str):
     return cms_counts(ds, key_col="event_type", depth=4, width=2048)
 
 
+def _q_docs_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplication report (n_docs, n_distinct,
+    dup_rate) — the per-feed health metric."""
+    from webcollector_ray.functions.dedup import dup_rate_by_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return dup_rate_by_group(ds, group_col="source")
+
+
 def _q_docs_mix_report(sf_dir: str):
     """Corpus mix crosstab: docs and token mass per (source, lang) —
     the report every mix-rebalance decision starts from. Per-batch
@@ -1919,6 +1930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mix_report": _q_docs_mix_report,
         "events_cms_counts": _q_events_cms_counts,
         "docs_bloom_decontaminated": _q_docs_bloom_decontaminated,
+        "docs_dup_rate_by_source": _q_docs_dup_rate_by_source,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -3568,6 +3580,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.k AS key, min(cl.s)::BIGINT AS n_est
         FROM hashed h JOIN cells cl ON cl.i = h.i AND cl.cell = h.cell
         GROUP BY h.k
+    """
+    out["docs_dup_rate_by_source"] = """
+        SELECT source, count(*)::BIGINT AS n_docs,
+               count(DISTINCT text)::BIGINT AS n_distinct,
+               (count(*) - count(DISTINCT text))::DOUBLE
+                   / count(*)::DOUBLE AS dup_rate
+        FROM documents GROUP BY source
     """
     out["docs_mix_report"] = f"""
         SELECT source, lang, count(*)::BIGINT AS n_docs,

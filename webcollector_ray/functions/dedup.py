@@ -1572,3 +1572,72 @@ def source_ngram_overlap(
     return parts.groupby(["source_a", "source_b"]).aggregate(
         Sum("n", alias_name="n_shared")
     )
+
+
+def dup_rate_by_group(ds, *, group_col: str = "source",
+                      text_col: str = "text", num_buckets: int = 32):
+    """Duplication report per group: how much of each source's volume
+    is exact-duplicate mass — the health metric a crawl/ingest
+    pipeline watches per feed.
+
+    n_distinct counts texts distinct WITHIN the group; dup_rate =
+    (n_docs - n_distinct)::DOUBLE / n_docs::DOUBLE (exactly-rounded
+    div, oracle mirrors).
+
+    Shape: the exact-dedup text-hash exchange, but each bucket
+    collapses to per-group PARTIAL (docs, distinct) counts — the
+    report rows are group-bounded, the texts never leave their
+    bucket, and the final fold is a tiny groupby."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        texts = np.asarray(batch[text_col].to_pylist(), dtype=object)
+        h = pd.util.hash_array(texts, categorize=False)
+        b = (h % np.uint64(num_buckets)).astype(np.int32)
+        return batch.select([group_col, text_col]).append_column(
+            "__bucket", pa.array(b)
+        )
+
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_distinct": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, text_col]).to_pandas()
+        g = df.groupby(group_col, sort=False).agg(
+            n_docs=(text_col, "size"), n_distinct=(text_col, "nunique")
+        ).reset_index()
+        return pa.table(
+            {
+                group_col: pa.array(g[group_col], pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+                "n_distinct": pa.array(
+                    g["n_distinct"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    from .joins import exchange_reduce
+
+    parts = exchange_reduce(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        partial_counts, empty, num_buckets,
+    )
+    agg = parts.groupby(group_col).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_distinct", alias_name="n_distinct"),
+    )
+
+    def rate(batch: pa.Table) -> pa.Table:
+        nd = batch["n_docs"].to_numpy().astype(np.float64)
+        nu = batch["n_distinct"].to_numpy().astype(np.float64)
+        return batch.append_column(
+            "dup_rate", pa.array((nd - nu) / nd, pa.float64())
+        )
+
+    return agg.map_batches(rate, batch_format="pyarrow")
