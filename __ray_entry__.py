@@ -1468,6 +1468,17 @@ def _q_embeddings_kmeans(sf_dir: str):
     return kmeans_fixed(ds, k=8, iters=2)
 
 
+def _q_embeddings_label_centroids(sf_dir: str):
+    """Per-label fixed-point centroid sums over the embedding table
+    (the supervised k-means update; integer adds -> exact oracle)."""
+    from webcollector_ray.functions.similarity import label_centroid_sums
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return label_centroid_sums(ds)
+
+
 def _q_vocab_top_words(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return vocab_top_words(ds, text_col="text", n=200)
@@ -1931,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cms_counts": _q_events_cms_counts,
         "docs_bloom_decontaminated": _q_docs_bloom_decontaminated,
         "docs_dup_rate_by_source": _q_docs_dup_rate_by_source,
+        "embeddings_label_centroids": _q_embeddings_label_centroids,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -3580,6 +3592,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.k AS key, min(cl.s)::BIGINT AS n_est
         FROM hashed h JOIN cells cl ON cl.i = h.i AND cl.cell = h.cell
         GROUP BY h.k
+    """
+    out["embeddings_label_centroids"] = """
+        WITH dims AS (SELECT unnest(range(1, 65)) AS dim)
+        SELECT e.label::BIGINT AS label,
+               (d.dim - 1)::BIGINT AS dim,
+               sum(floor(e.embedding[d.dim]::DOUBLE
+                         * 1048576.0)::BIGINT)::BIGINT AS s,
+               count(*)::BIGINT AS n
+        FROM embeddings e CROSS JOIN dims d
+        GROUP BY 1, 2
     """
     out["docs_dup_rate_by_source"] = """
         SELECT source, count(*)::BIGINT AS n_docs,

@@ -604,3 +604,49 @@ def random_projection_batch(
     for j in range(out_dim):
         cols[f"p{j}"] = pa.array(P[:, j])
     return pa.table(cols)
+
+
+def label_centroid_sums(
+    ds,
+    *,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+    scale_bits: int = 20,
+):
+    """Per-label centroid accumulators: (label, dim, s, n) with s the
+    FIXED-POINT integer sum floor(v * 2^scale_bits) over that label's
+    vectors — the supervised sibling of the k-means update (same
+    exactness contract: integer adds are order-free, so the
+    distributed sums equal the SQL oracle bit-for-bit; the float
+    centroid is s / (n * 2^scale_bits) when a consumer wants it).
+
+    Shape: one map-only pass emitting a labels x dims partial matrix
+    per block (bounded by #labels * D, not rows), then a tiny
+    groupby-Sum."""
+    from ray.data.aggregate import Sum
+
+    SCALE = float(1 << scale_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[emb_col])
+        q = np.floor(m * SCALE).astype(np.int64)
+        labels = np.asarray(batch[label_col].to_pylist(), dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        lab_out = np.repeat(uniq, d)
+        dim_out = np.tile(np.arange(d, dtype=np.int64), len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(lab_out),
+                "dim": pa.array(dim_out),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["label", "dim"]
+    ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
