@@ -1468,6 +1468,34 @@ def _q_embeddings_kmeans(sf_dir: str):
     return kmeans_fixed(ds, k=8, iters=2)
 
 
+def _q_events_user_gap_median(sf_dir: str):
+    """Per-user inter-event gap median (lower middle element of the
+    microsecond gaps — integer-exact, no float interpolation)."""
+    from webcollector_ray.functions.windows import user_gap_median
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return user_gap_median(ds, key_col="user_id", ts_col="ts")
+
+
+def _q_docs_length_quantiles(sf_dir: str):
+    """Per-source token-length quantiles (p50/p90/p99) — the exact
+    per-key quantile operator composed over the doc table."""
+    from webcollector_ray.functions.textstats import token_count_batch
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    wtok = ds.map_batches(
+        lambda b: token_count_batch(b, "text").select(
+            ["source", "n_tokens"]
+        ),
+        batch_format="pyarrow",
+    )
+    return quantiles_by_key(wtok, key_col="source", value_col="n_tokens")
+
+
 def _q_embeddings_label_centroids(sf_dir: str):
     """Per-label fixed-point centroid sums over the embedding table
     (the supervised k-means update; integer adds -> exact oracle)."""
@@ -1943,6 +1971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bloom_decontaminated": _q_docs_bloom_decontaminated,
         "docs_dup_rate_by_source": _q_docs_dup_rate_by_source,
         "embeddings_label_centroids": _q_embeddings_label_centroids,
+        "events_user_gap_median": _q_events_user_gap_median,
+        "docs_length_quantiles": _q_docs_length_quantiles,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -3592,6 +3622,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.k AS key, min(cl.s)::BIGINT AS n_est
         FROM hashed h JOIN cells cl ON cl.i = h.i AND cl.cell = h.cell
         GROUP BY h.k
+    """
+    out["events_user_gap_median"] = """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                   ) AS gap
+            FROM events
+        ),
+        gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+        r AS (
+            SELECT user_id, gap,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY gap
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM gg
+        )
+        SELECT user_id, n::BIGINT AS n_gaps, gap::BIGINT AS median_gap_us
+        FROM r WHERE rn = (n - 1) // 2 + 1
+    """
+    out["docs_length_quantiles"] = f"""
+        WITH t AS (
+            SELECT source, {_NTOK}::BIGINT AS n_tokens FROM documents
+        )
+        SELECT source,
+               round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+               round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+               round(quantile_cont(n_tokens, 0.99), 6) AS p99
+        FROM t GROUP BY source
     """
     out["embeddings_label_centroids"] = """
         WITH dims AS (SELECT unnest(range(1, 65)) AS dim)

@@ -648,3 +648,77 @@ def spike_windows(
         wins.map_batches(tag, batch_format="pyarrow"),
         flag, empty, num_buckets,
     )
+
+
+def user_gap_median(
+    events,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int = 32,
+):
+    """Per-key inter-event gap median — the cadence feature behind
+    bot/burst detection and session-gap tuning. Returns (key, n_gaps,
+    median_gap_us) for every key with >= 2 events.
+
+    INTEGER-EXACT: gaps are microsecond int64 diffs of the
+    ts-sorted event sequence and the median is the LOWER middle
+    element (index (n-1)//2 of the sorted gaps), so no float
+    interpolation enters the value hash. Equal timestamps produce
+    zero gaps regardless of tie order, keeping the statistic
+    deterministic without a tiebreaker column.
+
+    Shape: ONE key-hash exchange; inside a bucket both sorts are
+    vectorized over all of the bucket's keys at once (session_windows
+    precedent); per-key state is that key's event count."""
+    from .joins import exchange_reduce
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, ts_col])
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        bk = (
+            k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return t.append_column("__bucket", pa.array(bk))
+
+    empty = pa.table(
+        {
+            key_col: pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "median_gap_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, ts_col]).to_pandas()
+        if not len(df):
+            return empty
+        df = df.sort_values([key_col, ts_col], kind="mergesort")
+        ts_us = df[ts_col].astype("datetime64[us]").astype("int64")
+        k = df[key_col].to_numpy()
+        gap = ts_us.diff()
+        same = np.concatenate([[False], k[1:] == k[:-1]])
+        g = pd.DataFrame(
+            {key_col: k[same], "gap": gap.to_numpy()[same]}
+        ).sort_values([key_col, "gap"], kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        n = grp["gap"].transform("size").to_numpy()
+        pick = grp.cumcount().to_numpy() == (n - 1) // 2
+        out = g[pick]
+        return pa.table(
+            {
+                key_col: pa.array(
+                    out[key_col].to_numpy(np.int64)
+                ),
+                "n_gaps": pa.array(n[pick].astype(np.int64)),
+                "median_gap_us": pa.array(
+                    out["gap"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return exchange_reduce(
+        events.map_batches(tag, batch_format="pyarrow"),
+        reduce_fn, empty, num_buckets,
+    )
