@@ -103,119 +103,101 @@ def pagerank_fixed(
         edges.map_batches(node_rows, batch_format="pyarrow"),
         distinct_nodes, nodes_empty, num_buckets,
     ).materialize()
-    n_nodes = nodes.count()
+    import ray.data as rd
+
+    es_refs = list(edges.to_arrow_refs())
+    node_refs = list(nodes.to_arrow_refs())
+    n_nodes = sum(ray.get([_hits_block_len.remote(r) for r in node_refs]))
     r_init = SCALE // n_nodes
     base = (15 * r_init) // 100
 
-    def init_ranks(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "url": batch["url"],
-                "pr_fp": pa.array(
-                    np.full(len(batch), r_init, dtype=np.int64)
-                ),
-            }
-        )
-
-    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow")
-
-    contrib_empty = pa.table(
-        {dst_col: pa.array([], pa.string()), "c": pa.array([], pa.int64())}
-    )
-    ranks_empty = pa.table(
-        {"url": pa.array([], pa.string()), "pr_fp": pa.array([], pa.int64())}
-    )
-
-    # unified schemas for the two per-iteration exchanges (joins.py
-    # pad/tag precedent: Dataset.union requires matching columns)
-    J1 = [src_col, dst_col, "outdeg", "pr_fp"]  # src-keyed join input
-    J2 = ["url", dst_col, "c"]                  # dst-keyed update input
-
-    def _pad(batch: pa.Table, cols, types, key_col) -> pa.Table:
-        n = len(batch)
-        out = pa.table(
-            {
-                c: (
-                    batch[c]
-                    if c in batch.column_names
-                    else pa.nulls(n, types[c])
-                )
-                for c in cols
-            }
-        )
-        return out.append_column(
-            "__bucket",
-            pa.array(_tag_by(batch[key_col].to_pylist(), num_buckets)),
-        )
-
-    j1_types = {
-        src_col: pa.string(), dst_col: pa.string(),
-        "outdeg": pa.int64(), "pr_fp": pa.int64(),
-    }
-    j2_types = {"url": pa.string(), dst_col: pa.string(), "c": pa.int64()}
-
-    def tag_rank_as_src(batch: pa.Table) -> pa.Table:
-        # rank rows enter the src-keyed exchange under the src column
-        b = pa.table(
-            {src_col: batch["url"], "pr_fp": batch["pr_fp"]}
-        )
-        return _pad(b, J1, j1_types, src_col)
-
-    def contribs(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        e = df[df[dst_col].notna()][[src_col, dst_col, "outdeg"]]
-        r = df[df[dst_col].isna()][[src_col, "pr_fp"]]
-        if not len(e) or not len(r):
-            return contrib_empty
-        m = e.merge(r, on=src_col)
-        c = (
-            m["pr_fp"].to_numpy(np.int64)
-            // m["outdeg"].to_numpy(np.int64)
-        )
-        return pa.table(
-            {
-                dst_col: pa.array(m[dst_col].tolist(), pa.string()),
-                "c": pa.array(c),
-            }
-        )
-
-    def update(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        marks = df[df["url"].notna()][["url"]]
-        cs = df[df["url"].isna()][[dst_col, "c"]]
-        s = (
-            cs.groupby(dst_col, sort=False)["c"].sum().astype("int64")
-            if len(cs) else pd.Series(dtype="int64")
-        )
-        sv = marks["url"].map(s).fillna(0).astype("int64").to_numpy()
-        new_r = base + (85 * sv) // 100
-        return pa.table(
-            {
-                "url": pa.array(marks["url"].tolist(), pa.string()),
-                "pr_fp": pa.array(new_r.astype(np.int64)),
-            }
-        )
-
+    # hits_fixed precedent: edges (src-hash), nodes and every rank
+    # vector share ONE node-hash partitioning, so each iteration is
+    # exactly two raw task waves — (1) bucket-aligned zip of ranks
+    # onto their co-bucketed edges emitting (dst, r // outdeg) split
+    # by the dst hash, (2) per-bucket contribution sum onto the node
+    # markers applying the damping update. No per-step Dataset plans,
+    # no union shuffle of the rank side, nothing on the driver.
+    rank_refs = [_pr_init.remote(r, r_init) for r in node_refs]
     for _ in range(iters):
-        joined = edges.map_batches(
-            lambda b: _pad(b, J1, j1_types, src_col),
-            batch_format="pyarrow",
-        ).union(
-            ranks.map_batches(tag_rank_as_src, batch_format="pyarrow")
-        )
-        contrib = exchange_reduce(
-            joined, contribs, contrib_empty, num_buckets
-        )
-        j2 = nodes.map_batches(
-            lambda b: _pad(b, J2, j2_types, "url"), batch_format="pyarrow"
-        ).union(
-            contrib.map_batches(
-                lambda b: _pad(b, J2, j2_types, dst_col),
-                batch_format="pyarrow",
+        parts = [
+            _pr_zip_contrib.options(num_returns=num_buckets).remote(
+                num_buckets, src_col, dst_col, e, rk
             )
-        )
-        ranks = exchange_reduce(j2, update, ranks_empty, num_buckets)
-    return ranks
+            for e, rk in zip(es_refs, rank_refs)
+        ]
+        if num_buckets == 1:
+            parts = [[p] for p in parts]
+        rank_refs = [
+            _pr_update.remote(node_refs[b], base, *[p[b] for p in parts])
+            for b in range(num_buckets)
+        ]
+    return rd.from_arrow_refs(rank_refs)
+
+
+@ray.remote
+def _pr_init(nodes_block: pa.Table, r_init: int) -> pa.Table:
+    return pa.table(
+        {"url": nodes_block["url"],
+         "pr_fp": pa.array(
+             np.full(len(nodes_block), r_init, dtype=np.int64))}
+    )
+
+
+@ray.remote
+def _pr_zip_contrib(
+    num_buckets: int, src_col: str, dst_col: str,
+    edges_block, ranks_block,
+):
+    """Ranks merge onto the co-bucketed edges by src; per-edge
+    contribution r // outdeg splits by the dst hash."""
+    empty = [None] * num_buckets
+    if (
+        edges_block is None or ranks_block is None
+        or len(edges_block) == 0 or len(ranks_block) == 0
+    ):
+        return empty[0] if num_buckets == 1 else tuple(empty)
+    e = edges_block.select([src_col, dst_col, "outdeg"]).to_pandas()
+    r = ranks_block.to_pandas().rename(columns={"url": src_col})
+    m = e.merge(r, on=src_col)
+    c = m["pr_fp"].to_numpy(np.int64) // m["outdeg"].to_numpy(np.int64)
+    vs = m[dst_col].tolist()
+    t = pa.table(
+        {
+            "v": pa.array(vs, pa.string()),
+            "c": pa.array(c),
+            "__bucket": pa.array(_tag_by(vs, num_buckets)),
+        }
+    )
+    b = t["__bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
+    shuffled = t.take(pa.array(order))
+    out = []
+    for i in range(num_buckets):
+        lo, hi = bounds[i], bounds[i + 1]
+        out.append(shuffled.slice(lo, hi - lo) if hi > lo else None)
+    return out[0] if num_buckets == 1 else tuple(out)
+
+
+@ray.remote
+def _pr_update(nodes_block: pa.Table, base: int, *parts) -> pa.Table:
+    """Sum contributions per node over the markers and apply the
+    damping update base + (85 * s) // 100 (no-inlink nodes get the
+    base)."""
+    urls = nodes_block["url"].to_pandas()
+    tabs = [t for t in parts if t is not None and len(t)]
+    if tabs:
+        cat = pa.concat_tables(tabs).to_pandas()
+        s = cat.groupby("v", sort=False)["c"].sum().astype("int64")
+        sv = urls.map(s).fillna(0).astype("int64").to_numpy()
+    else:
+        sv = np.zeros(len(urls), dtype=np.int64)
+    new_r = base + (85 * sv) // 100
+    return pa.table(
+        {"url": nodes_block["url"],
+         "pr_fp": pa.array(new_r.astype(np.int64))}
+    )
 
 
 HITS_SCALE = 10**9
