@@ -1468,6 +1468,55 @@ def _q_embeddings_kmeans(sf_dir: str):
     return kmeans_fixed(ds, k=8, iters=2)
 
 
+def _q_events_hll_by_type(sf_dir: str):
+    """Per-type HLL distinct-user estimates — the grouped form of
+    events_distinct_users_hll (same registers, oracled per key)."""
+    from webcollector_ray.functions.sketches import approx_distinct_hll_by_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return approx_distinct_hll_by_key(
+        ds, key_col="event_type", col="user_id", p=12
+    )
+
+
+def _q_events_winsorized(sf_dir: str):
+    """Outlier clipping: each event's value capped at its type's p99
+    (exact quantile, 6dp-rounded identically on both sides) — the
+    standard winsorization preprocessing step. The quantile table is
+    type-bounded, broadcast via ray.put; the clip pass is map-only."""
+    import ray as _ray
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    q = quantiles_by_key(
+        ds, key_col="event_type", value_col="value"
+    ).to_pandas()
+    p99 = dict(zip(q["event_type"], q["p99"]))
+    p99_ref = _ray.put(p99)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        m = _r.get(p99_ref)
+        caps = np.array(
+            [m[t] for t in batch["event_type"].to_pylist()],
+            dtype=np.float64,
+        )
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "v_clip": pa.array(np.minimum(v, caps), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
 def _q_events_user_gap_median(sf_dir: str):
     """Per-user inter-event gap median (lower middle element of the
     microsecond gaps — integer-exact, no float interpolation)."""
@@ -1973,6 +2022,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_label_centroids": _q_embeddings_label_centroids,
         "events_user_gap_median": _q_events_user_gap_median,
         "docs_length_quantiles": _q_docs_length_quantiles,
+        "events_hll_by_type": _q_events_hll_by_type,
+        "events_winsorized": _q_events_winsorized,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -3622,6 +3673,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.k AS key, min(cl.s)::BIGINT AS n_est
         FROM hashed h JOIN cells cl ON cl.i = h.i AND cl.cell = h.cell
         GROUP BY h.k
+    """
+    _alpha_e = "(0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 / z"
+    out["events_hll_by_type"] = f"""
+        WITH h AS (
+            SELECT event_type,
+                   md5_number_upper(user_id::VARCHAR) AS h
+            FROM events
+        ), r AS (
+            SELECT event_type, (h // 4503599627370496) AS idx,
+                   CASE WHEN (h % 4503599627370496) = 0 THEN 53
+                        ELSE 53 - length(bin(h % 4503599627370496))
+                   END AS rank
+            FROM h
+        ), regs AS (
+            SELECT event_type, idx, max(rank) AS mr
+            FROM r GROUP BY event_type, idx
+        ), keys AS (SELECT DISTINCT event_type FROM events),
+        allregs AS (
+            SELECT k.event_type, coalesce(regs.mr, 0) AS mr
+            FROM keys k
+            CROSS JOIN (SELECT unnest(range(0, 4096)) AS i) i
+            LEFT JOIN regs ON regs.event_type = k.event_type
+                          AND regs.idx = i.i
+        ), agg AS (
+            SELECT event_type, sum(power(2.0, -mr)) AS z,
+                   sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS v,
+                   sum(mr)::BIGINT AS rsum
+            FROM allregs GROUP BY event_type
+        )
+        SELECT event_type,
+               round(CASE WHEN {_alpha_e} <= 2.5 * 4096 AND v > 0
+                     THEN 4096 * ln(4096 / v)
+                     ELSE {_alpha_e} END, 6) AS estimate,
+               (4096 - v)::BIGINT AS nonzero_registers,
+               rsum AS register_sum
+        FROM agg
+    """
+    out["events_winsorized"] = """
+        WITH q AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, least(e.value, q.p99) AS v_clip
+        FROM events e JOIN q USING (event_type)
     """
     out["events_user_gap_median"] = """
         WITH g AS (

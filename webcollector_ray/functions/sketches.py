@@ -712,3 +712,98 @@ def cms_counts(ds, *, key_col: str, depth: int = 4, width: int = 2048,
         )
 
     return merged.map_batches(estimate, batch_format="pyarrow")
+
+
+def approx_distinct_hll_by_key(ds, *, key_col: str, col: str,
+                               p: int = 12, num_buckets: int = 8):
+    """Per-key HyperLogLog distinct counts — the GROUPED form of
+    approx_distinct_hll (same register/hash/estimator definitions, so
+    the same SQL oracle reproduces it per key).
+
+    Per-batch partials hold one m-byte register row per key seen in
+    the batch; ONE key-hash exchange max-merges registers per key and
+    computes the estimate in-bucket. Per-key state is m bytes,
+    mergeable, regardless of row count."""
+    if not (12 <= p <= 18):
+        raise ValueError("p must be in [12, 18]")
+    m = 1 << p
+    shift = np.uint64(64 - p)
+    wmask = np.uint64((1 << (64 - p)) - 1)
+
+    def regs_for(vals) -> np.ndarray:
+        regs = np.zeros(m, dtype=np.uint8)
+        if len(vals):
+            h = np.array(
+                [_md5le64(str(v)) for v in set(vals)], dtype=np.uint64
+            )
+            idx = (h >> shift).astype(np.int64)
+            w = h & wmask
+            bl = np.frexp(w.astype(np.float64))[1]
+            rank = (64 - p) - bl + 1
+            np.maximum.at(regs, idx, rank.astype(np.uint8))
+        return regs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_pylist(),
+                "__v": batch[col].to_pylist(),
+            }
+        )
+        keys, regrows = [], []
+        for k, g in df.groupby(key_col, sort=False):
+            keys.append(k)
+            regrows.append(regs_for(g["__v"].tolist()).tolist())
+        bk = (
+            pd.util.hash_array(
+                np.asarray(keys, dtype=object), categorize=False
+            ) % np.uint64(num_buckets)
+        ).astype(np.int32) if keys else np.zeros(0, dtype=np.int32)
+        return pa.table(
+            {
+                key_col: pa.array(keys, pa.string()),
+                "registers": pa.array(regrows, pa.list_(pa.uint8())),
+                "__bucket": pa.array(bk),
+            }
+        )
+
+    empty = pa.table(
+        {
+            key_col: pa.array([], pa.string()),
+            "estimate": pa.array([], pa.float64()),
+            "nonzero_registers": pa.array([], pa.int64()),
+            "register_sum": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, "registers"]).to_pandas()
+        keys, est, nz, rs = [], [], [], []
+        for k, g in df.groupby(key_col, sort=False):
+            R = np.maximum.reduce(
+                np.stack(
+                    [np.asarray(r, dtype=np.uint8) for r in g["registers"]]
+                )
+            )
+            Z = float(np.sum(np.power(2.0, -R.astype(np.float64))))
+            E = hll_alpha(m) * m * m / Z
+            V = int((R == 0).sum())
+            if E <= 2.5 * m and V > 0:
+                E = m * float(np.log(m / V))
+            keys.append(k)
+            est.append(round(E, 6))
+            nz.append(m - V)
+            rs.append(int(R.sum()))
+        return pa.table(
+            {
+                key_col: pa.array(keys, pa.string()),
+                "estimate": pa.array(est, pa.float64()),
+                "nonzero_registers": pa.array(nz, pa.int64()),
+                "register_sum": pa.array(rs, pa.int64()),
+            }
+        )
+
+    return exchange_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        reduce_fn, empty, num_buckets,
+    )
