@@ -754,6 +754,172 @@ def _q_events_top100(sf_dir: str):
     return global_top_n(ev, order_col="value", n=100, tie_col="event_id")
 
 
+_Q3_CUTOFF = "1998-01-01"
+
+
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 (shipping priority): top-10 BUILDING-segment orders by
+    open revenue. Scale shape: lineitem revenue pre-aggregates per
+    order INSIDE map_batches before any join (the shuffle moves order
+    partials, not line items); orders semi-join the filtered segment;
+    one bucketed inner join attaches date/priority; global_top_n
+    finishes without a full sort. Revenue is cent x (100 - disc)
+    FIXED-POINT int64 (order-free adds, exact oracle)."""
+    import datetime as _dt
+
+    from webcollector_ray.functions.joins import hash_join
+    from webcollector_ray.functions.ranking import global_top_n
+
+    cutoff = np.datetime64(_Q3_CUTOFF)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["c_mktsegment"], "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.less(b["o_orderdate"], pa.scalar(_dt.datetime(1998, 1, 1)))
+        ),
+        batch_format="pyarrow",
+    )
+    o2 = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="semi"
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] > pd.Timestamp(cutoff)]
+        rev = (
+            np.round(df["l_extendedprice"].to_numpy() * 100).astype(
+                np.int64
+            )
+            * (100 - np.round(df["l_discount"].to_numpy() * 100).astype(
+                np.int64
+            ))
+        )
+        g = pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(), "revenue_fp": rev}
+        ).groupby("l_orderkey", sort=False, as_index=False)[
+            "revenue_fp"
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pyarrow").groupby(
+        "l_orderkey"
+    ).aggregate(Sum("revenue_fp", alias_name="revenue_fp"))
+
+    j = hash_join(li, o2, on="l_orderkey", right_on="o_orderkey")
+    return global_top_n(
+        j, order_col="revenue_fp", n=10, tie_col="l_orderkey"
+    )
+
+
+def _q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting): top-20 customers by
+    returned revenue. Scale shape: lineitem R-rows pre-aggregate per
+    order in map_batches; one bucketed join maps order -> custkey; a
+    second per-custkey partial aggregate; one bucketed join attaches
+    customer attrs (customer is NOT a dim — 1.5M rows/SF); nation IS
+    a dim -> ray.put broadcast; global_top_n finishes."""
+    from webcollector_ray.functions.joins import hash_join
+    from webcollector_ray.functions.ranking import global_top_n
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap_ref = ray.put(
+        dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = (
+            np.round(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            * (100 - np.round(
+                t["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64))
+        )
+        g = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "revenue_fp": rev,
+            }
+        ).groupby("l_orderkey", sort=False, as_index=False)[
+            "revenue_fp"
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    per_order = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey"
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["o_custkey", "revenue_fp"]).to_pandas()
+            .groupby("o_custkey", sort=False, as_index=False)[
+                "revenue_fp"
+            ].sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = per_order.map_batches(
+        cust_partial, batch_format="pyarrow"
+    ).groupby("o_custkey").aggregate(
+        Sum("revenue_fp", alias_name="revenue_fp")
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    j = hash_join(per_cust, cust, on="o_custkey", right_on="c_custkey")
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        names = [nmap[k] for k in batch["c_nationkey"].to_pylist()]
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "c_name": batch["c_name"],
+                "n_name": pa.array(names, pa.string()),
+                "revenue_fp": batch["revenue_fp"],
+            }
+        )
+
+    out = j.map_batches(add_nation, batch_format="pyarrow")
+    return global_top_n(
+        out, order_col="revenue_fp", n=20, tie_col="c_custkey"
+    )
+
+
 def _q_lineitem_pricing(sf_dir: str):
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -2022,6 +2188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_quantiles": _q_docs_length_quantiles,
         "events_hll_by_type": _q_events_hll_by_type,
         "events_winsorized": _q_events_winsorized,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q10": _q_tpch_q10,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -4609,6 +4777,36 @@ def _oracle_sql_static() -> dict[str, str]:
                    1::BIGINT AS execute_count, 200::BIGINT AS code,
                    min(depth)::BIGINT AS depth
             FROM bfs GROUP BY url
+        """,
+        "tpch_q3": f"""
+            SELECT l.l_orderkey,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   )::BIGINT AS revenue_fp,
+                   o.o_orderdate, o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+              AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+            GROUP BY 1, 3, 4
+            ORDER BY revenue_fp DESC, l.l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q10": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   )::BIGINT AS revenue_fp
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_fp DESC, c.c_custkey ASC
+            LIMIT 20
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
