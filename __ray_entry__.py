@@ -605,6 +605,45 @@ def _q_docs_fuzzy_clean_corpus(sf_dir: str):
     return kept
 
 
+def _q_docs_fuzzy_best_clean_corpus(sf_dir: str):
+    """Fuzzy dedup keeping each near-dup cluster's HIGHEST-QUALITY
+    member (longest by token count, ties to the smaller doc_id)
+    instead of the min-id — the representative choice real curation
+    pipelines make. Same bucketed composition as
+    docs_fuzzy_clean_corpus plus one length join and a grouped
+    top-1."""
+    from webcollector_ray.functions.dedup import cluster_pairs_minlabel
+    from webcollector_ray.functions.joins import hash_join
+    from webcollector_ray.functions.ranking import top_n_per_group
+    from webcollector_ray.functions.textstats import token_count_batch
+
+    docs = _docs(sf_dir)
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    labels = cluster_pairs_minlabel(pairs, id_col="doc_id")
+    lens = docs.map_batches(
+        lambda b: token_count_batch(b, "text").select(
+            ["doc_id", "n_tokens"]
+        ),
+        batch_format="pyarrow",
+    )
+    lab_len = hash_join(labels, lens, on="doc_id")
+    winners = top_n_per_group(
+        lab_len, key_col="cluster", order_col="n_tokens", n=1,
+        tie_col="doc_id",
+    ).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    dropped = hash_join(
+        labels.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+        ),
+        winners, on="doc_id", how="anti",
+    )
+    return hash_join(
+        docs.select_columns(["doc_id"]), dropped, on="doc_id", how="anti"
+    )
+
+
 def _cents(batch: pa.Table, src: str, dst: str) -> pa.Table:
     """Exact-decimal sums: 2-decimal money doubles -> integer cents, so
     distributed summation order can't perturb the value hash."""
@@ -2190,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized": _q_events_winsorized,
         "tpch_q3": _q_tpch_q3,
         "tpch_q10": _q_tpch_q10,
+        "docs_fuzzy_best_clean_corpus": _q_docs_fuzzy_best_clean_corpus,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -2861,11 +2901,33 @@ def _minhash_oracle_sqls() -> dict[str, str]:
                 OR (p.id_b = d.doc_id AND p.id_a % 3 != 0))
           )
     """
+    # best-quality representative variant: same reach/clus chain, the
+    # final keep-set swaps min-id for argmax(n_tokens, min doc_id)
+    fuzzy_best = fuzzy_clean[:fuzzy_clean.rindex("SELECT d.doc_id")]
+    fuzzy_best = fuzzy_best.rstrip().rstrip(")") + ")" + f""",
+        lens AS (
+            SELECT doc_id, {_NTOK}::BIGINT AS n_tokens FROM documents
+        ),
+        winners AS (
+            SELECT doc_id FROM (
+                SELECT c.doc_id,
+                       row_number() OVER (
+                           PARTITION BY c.cluster
+                           ORDER BY l.n_tokens DESC, c.doc_id ASC
+                       ) AS rn
+                FROM clus c JOIN lens l USING (doc_id)
+            ) WHERE rn = 1
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM clus)
+           OR d.doc_id IN (SELECT doc_id FROM winners)
+    """
     return {
         "dedup_minhash": minhash,
         "dedup_ngram_verified": ngram,
         "dedup_containment": containment,
         "docs_fuzzy_clean_corpus": fuzzy_clean,
+        "docs_fuzzy_best_clean_corpus": fuzzy_best,
         "docs_fuzzy_decontaminated": fuzzy_decon,
         "docs_incremental_fuzzy_new": fuzzy_delta,
     }
