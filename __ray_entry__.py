@@ -809,8 +809,6 @@ def _q_tpch_q3(sf_dir: str):
     from webcollector_ray.functions.joins import hash_join
     from webcollector_ray.functions.ranking import global_top_n
 
-    cutoff = np.datetime64(_Q3_CUTOFF)
-
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment"],
@@ -838,33 +836,123 @@ def _q_tpch_q3(sf_dir: str):
         batch_format="pyarrow",
     )
 
+    # ONE orderkey-hash exchange fuses the per-order revenue sum with
+    # the date/priority attach — a Ray-Data groupby + join would move
+    # the same partials through two shuffles
+    from webcollector_ray.functions.joins import (
+        _bucket_ids,
+        exchange_reduce,
+    )
+
+    nb = 32
+    cols = ["l_orderkey", "revenue_fp", "o_orderdate", "o_orderpriority"]
+    types = {
+        "l_orderkey": pa.int64(), "revenue_fp": pa.int64(),
+        "o_orderdate": dict(
+            zip(orders.schema().names, orders.schema().types)
+        )["o_orderdate"],
+        "o_orderpriority": pa.string(),
+    }
+    empty = pa.table({c: pa.nulls(0, types[c]) for c in cols})
+
+    def _pad_tag(batch: pa.Table, key: str) -> pa.Table:
+        n = len(batch)
+        out = pa.table(
+            {
+                c: (batch[c] if c in batch.column_names
+                    else pa.nulls(n, types[c]))
+                for c in cols
+            }
+        )
+        return out.append_column(
+            "__bucket", pa.array(_bucket_ids(batch[key], nb))
+        )
+
     def li_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df[df["l_shipdate"] > pd.Timestamp(cutoff)]
-        rev = (
-            np.round(df["l_extendedprice"].to_numpy() * 100).astype(
-                np.int64
+        # Arrow-filter BEFORE any pandas conversion — only the ~open
+        # rows pay the conversion + groupby
+        f = batch.filter(
+            pc.greater(
+                batch["l_shipdate"],
+                pa.scalar(_dt.datetime(1998, 1, 1)),
             )
-            * (100 - np.round(df["l_discount"].to_numpy() * 100).astype(
-                np.int64
-            ))
+        )
+        rev = (
+            np.round(
+                f["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            * (100 - np.round(
+                f["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64))
         )
         g = pd.DataFrame(
-            {"l_orderkey": df["l_orderkey"].to_numpy(), "revenue_fp": rev}
+            {
+                "l_orderkey": f["l_orderkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "revenue_fp": rev,
+            }
         ).groupby("l_orderkey", sort=False, as_index=False)[
             "revenue_fp"
         ].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table(
+            {
+                "l_orderkey": pa.array(
+                    g["l_orderkey"].to_numpy(np.int64)
+                ),
+                "revenue_fp": pa.array(
+                    g["revenue_fp"].to_numpy(np.int64)
+                ),
+            }
+        )
+        return _pad_tag(t, "l_orderkey")
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_shipdate"],
-    ).map_batches(li_partial, batch_format="pyarrow").groupby(
-        "l_orderkey"
-    ).aggregate(Sum("revenue_fp", alias_name="revenue_fp"))
+    ).map_batches(li_partial, batch_format="pyarrow")
+    o2t = o2.map_batches(
+        lambda b: _pad_tag(
+            pa.table(
+                {
+                    "l_orderkey": b["o_orderkey"],
+                    "o_orderdate": b["o_orderdate"],
+                    "o_orderpriority": b["o_orderpriority"],
+                }
+            ),
+            "l_orderkey",
+        ),
+        batch_format="pyarrow",
+    )
 
-    j = hash_join(li, o2, on="l_orderkey", right_on="o_orderkey")
+    def fuse(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        rev = df[df["revenue_fp"].notna()].groupby(
+            "l_orderkey", sort=False, as_index=False
+        )["revenue_fp"].sum()
+        o = df[df["revenue_fp"].isna()][
+            ["l_orderkey", "o_orderdate", "o_orderpriority"]
+        ]
+        m = rev.merge(o, on="l_orderkey")
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    m["l_orderkey"].to_numpy(np.int64)
+                ),
+                "revenue_fp": pa.array(
+                    m["revenue_fp"].to_numpy(np.int64)
+                ),
+                "o_orderdate": pa.array(
+                    m["o_orderdate"], types["o_orderdate"]
+                ),
+                "o_orderpriority": pa.array(
+                    m["o_orderpriority"], pa.string()
+                ),
+            }
+        )
+
+    j = exchange_reduce(li.union(o2t), fuse, empty, nb)
     return global_top_n(
         j, order_col="revenue_fp", n=10, tie_col="l_orderkey"
     )
@@ -909,37 +997,130 @@ def _q_tpch_q10(sf_dir: str):
         ].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    from webcollector_ray.functions.joins import (
+        _bucket_ids,
+        exchange_reduce,
+    )
+
+    nb = 32
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice",
                  "l_discount"],
     ).map_batches(li_partial, batch_format="pyarrow")
+
+    # exchange 1 (orderkey-hash): per-order revenue sums merge with the
+    # co-bucketed orders rows and RE-AGGREGATE per custkey in-bucket —
+    # the custkey exchange then moves bounded per-cust partials
+    k1 = ["l_orderkey", "revenue_fp", "o_custkey"]
+    t1 = {"l_orderkey": pa.int64(), "revenue_fp": pa.int64(),
+          "o_custkey": pa.int64()}
+    e1 = pa.table(
+        {"o_custkey": pa.array([], pa.int64()),
+         "revenue_fp": pa.array([], pa.int64())}
+    )
+
+    def pad1(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = pa.table(
+            {c: (batch[c] if c in batch.column_names
+                 else pa.nulls(n, t1[c])) for c in k1}
+        )
+        return out.append_column(
+            "__bucket", pa.array(_bucket_ids(batch["l_orderkey"], nb))
+        )
+
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
-    per_order = hash_join(
-        li, orders, on="l_orderkey", right_on="o_orderkey"
+    ).map_batches(
+        lambda b: pad1(
+            pa.table(
+                {"l_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"]}
+            )
+        ),
+        batch_format="pyarrow",
     )
 
-    def cust_partial(batch: pa.Table) -> pa.Table:
-        g = (
-            batch.select(["o_custkey", "revenue_fp"]).to_pandas()
-            .groupby("o_custkey", sort=False, as_index=False)[
-                "revenue_fp"
-            ].sum()
+    def fuse1(t: pa.Table) -> pa.Table:
+        df = t.select(k1).to_pandas()
+        rev = df[df["revenue_fp"].notna()].groupby(
+            "l_orderkey", sort=False, as_index=False
+        )["revenue_fp"].sum()
+        o = df[df["revenue_fp"].isna()][["l_orderkey", "o_custkey"]]
+        m = rev.merge(o, on="l_orderkey")
+        g = m.groupby("o_custkey", sort=False, as_index=False)[
+            "revenue_fp"
+        ].sum()
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["o_custkey"].to_numpy(np.int64)),
+                "revenue_fp": pa.array(
+                    g["revenue_fp"].to_numpy(np.int64)
+                ),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_cust = per_order.map_batches(
-        cust_partial, batch_format="pyarrow"
-    ).groupby("o_custkey").aggregate(
-        Sum("revenue_fp", alias_name="revenue_fp")
+    per_cust = exchange_reduce(
+        li.map_batches(pad1, batch_format="pyarrow").union(orders),
+        fuse1, e1, nb,
     )
+
+    # exchange 2 (custkey-hash): per-cust partials sum and merge the
+    # customer attrs in one reduce
+    k2 = ["o_custkey", "revenue_fp", "c_name", "c_nationkey"]
+    t2 = {"o_custkey": pa.int64(), "revenue_fp": pa.int64(),
+          "c_name": pa.string(), "c_nationkey": pa.int64()}
+    e2 = pa.table({c: pa.array([], t2[c]) for c in k2})
+
+    def pad2(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = pa.table(
+            {c: (batch[c] if c in batch.column_names
+                 else pa.nulls(n, t2[c])) for c in k2}
+        )
+        return out.append_column(
+            "__bucket", pa.array(_bucket_ids(batch["o_custkey"], nb))
+        )
+
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_nationkey"],
+    ).map_batches(
+        lambda b: pad2(
+            pa.table(
+                {"o_custkey": b["c_custkey"], "c_name": b["c_name"],
+                 "c_nationkey": b["c_nationkey"]}
+            )
+        ),
+        batch_format="pyarrow",
     )
-    j = hash_join(per_cust, cust, on="o_custkey", right_on="c_custkey")
+
+    def fuse2(t: pa.Table) -> pa.Table:
+        df = t.select(k2).to_pandas()
+        rev = df[df["revenue_fp"].notna()].groupby(
+            "o_custkey", sort=False, as_index=False
+        )["revenue_fp"].sum()
+        c = df[df["revenue_fp"].isna()][
+            ["o_custkey", "c_name", "c_nationkey"]
+        ]
+        m = rev.merge(c, on="o_custkey")
+        return pa.table(
+            {
+                "o_custkey": pa.array(m["o_custkey"].to_numpy(np.int64)),
+                "revenue_fp": pa.array(
+                    m["revenue_fp"].to_numpy(np.int64)
+                ),
+                "c_name": pa.array(m["c_name"], pa.string()),
+                "c_nationkey": pa.array(
+                    m["c_nationkey"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    j = exchange_reduce(
+        per_cust.map_batches(pad2, batch_format="pyarrow").union(cust),
+        fuse2, e2, nb,
+    )
 
     def add_nation(batch: pa.Table) -> pa.Table:
         nmap = ray.get(nmap_ref)

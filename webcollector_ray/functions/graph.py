@@ -10,13 +10,15 @@ divisions r // outdeg, and the damping update is
 — integer adds are order-free, so the distributed sums equal the SQL
 oracle bit-for-bit regardless of block order.
 
-Distribution shape per iteration: TWO bucket exchanges —
-(1) ranks join their src-bucketed edges (all edges of a src live in
-one bucket, where outdeg was counted in the same pass), emitting
-(dst, contribution) rows; (2) contributions sum per dst alongside the
-co-bucketed node markers, emitting the new rank row for every node
-(no-inlink nodes get the base). Nothing is all-to-all beyond the
-bucket hash, and rank state never collects on the driver.
+Distribution shape per iteration: TWO raw task waves over ONE shared
+node-hash partitioning (edges src-bucketed with outdeg counted in
+place; nodes and every rank vector bucket-ALIGNED with them) —
+(1) ranks zip onto their co-bucketed edges, emitting (dst,
+r // outdeg) split by the dst hash; (2) contributions sum per dst
+onto the node markers with the damping update applied in place
+(no-inlink nodes get the base). No per-step Dataset plans, nothing
+all-to-all beyond the bucket hash, and rank state never collects on
+the driver. hits_fixed and degree_histogram ride the same layout.
 """
 
 from __future__ import annotations
