@@ -1854,6 +1854,20 @@ def _q_embeddings_kmeans(sf_dir: str):
     return kmeans_fixed(ds, k=8, iters=2)
 
 
+def _q_events_rolling_distinct(sf_dir: str):
+    """Rolling-7-day distinct users per day (WAU-per-day) — hopping
+    window distinct with the (key, day) pre-dedupe combiner."""
+    from webcollector_ray.functions.windows import rolling_distinct_keys
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return rolling_distinct_keys(
+        ds, key_col="user_id", ts_col="ts",
+        window_sec=7 * 86400, hop_sec=86400,
+    )
+
+
 def _q_events_hll_by_type(sf_dir: str):
     """Per-type HLL distinct-user estimates — the grouped form of
     events_distinct_users_hll (same registers, oracled per key)."""
@@ -2411,6 +2425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": _q_tpch_q3,
         "tpch_q10": _q_tpch_q10,
         "docs_fuzzy_best_clean_corpus": _q_docs_fuzzy_best_clean_corpus,
+        "events_rolling_distinct": _q_events_rolling_distinct,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -4084,6 +4099,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.k AS key, min(cl.s)::BIGINT AS n_est
         FROM hashed h JOIN cells cl ON cl.i = h.i AND cl.cell = h.cell
         GROUP BY h.k
+    """
+    out["events_rolling_distinct"] = """
+        WITH p AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+            FROM events
+        ),
+        w AS (
+            SELECT DISTINCT user_id, (d - k.k) * 86400 AS window_start
+            FROM p CROSS JOIN (SELECT unnest(range(0, 7)) AS k) k
+        )
+        SELECT window_start, count(DISTINCT user_id)::BIGINT AS n_distinct
+        FROM w GROUP BY window_start
     """
     _alpha_e = "(0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 / z"
     out["events_hll_by_type"] = f"""

@@ -722,3 +722,111 @@ def user_gap_median(
         events.map_batches(tag, batch_format="pyarrow"),
         reduce_fn, empty, num_buckets,
     )
+
+
+def rolling_distinct_keys(
+    events,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_sec: int = 7 * 86400,
+    hop_sec: int = 86400,
+    num_buckets: int = 32,
+):
+    """-> (window_start:int64, n_distinct:int64): distinct `key_col`
+    per HOPPING window — the rolling-7-day-actives (WAU-per-day)
+    census. window_sec must be a multiple of hop_sec.
+
+    Scale shape (window_distinct_keys precedent, the distinct set
+    never assembles): the batch combiner first dedupes to (key,
+    hop-bucket) pairs — a key active 1000x in a day explodes ONCE —
+    then fans each pair out to the window/hop windows it belongs to;
+    the pair-hash exchange dedupes completely in-bucket and collapses
+    to per-window partials; one window-hash exchange sums them."""
+    if window_sec % hop_sec:
+        raise ValueError("window_sec must be a multiple of hop_sec")
+    w_per_h = window_sec // hop_sec
+
+    from .joins import exchange_reduce
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t_us = pc.cast(batch[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = t_us // (hop_sec * 1_000_000)
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_numpy(zero_copy_only=False),
+                "__d": day,
+            }
+        ).drop_duplicates()
+        k = np.repeat(df[key_col].to_numpy(), w_per_h)
+        d = np.repeat(df["__d"].to_numpy(), w_per_h)
+        offs = np.tile(np.arange(w_per_h, dtype=np.int64), len(df))
+        g = pd.DataFrame(
+            {
+                key_col: k,
+                "window_start": (d - offs) * hop_sec,
+            }
+        ).drop_duplicates()
+        return _win_bucketed(g, key_col, num_buckets)
+
+    empty_pairs_out = pa.table(
+        {
+            "window_start": pa.nulls(0, pa.int64()),
+            "n": pa.nulls(0, pa.int64()),
+            "__bucket": pa.nulls(0, pa.int32()),
+        }
+    )
+
+    def dedupe_and_count(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["__bucket"]).to_pandas().drop_duplicates(
+            [key_col, "window_start"]
+        )
+        g = df.groupby("window_start", sort=False).size().reset_index(
+            name="n"
+        )
+        w = g["window_start"].to_numpy().astype(np.int64)
+        bk = (
+            (w.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "window_start": pa.array(w),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+                "__bucket": pa.array(bk),
+            }
+        )
+
+    partial_counts = exchange_reduce(
+        events.map_batches(pairs, batch_format="pyarrow"),
+        dedupe_and_count, empty_pairs_out, num_buckets,
+    )
+
+    empty_out = pa.table(
+        {
+            "window_start": pa.nulls(0, pa.int64()),
+            "n_distinct": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def sum_partials(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["__bucket"]).to_pandas()
+        out = df.groupby("window_start", sort=False, as_index=False)[
+            "n"
+        ].sum()
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    out["window_start"].to_numpy().astype(np.int64)
+                ),
+                "n_distinct": pa.array(
+                    out["n"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    return exchange_reduce(
+        partial_counts, sum_partials, empty_out, num_buckets
+    )
