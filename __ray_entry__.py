@@ -1697,6 +1697,43 @@ def _q_events_spikes(sf_dir: str):
     )
 
 
+def _crawl_edges_ds(sf_dir: str):
+    """Shared anchor-edge extraction over the synthetic web (the input
+    of every link-graph census)."""
+    from webcollector_ray.stages.extract import anchor_rows_batch
+
+    spec = _crawl_spec(sf_dir)
+    pages = synth_pages_table(spec)
+    html_pages = rd.from_arrow(pages.select(["url", "html"]))
+    return html_pages.map_batches(
+        lambda b: anchor_rows_batch(b, CRAWL_REGEX).select(
+            ["src_url", "target_url"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_crawl_reciprocity(sf_dir: str):
+    """Link reciprocity census of the synthetic web's graph."""
+    from webcollector_ray.functions.graph import reciprocity_census
+
+    return reciprocity_census(
+        _crawl_edges_ds(sf_dir), src_col="src_url",
+        dst_col="target_url", num_buckets=8,
+    )
+
+
+def _q_crawl_triangles(sf_dir: str):
+    """Exact triangle count of the undirected link graph (two-round
+    wedge-check)."""
+    from webcollector_ray.functions.graph import triangle_count
+
+    return triangle_count(
+        _crawl_edges_ds(sf_dir), src_col="src_url",
+        dst_col="target_url", num_buckets=8,
+    )
+
+
 def _q_docs_length_pct(sf_dir: str):
     """Percentile rank of every doc by token length — distributed
     rank via a bounded value histogram, no sort, no shuffle."""
@@ -2426,6 +2463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10": _q_tpch_q10,
         "docs_fuzzy_best_clean_corpus": _q_docs_fuzzy_best_clean_corpus,
         "events_rolling_distinct": _q_events_rolling_distinct,
+        "crawl_reciprocity": _q_crawl_reciprocity,
+        "crawl_triangles": _q_crawl_triangles,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -4266,6 +4305,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT window_start, event_type, n_events, rnk::BIGINT AS "rank"
         FROM r WHERE rnk <= 3
+    """
+    out["crawl_reciprocity"] = _crawl_edges_cte() + """,
+        de AS (
+            SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+        )
+        SELECT (SELECT count(*) FROM de)::BIGINT AS n_edges,
+               (SELECT count(*) FROM de d
+                JOIN de r ON d.src = r.dst AND d.dst = r.src
+               )::BIGINT AS n_reciprocal
+    """
+    out["crawl_triangles"] = _crawl_edges_cte() + """,
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        )
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
     """
     out["docs_length_pct"] = f"""
         WITH t AS (

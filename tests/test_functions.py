@@ -1685,3 +1685,27 @@ def test_bloom_decontaminate_false_positives(ray_session):
     assert got == sorted(ref)
     # the fixture must actually exercise the overdrop path
     assert len(ref) < len(train_rows)
+
+
+def test_reciprocity_and_triangles(ray_session):
+    from webcollector_ray.functions.graph import (
+        reciprocity_census,
+        triangle_count,
+    )
+
+    # triangle a-b-c (one direction each) + reciprocal pair d<->e +
+    # dangling edge a->d + self loop (ignored) + duplicate edge
+    edges = pa.table({
+        "src": ["a", "b", "c", "d", "e", "a", "f", "a"],
+        "dst": ["b", "c", "a", "e", "d", "d", "f", "b"],
+    })
+    r = reciprocity_census(
+        rd.from_arrow(edges), num_buckets=4
+    ).to_pandas().iloc[0]
+    # directed distinct non-self edges: ab, bc, ca, de, ed, ad = 6
+    assert r["n_edges"] == 6
+    assert r["n_reciprocal"] == 2  # de and ed
+    t = triangle_count(
+        rd.from_arrow(edges), num_buckets=4
+    ).to_pandas().iloc[0]
+    assert t["n_triangles"] == 1
