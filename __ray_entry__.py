@@ -1891,6 +1891,55 @@ def _q_embeddings_kmeans(sf_dir: str):
     return kmeans_fixed(ds, k=8, iters=2)
 
 
+def _q_events_session_stats(sf_dir: str):
+    """Session-level listing (1-based index, event count, integer
+    microsecond duration) under the 1h-gap rule."""
+    from webcollector_ray.functions.windows import session_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return session_stats(ds, key_col="user_id", ts_col="ts",
+                         gap_sec=3600)
+
+
+def _q_orders_attribution(sf_dir: str):
+    """First-touch attribution: each order credits the user's FIRST
+    event at or after the order date (the synthetic timeline places
+    all events after all orders, so forward is the populated
+    direction; ties resolve to the MIN event_id — pandas forward
+    keeps the first row among equals, mirrored by arg_min); output is
+    the per-event-type credited order count."""
+    from ray.data.aggregate import Count
+
+    from webcollector_ray.functions.joins import asof_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    j = asof_join(
+        orders, ev,
+        by="o_custkey", right_by="user_id",
+        left_on="o_orderdate", right_on="ts",
+        right_tie_cols=["event_id"],
+        direction="forward",
+    )
+    matched = j.map_batches(
+        lambda b: b.filter(pc.is_valid(b["event_type"])).select(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return matched.groupby("event_type").aggregate(
+        Count(alias_name="n_orders")
+    )
+
+
 def _q_events_rolling_distinct(sf_dir: str):
     """Rolling-7-day distinct users per day (WAU-per-day) — hopping
     window distinct with the (key, day) pre-dedupe combiner."""
@@ -2465,6 +2514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_distinct": _q_events_rolling_distinct,
         "crawl_reciprocity": _q_crawl_reciprocity,
         "crawl_triangles": _q_crawl_triangles,
+        "events_session_stats": _q_events_session_stats,
+        "orders_attribution": _q_orders_attribution,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -4138,6 +4189,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.k AS key, min(cl.s)::BIGINT AS n_est
         FROM hashed h JOIN cells cl ON cl.i = h.i AND cl.cell = h.cell
         GROUP BY h.k
+    """
+    out["events_session_stats"] = """
+        WITH s AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                        )) > 3600 THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) + 1 AS sid
+            FROM s
+        )
+        SELECT user_id, sid::BIGINT AS session_idx,
+               count(*)::BIGINT AS n_events,
+               (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT
+                   AS duration_us
+        FROM g GROUP BY user_id, sid
+    """
+    out["orders_attribution"] = """
+        WITH ev AS (
+            SELECT user_id, ts,
+                   arg_min(event_type, event_id) AS event_type
+            FROM events GROUP BY user_id, ts
+        ),
+        j AS (
+            SELECT o.o_orderkey, e.event_type
+            FROM orders o ASOF LEFT JOIN ev e
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_type, count(*)::BIGINT AS n_orders
+        FROM j WHERE event_type IS NOT NULL GROUP BY event_type
     """
     out["events_rolling_distinct"] = """
         WITH p AS (

@@ -830,3 +830,71 @@ def rolling_distinct_keys(
     return exchange_reduce(
         partial_counts, sum_partials, empty_out, num_buckets
     )
+
+
+def session_stats(
+    events,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_sec: int = 3600,
+    num_buckets: int = 64,
+):
+    """Per-session listing: (key, session_idx 1-based in time order,
+    n_events, duration_us) — the session-LEVEL detail behind
+    session_windows' per-key rollup (same gap rule, same bucketed
+    vectorized shape; durations are integer microsecond spans so the
+    value hash is float-free)."""
+    from .joins import exchange_reduce
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        bk = (
+            (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return batch.select([key_col, ts_col]).append_column(
+            "__bucket", pa.array(bk)
+        )
+
+    empty = pa.table(
+        {
+            key_col: pa.array([], pa.int64()),
+            "session_idx": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "duration_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, ts_col]).to_pandas()
+        if not len(df):
+            return empty
+        df = df.sort_values([key_col, ts_col], kind="mergesort")
+        diffs = df[ts_col].diff().dt.total_seconds()
+        same_key = df[key_col].eq(df[key_col].shift())
+        new_s = ((diffs > gap_sec) & same_key).astype("int64")
+        df = df.assign(__sid=new_s.groupby(
+            df[key_col], sort=False
+        ).cumsum() + 1)
+        us = df[ts_col].astype("datetime64[us]").astype("int64")
+        df = df.assign(__us=us)
+        g = df.groupby([key_col, "__sid"], sort=False).agg(
+            n_events=(ts_col, "size"), mn=("__us", "min"),
+            mx=("__us", "max"),
+        ).reset_index()
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col].to_numpy(np.int64)),
+                "session_idx": pa.array(g["__sid"].to_numpy(np.int64)),
+                "n_events": pa.array(g["n_events"].to_numpy(np.int64)),
+                "duration_us": pa.array(
+                    (g["mx"] - g["mn"]).to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return exchange_reduce(
+        events.map_batches(add_bucket, batch_format="pyarrow"),
+        per_bucket, empty, num_buckets,
+    )
