@@ -1140,6 +1140,110 @@ def _q_tpch_q10(sf_dir: str):
     )
 
 
+def _q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 (promotion effect): PROMO-type share of total
+    revenue. Scale shape: lineitem revenue pre-aggregates per partkey
+    inside map_batches; ONE partkey-hash exchange joins the part
+    dimension AND collapses each bucket to two int64 fixed-point
+    sums (promo, total); the fold sums #buckets rows; the final share
+    is one double division mirrored by the oracle."""
+    from webcollector_ray.functions.joins import _bucket_ids, exchange_reduce
+
+    nb = 32
+    cols = ["p_partkey", "revenue_fp", "p_type"]
+    types = {"p_partkey": pa.int64(), "revenue_fp": pa.int64(),
+             "p_type": pa.string()}
+    empty = pa.table(
+        {"promo_fp": pa.array([], pa.int64()),
+         "total_fp": pa.array([], pa.int64())}
+    )
+
+    def pad(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = pa.table(
+            {c: (batch[c] if c in batch.column_names
+                 else pa.nulls(n, types[c])) for c in cols}
+        )
+        return out.append_column(
+            "__bucket", pa.array(_bucket_ids(batch["p_partkey"], nb))
+        )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = (
+            np.round(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * 100
+            ).astype(np.int64)
+            * (100 - np.round(
+                batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64))
+        )
+        g = pd.DataFrame(
+            {
+                "p_partkey": batch["l_partkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "revenue_fp": rev,
+            }
+        ).groupby("p_partkey", sort=False, as_index=False)[
+            "revenue_fp"
+        ].sum()
+        return pad(
+            pa.table(
+                {
+                    "p_partkey": pa.array(
+                        g["p_partkey"].to_numpy(np.int64)
+                    ),
+                    "revenue_fp": pa.array(
+                        g["revenue_fp"].to_numpy(np.int64)
+                    ),
+                }
+            )
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+    parts_ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(pad, batch_format="pyarrow")
+
+    def fuse(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        rev = df[df["revenue_fp"].notna()].groupby(
+            "p_partkey", sort=False, as_index=False
+        )["revenue_fp"].sum()
+        pt = df[df["revenue_fp"].isna()][["p_partkey", "p_type"]]
+        m = rev.merge(pt, on="p_partkey")
+        promo = int(
+            m.loc[m["p_type"] == "PROMO", "revenue_fp"].sum()
+        )
+        return pa.table(
+            {
+                "promo_fp": pa.array([promo], pa.int64()),
+                "total_fp": pa.array(
+                    [int(m["revenue_fp"].sum())], pa.int64()
+                ),
+            }
+        )
+
+    sums = exchange_reduce(
+        li.union(parts_ds), fuse, empty, nb
+    ).to_pandas()
+    promo, total = int(sums["promo_fp"].sum()), int(sums["total_fp"].sum())
+    return pa.table(
+        {
+            "promo_fp": pa.array([promo], pa.int64()),
+            "total_fp": pa.array([total], pa.int64()),
+            "promo_share": pa.array(
+                [float(promo) / float(total) if total else 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def _q_lineitem_pricing(sf_dir: str):
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -2516,6 +2620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_triangles": _q_crawl_triangles,
         "events_session_stats": _q_events_session_stats,
         "orders_attribution": _q_orders_attribution,
+        "tpch_q14": _q_tpch_q14,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -5209,6 +5314,21 @@ def _oracle_sql_static() -> dict[str, str]:
             GROUP BY 1, 3, 4
             ORDER BY revenue_fp DESC, l.l_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q14": """
+            WITH m AS (
+                SELECT p.p_type,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS r
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            )
+            SELECT sum(CASE WHEN p_type = 'PROMO' THEN r ELSE 0
+                        END)::BIGINT AS promo_fp,
+                   sum(r)::BIGINT AS total_fp,
+                   sum(CASE WHEN p_type = 'PROMO' THEN r ELSE 0
+                        END)::DOUBLE / sum(r)::DOUBLE AS promo_share
+            FROM m
         """,
         "tpch_q10": """
             SELECT c.c_custkey, c.c_name, n.n_name,
