@@ -1140,6 +1140,284 @@ def _q_tpch_q10(sf_dir: str):
     )
 
 
+_Q5_REGION = "ASIA"
+_Q5_LO, _Q5_HI = "1996-01-01", "1997-01-01"
+
+
+def _q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (local supplier volume): revenue per nation in one
+    region where the customer and supplier share the nation — the
+    six-table join. Scale shape: nation+region are TRUE dims ->
+    broadcast as an asia-nation map; lineitem revenue joins orders in
+    ONE fused orderkey exchange emitting (custkey, suppkey, rev)
+    partials pre-aggregated per pair; the custkey exchange attaches
+    c_nationkey (customer is NOT a dim) and re-aggregates per
+    (suppkey, c_nationkey); the suppkey exchange attaches s_nationkey,
+    applies the local-supplier equality and folds to per-nation
+    fixed-point sums."""
+    import datetime as _dt
+
+    from webcollector_ray.functions.joins import _bucket_ids, exchange_reduce
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    asia_regs = {
+        k for k, n in zip(
+            reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()
+        ) if n == _Q5_REGION
+    }
+    asia_nations = {
+        k: n for k, n, rk in zip(
+            nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist(),
+            nat["n_regionkey"].to_pylist(),
+        ) if rk in asia_regs
+    }
+    an_ref = ray.put(asia_nations)
+    nb = 32
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+
+    # exchange 1 (orderkey): lineitem revenue partials meet the
+    # date-filtered orders
+    k1 = ["k", "rev", "suppkey", "custkey"]
+    t1 = {"k": pa.int64(), "rev": pa.int64(), "suppkey": pa.int64(),
+          "custkey": pa.int64()}
+    e1 = pa.table(
+        {"custkey": pa.array([], pa.int64()),
+         "suppkey": pa.array([], pa.int64()),
+         "rev": pa.array([], pa.int64())}
+    )
+
+    def pad1(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = pa.table(
+            {c: (batch[c] if c in batch.column_names
+                 else pa.nulls(n, t1[c])) for c in k1}
+        )
+        return out.append_column(
+            "__bucket", pa.array(_bucket_ids(batch["k"], nb))
+        )
+
+    def li_part(batch: pa.Table) -> pa.Table:
+        rev = (
+            np.round(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * 100
+            ).astype(np.int64)
+            * (100 - np.round(
+                batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64))
+        )
+        g = pd.DataFrame(
+            {
+                "k": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "suppkey": batch["l_suppkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "rev": rev,
+            }
+        ).groupby(["k", "suppkey"], sort=False, as_index=False)[
+            "rev"
+        ].sum()
+        return pad1(pa.Table.from_pandas(g, preserve_index=False))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_part, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: pad1(
+            (lambda f: pa.table(
+                {"k": f["o_orderkey"], "custkey": f["o_custkey"]}
+            ))(
+                b.filter(
+                    pc.and_(
+                        pc.greater_equal(
+                            b["o_orderdate"], pa.scalar(lo)
+                        ),
+                        pc.less(b["o_orderdate"], pa.scalar(hi)),
+                    )
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def fuse1(t: pa.Table) -> pa.Table:
+        df = t.select(k1).to_pandas()
+        r = df[df["rev"].notna()][["k", "suppkey", "rev"]]
+        o = df[df["rev"].isna()][["k", "custkey"]]
+        m = r.merge(o, on="k")
+        g = m.groupby(["custkey", "suppkey"], sort=False, as_index=False)[
+            "rev"
+        ].sum()
+        return pa.table(
+            {
+                "custkey": pa.array(g["custkey"].to_numpy(np.int64)),
+                "suppkey": pa.array(g["suppkey"].to_numpy(np.int64)),
+                "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            }
+        )
+
+    j1 = exchange_reduce(li.union(orders), fuse1, e1, nb)
+
+    # exchange 2 (custkey): attach c_nationkey, keep ASIA customers,
+    # re-aggregate per (suppkey, c_nationkey)
+    k2 = ["k", "rev", "suppkey", "c_nationkey"]
+    t2 = {"k": pa.int64(), "rev": pa.int64(), "suppkey": pa.int64(),
+          "c_nationkey": pa.int64()}
+    e2 = pa.table(
+        {"suppkey": pa.array([], pa.int64()),
+         "c_nationkey": pa.array([], pa.int64()),
+         "rev": pa.array([], pa.int64())}
+    )
+
+    def pad2(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = pa.table(
+            {c: (batch[c] if c in batch.column_names
+                 else pa.nulls(n, t2[c])) for c in k2}
+        )
+        return out.append_column(
+            "__bucket", pa.array(_bucket_ids(batch["k"], nb))
+        )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda b: pad2(
+            (lambda f: pa.table(
+                {"k": f["c_custkey"], "c_nationkey": f["c_nationkey"]}
+            ))(
+                b.filter(
+                    pc.is_in(
+                        b["c_nationkey"],
+                        value_set=pa.array(
+                            sorted(asia_nations), pa.int64()
+                        ),
+                    )
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def fuse2(t: pa.Table) -> pa.Table:
+        df = t.select(k2).to_pandas()
+        r = df[df["rev"].notna()][["k", "suppkey", "rev"]]
+        c = df[df["rev"].isna()][["k", "c_nationkey"]]
+        m = r.merge(c, on="k")
+        g = m.groupby(
+            ["suppkey", "c_nationkey"], sort=False, as_index=False
+        )["rev"].sum()
+        return pa.table(
+            {
+                "suppkey": pa.array(g["suppkey"].to_numpy(np.int64)),
+                "c_nationkey": pa.array(
+                    g["c_nationkey"].to_numpy(np.int64)
+                ),
+                "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            }
+        )
+
+    j2 = exchange_reduce(
+        j1.map_batches(
+            lambda b: pad2(
+                pa.table(
+                    {"k": b["custkey"], "suppkey": b["suppkey"],
+                     "rev": b["rev"]}
+                )
+            ),
+            batch_format="pyarrow",
+        ).union(cust),
+        fuse2, e2, nb,
+    )
+
+    # exchange 3 (suppkey): attach s_nationkey, local-supplier filter,
+    # fold per nation
+    k3 = ["k", "rev", "c_nationkey", "s_nationkey"]
+    t3 = {"k": pa.int64(), "rev": pa.int64(),
+          "c_nationkey": pa.int64(), "s_nationkey": pa.int64()}
+    e3 = pa.table(
+        {"n_nationkey": pa.array([], pa.int64()),
+         "revenue_fp": pa.array([], pa.int64())}
+    )
+
+    def pad3(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = pa.table(
+            {c: (batch[c] if c in batch.column_names
+                 else pa.nulls(n, t3[c])) for c in k3}
+        )
+        return out.append_column(
+            "__bucket", pa.array(_bucket_ids(batch["k"], nb))
+        )
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(
+        lambda b: pad3(
+            pa.table(
+                {"k": b["s_suppkey"], "s_nationkey": b["s_nationkey"]}
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def fuse3(t: pa.Table) -> pa.Table:
+        df = t.select(k3).to_pandas()
+        r = df[df["rev"].notna()][["k", "c_nationkey", "rev"]]
+        s = df[df["rev"].isna()][["k", "s_nationkey"]]
+        m = r.merge(s, on="k")
+        m = m[m["c_nationkey"] == m["s_nationkey"]]
+        g = m.groupby("s_nationkey", sort=False, as_index=False)[
+            "rev"
+        ].sum()
+        return pa.table(
+            {
+                "n_nationkey": pa.array(
+                    g["s_nationkey"].to_numpy(np.int64)
+                ),
+                "revenue_fp": pa.array(g["rev"].to_numpy(np.int64)),
+            }
+        )
+
+    parts = exchange_reduce(
+        j2.map_batches(
+            lambda b: pad3(
+                pa.table(
+                    {"k": b["suppkey"], "c_nationkey": b["c_nationkey"],
+                     "rev": b["rev"]}
+                )
+            ),
+            batch_format="pyarrow",
+        ).union(supp),
+        fuse3, e3, nb,
+    ).to_pandas()
+    g = parts.groupby("n_nationkey", as_index=False)["revenue_fp"].sum()
+    amap = ray.get(an_ref)
+    g["n_name"] = g["n_nationkey"].map(amap)
+    g = g.sort_values("n_nationkey").reset_index(drop=True)
+    return pa.table(
+        {
+            "n_name": pa.array(g["n_name"], pa.string()),
+            "revenue_fp": pa.array(
+                g["revenue_fp"].to_numpy(np.int64)
+            ),
+        }
+    )
+
+
 def _q_tpch_q14(sf_dir: str):
     """TPC-H Q14 (promotion effect): PROMO-type share of total
     revenue. Scale shape: lineitem revenue pre-aggregates per partkey
@@ -2621,6 +2899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_stats": _q_events_session_stats,
         "orders_attribution": _q_orders_attribution,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q5": _q_tpch_q5,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -5314,6 +5593,23 @@ def _oracle_sql_static() -> dict[str, str]:
             GROUP BY 1, 3, 4
             ORDER BY revenue_fp DESC, l.l_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q5": f"""
+            SELECT n.n_name,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   )::BIGINT AS revenue_fp
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND r.r_name = '{_Q5_REGION}'
+              AND o.o_orderdate >= TIMESTAMP '{_Q5_LO}'
+              AND o.o_orderdate < TIMESTAMP '{_Q5_HI}'
+            GROUP BY n.n_name
         """,
         "tpch_q14": """
             WITH m AS (
