@@ -9,6 +9,10 @@ Subcommands:
              fuzzy dedup [-> eval decontamination] [-> LM tail cut]
              [-> chunking] -> resumable partitioned parquet (skips
              complete partitions)
+  report     corpus health dashboard: source x lang mix, per-source
+             dup rates + length quantiles, length histogram, top words
+  graph      pagerank | hits | degrees | components | triangles |
+             reciprocity over an edges parquet (src, dst)
 
 The pages source (`--pages`) accepts:
   - a parquet file/dir of Common-Crawl-style pages (read + broadcast),
@@ -282,6 +286,119 @@ def cmd_clean_corpus(args) -> None:
     )
 
 
+def cmd_report(args) -> None:
+    """Corpus health report: mix crosstab, per-source dup rates and
+    length quantiles, the log2 length histogram and top words — the
+    curation dashboard inputs, each a bounded aggregate."""
+    _ensure_ray(args.cpus)
+    import ray.data as rd
+
+    from .functions.dedup import dup_rate_by_group
+    from .functions.sketches import quantiles_by_key, vocab_top_words
+    from .functions.textstats import length_histogram, token_count_batch
+
+    ds = rd.read_parquet(args.docs)
+    sections = {}
+    sections["mix"] = None
+    try:
+        from ray.data.aggregate import Sum
+        import pyarrow as pa
+
+        def partial(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            t = token_count_batch(batch, args.text_col)
+            df = t.select(["source", "lang", "n_tokens"]).to_pandas()
+            g = df.groupby(["source", "lang"], as_index=False).agg(
+                n_docs=("n_tokens", "size"),
+                sum_tokens=("n_tokens", "sum"),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        sections["mix"] = ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).groupby(["source", "lang"]).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        ).to_pandas()
+    except Exception:
+        pass  # docs without source/lang columns still get the rest
+    sections["dup_rate"] = dup_rate_by_group(
+        ds, group_col="source", text_col=args.text_col
+    ).to_pandas() if sections["mix"] is not None else None
+    sections["length_hist"] = length_histogram(
+        ds, text_col=args.text_col
+    ).to_pandas()
+    wtok = ds.map_batches(
+        lambda b: token_count_batch(b, args.text_col).select(
+            ["source", "n_tokens"]
+        ),
+        batch_format="pyarrow",
+    ) if sections["mix"] is not None else None
+    if wtok is not None:
+        sections["length_quantiles"] = quantiles_by_key(
+            wtok, key_col="source", value_col="n_tokens"
+        ).to_pandas()
+    sections["top_words"] = vocab_top_words(
+        ds, text_col=args.text_col, n=args.top_words
+    ).to_pandas()
+    for name, df in sections.items():
+        if df is None:
+            continue
+        print(f"== {name} ==")
+        print(df.to_string(index=False))
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        for name, df in sections.items():
+            if df is not None:
+                df.to_parquet(os.path.join(args.out, f"{name}.parquet"))
+
+
+def cmd_graph(args) -> None:
+    """Link-graph analytics over an edges parquet (src, dst)."""
+    _ensure_ray(args.cpus)
+    import ray.data as rd
+
+    from .functions import graph as G
+
+    edges = rd.read_parquet(args.edges)
+    if args.op == "pagerank":
+        out = G.pagerank_fixed(
+            edges, iters=args.iters, src_col=args.src_col,
+            dst_col=args.dst_col, num_buckets=args.buckets,
+        )
+    elif args.op == "hits":
+        out = G.hits_fixed(
+            edges, iters=args.iters, src_col=args.src_col,
+            dst_col=args.dst_col, num_buckets=args.buckets,
+        )
+    elif args.op == "degrees":
+        out = G.degree_histogram(
+            edges, src_col=args.src_col, dst_col=args.dst_col,
+            num_buckets=args.buckets,
+        )
+    elif args.op == "components":
+        out = G.component_size_census(
+            edges, src_col=args.src_col, dst_col=args.dst_col,
+            num_buckets=args.buckets,
+        )
+    elif args.op == "triangles":
+        out = G.triangle_count(
+            edges, src_col=args.src_col, dst_col=args.dst_col,
+            num_buckets=args.buckets,
+        )
+    else:  # reciprocity
+        out = G.reciprocity_census(
+            edges, src_col=args.src_col, dst_col=args.dst_col,
+            num_buckets=args.buckets,
+        )
+    if args.out:
+        out.write_parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        print(out.to_pandas().to_string(index=False))
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="python -m webcollector_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -343,6 +460,27 @@ def main(argv=None) -> None:
                          "quantile (CCNet tail cut), e.g. 0.25")
     cc.add_argument("--partitions", type=int, default=64)
     cc.set_defaults(fn=cmd_clean_corpus)
+
+    rp = sub.add_parser("report")
+    rp.add_argument("--cpus", type=int, default=None)
+    rp.add_argument("--docs", required=True)
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--top-words", type=int, default=50)
+    rp.add_argument("--out", default=None)
+    rp.set_defaults(fn=cmd_report)
+
+    gp = sub.add_parser("graph")
+    gp.add_argument("--cpus", type=int, default=None)
+    gp.add_argument("--edges", required=True)
+    gp.add_argument("--op", required=True,
+                    choices=["pagerank", "hits", "degrees",
+                             "components", "triangles", "reciprocity"])
+    gp.add_argument("--src-col", default="src")
+    gp.add_argument("--dst-col", default="dst")
+    gp.add_argument("--iters", type=int, default=3)
+    gp.add_argument("--buckets", type=int, default=32)
+    gp.add_argument("--out", default=None)
+    gp.set_defaults(fn=cmd_graph)
 
     args = ap.parse_args(argv)
     args.fn(args)
