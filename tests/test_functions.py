@@ -1709,3 +1709,37 @@ def test_reciprocity_and_triangles(ray_session):
         rd.from_arrow(edges), num_buckets=4
     ).to_pandas().iloc[0]
     assert t["n_triangles"] == 1
+
+
+def test_empty_input_robustness(ray_session):
+    """Ray Data's to_pandas() drops columns on all-empty datasets;
+    every bounded-result operator must survive empty input (the
+    df_or_empty / fetch_if_missing guards)."""
+    from webcollector_ray.functions.graph import (
+        reciprocity_census,
+        triangle_count,
+    )
+    from webcollector_ray.functions.sketches import cms_counts
+    from webcollector_ray.functions.textstats import (
+        length_percentile,
+        pmi_bigrams,
+    )
+
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    empty_edges = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string()),
+    }))
+    assert len(pmi_bigrams(empty_docs).to_pandas()) == 0
+    assert len(length_percentile(empty_docs).to_pandas()) == 0
+    assert len(cms_counts(
+        rd.from_arrow(pa.table({"k": pa.array([], pa.string())})),
+        key_col="k",
+    ).to_pandas()) == 0
+    r = reciprocity_census(empty_edges).to_pandas().iloc[0]
+    assert r["n_edges"] == 0 and r["n_reciprocal"] == 0
+    t = triangle_count(empty_edges).to_pandas().iloc[0]
+    assert t["n_triangles"] == 0

@@ -724,10 +724,15 @@ def reciprocity_census(
             }
         )
 
-    parts = exchange_reduce(
-        edges_ds.map_batches(tag, batch_format="pyarrow"),
-        count, empty, num_buckets,
-    ).to_pandas()
+    from .joins import df_or_empty
+
+    parts = df_or_empty(
+        exchange_reduce(
+            edges_ds.map_batches(tag, batch_format="pyarrow"),
+            count, empty, num_buckets,
+        ),
+        empty,
+    )
     return rd.from_arrow(
         pa.table(
             {
@@ -838,10 +843,15 @@ def triangle_count(
         m = wdg.merge(e, on=["v", "w"])
         return pa.table({"n": pa.array([len(m)], pa.int64())})
 
-    parts = exchange_reduce(
-        edges.map_batches(wedges, batch_format="pyarrow"),
-        close, w_empty, num_buckets,
-    ).to_pandas()
+    from .joins import df_or_empty
+
+    parts = df_or_empty(
+        exchange_reduce(
+            edges.map_batches(wedges, batch_format="pyarrow"),
+            close, w_empty, num_buckets,
+        ),
+        w_empty,
+    )
     return rd.from_arrow(
         pa.table(
             {"n_triangles": pa.array([int(parts["n"].sum())], pa.int64())}

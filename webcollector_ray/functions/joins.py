@@ -419,3 +419,12 @@ def range_join(
 
     empty = pa.table({c: pa.nulls(0, out_types[c]) for c in out_cols})
     return _exchange_join(lt, rt, join_bucket, empty, num_buckets)
+
+
+def df_or_empty(ds, empty: pa.Table) -> "pd.DataFrame":
+    """Bounded-result Dataset -> pandas with a schema GUARANTEE:
+    Ray Data's Dataset.to_pandas() silently drops the columns of an
+    all-empty dataset, so downstream column access crashes; fall back
+    to the declared empty schema."""
+    df = ds.to_pandas()
+    return df if len(df.columns) else empty.to_pandas()

@@ -58,10 +58,12 @@ def global_top_n(
     out_ref = final_reduce.remote(*local.to_arrow_refs())
     out = ray.get(out_ref)
     if out is None:
-        schema = ds.schema()
+        # all-empty input: recover the schema (plain .schema() can be
+        # None after execution on an empty dataset)
+        schema = ds.schema(fetch_if_missing=True)
         out = pa.table(
             {nm: pa.nulls(0, t) for nm, t in zip(schema.names, schema.types)}
-        )
+        ) if schema is not None else pa.table({})
     return rd.from_arrow(out)
 
 

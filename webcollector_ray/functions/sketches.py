@@ -680,13 +680,20 @@ def cms_counts(ds, *, key_col: str, depth: int = 4, width: int = 2048,
     ).materialize()
 
     # the summed grid is bounded by depth*width cells -> broadcast
-    grid_df = (
+    from .joins import df_or_empty
+
+    grid_df = df_or_empty(
         merged.map_batches(
             lambda t: t.filter(pc.equal(t["kind"], "C")).select(
                 ["i", "cell", "c"]
             ),
             batch_format="pyarrow",
-        ).to_pandas()
+        ),
+        pa.table(
+            {"i": pa.array([], pa.int64()),
+             "cell": pa.array([], pa.int64()),
+             "c": pa.array([], pa.int64())}
+        ),
     )
     grid = np.zeros((depth, width), dtype=np.int64)
     grid[grid_df["i"].to_numpy(), grid_df["cell"].to_numpy()] = (

@@ -930,10 +930,15 @@ def length_percentile(
             df.sort_values("v"), preserve_index=False
         )
 
-    hist = exchange_reduce(
-        ds.map_batches(hist_partial, batch_format="pyarrow"),
-        fold, empty, num_buckets=1,
-    ).to_pandas()
+    from .joins import df_or_empty
+
+    hist = df_or_empty(
+        exchange_reduce(
+            ds.map_batches(hist_partial, batch_format="pyarrow"),
+            fold, empty, num_buckets=1,
+        ),
+        empty,
+    )
     total = int(hist["c"].sum())
     below = dict(
         zip(
