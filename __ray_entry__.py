@@ -2116,6 +2116,20 @@ def _q_crawl_triangles(sf_dir: str):
     )
 
 
+_KCORE_K, _KCORE_ROUNDS = 3, 3
+
+
+def _q_crawl_kcore(sf_dir: str):
+    """Fixed-round 3-core peel of the undirected link graph:
+    surviving (url, degree) after 3 peel rounds."""
+    from webcollector_ray.functions.graph import kcore_peel
+
+    return kcore_peel(
+        _crawl_edges_ds(sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS,
+        src_col="src_url", dst_col="target_url", num_buckets=8,
+    )
+
+
 def _q_docs_length_pct(sf_dir: str):
     """Percentile rank of every doc by token length — distributed
     rank via a bounded value histogram, no sort, no shuffle."""
@@ -2920,6 +2934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _q_events_transitions,
         "doc_winnowing_fps": _q_doc_winnowing_fps,
         "docs_incremental_fuzzy_new": _q_docs_incremental_fuzzy_new,
+        "crawl_kcore": _q_crawl_kcore,
         "crawl_host_stats": _q_crawl_host_stats,
         "crawl_anchor_texts": _q_crawl_anchor_texts,
         "crawl_pagerank": _q_crawl_pagerank,
@@ -4792,6 +4807,34 @@ def oracle_sql() -> dict[str, str]:
         JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
         JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
     """
+    kcore_sql = _crawl_edges_cte() + """,
+        u0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        )"""
+    for it in range(1, _KCORE_ROUNDS + 1):
+        kcore_sql += f""",
+        d{it} AS MATERIALIZED (
+            SELECT v, count(*) AS c FROM (
+                SELECT a AS v FROM u{it - 1}
+                UNION ALL SELECT b FROM u{it - 1}
+            ) GROUP BY v
+        ),
+        al{it} AS MATERIALIZED (
+            SELECT v FROM d{it} WHERE c >= {_KCORE_K}
+        ),
+        u{it} AS MATERIALIZED (
+            SELECT a, b FROM u{it - 1}
+            WHERE a IN (SELECT v FROM al{it})
+              AND b IN (SELECT v FROM al{it})
+        )"""
+    kcore_sql += f"""
+        SELECT v AS url, count(*)::BIGINT AS degree FROM (
+            SELECT a AS v FROM u{_KCORE_ROUNDS}
+            UNION ALL SELECT b FROM u{_KCORE_ROUNDS}
+        ) GROUP BY v
+    """
+    out["crawl_kcore"] = kcore_sql
     out["docs_length_pct"] = f"""
         WITH t AS (
             SELECT doc_id, {_NTOK}::BIGINT AS n_tokens FROM documents

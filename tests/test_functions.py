@@ -1743,3 +1743,20 @@ def test_empty_input_robustness(ray_session):
     assert r["n_edges"] == 0 and r["n_reciprocal"] == 0
     t = triangle_count(empty_edges).to_pandas().iloc[0]
     assert t["n_triangles"] == 0
+
+
+def test_kcore_peel(ray_session):
+    from webcollector_ray.functions.graph import kcore_peel
+
+    # chain a-b-c-d-e peels away under k=2 (endpoints first, then
+    # inward); triangle f-g-h is the 2-core and survives intact
+    edges = pa.table({
+        "src": ["a", "b", "c", "d", "f", "g", "h"],
+        "dst": ["b", "c", "d", "e", "g", "h", "f"],
+    })
+    out = (
+        kcore_peel(rd.from_arrow(edges), k=2, rounds=3, num_buckets=4)
+        .to_pandas().set_index("url")["degree"]
+    )
+    assert sorted(out.index) == ["f", "g", "h"]
+    assert set(out) == {2}

@@ -857,3 +857,152 @@ def triangle_count(
             {"n_triangles": pa.array([int(parts["n"].sum())], pa.int64())}
         )
     )
+
+
+def kcore_peel(
+    edges_ds,
+    *,
+    k: int = 3,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+):
+    """Fixed-round k-core peeling of the undirected simple graph:
+    each round drops every node whose current degree is below k (and
+    its edges), `rounds` times. When the peel converges within the
+    round budget the result IS the k-core (extra rounds are no-ops);
+    a fixed budget keeps the whole fixpoint SQL-unrollable (pagerank
+    / HITS precedent). Returns (url, degree) for nodes with >= 1
+    surviving edge.
+
+    Per round: one degree exchange (each edge contributes to both
+    endpoints' buckets; alive = deg >= k) and two survivor-filter
+    exchanges (edges re-keyed by each endpoint filter against the
+    co-bucketed alive markers) — all bounded, nothing on the
+    driver."""
+    import ray.data as rd
+
+    from .joins import exchange_reduce
+
+    e_empty = pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        df = batch.select([src_col, dst_col]).to_pandas()
+        df = df[df[src_col] != df[dst_col]]
+        a = df[[src_col, dst_col]].min(axis=1)
+        b = df[[src_col, dst_col]].max(axis=1)
+        und = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(und["a"], pa.string()),
+                "b": pa.array(und["b"], pa.string()),
+                "__bucket": pa.array(_tag_by(und["a"].tolist(), num_buckets)),
+            }
+        )
+
+    und = exchange_reduce(
+        edges_ds.map_batches(canon, batch_format="pyarrow"),
+        lambda t: pa.Table.from_pandas(
+            t.select(["a", "b"]).to_pandas().drop_duplicates(),
+            preserve_index=False,
+        ),
+        e_empty, num_buckets,
+    ).materialize()
+
+    cols = ["a", "b", "v"]
+    types = {"a": pa.string(), "b": pa.string(), "v": pa.string()}
+
+    def pad(batch: pa.Table, key: str) -> pa.Table:
+        n = len(batch)
+        out = pa.table(
+            {c: (batch[c] if c in batch.column_names
+                 else pa.nulls(n, types[c])) for c in cols}
+        )
+        return out.append_column(
+            "__bucket", pa.array(_tag_by(out[key].to_pylist(), num_buckets))
+        )
+
+    a_empty = pa.table({"v": pa.array([], pa.string())})
+
+    for _ in range(rounds):
+        # degree: every edge lands in BOTH endpoints' buckets
+        def deg_rows(batch: pa.Table) -> pa.Table:
+            vs = batch["a"].to_pylist() + batch["b"].to_pylist()
+            return pa.table(
+                {
+                    "v": pa.array(vs, pa.string()),
+                    "__bucket": pa.array(_tag_by(vs, num_buckets)),
+                }
+            )
+
+        def alive_rows(t: pa.Table) -> pa.Table:
+            s = pd.Series(t["v"].to_pylist()).value_counts()
+            keep = s[s >= k].index.tolist()
+            return pa.table({"v": pa.array(keep, pa.string())})
+
+        alive = exchange_reduce(
+            und.map_batches(deg_rows, batch_format="pyarrow"),
+            alive_rows, a_empty, num_buckets,
+        ).materialize()
+
+        def filt(key):
+            def f(t: pa.Table) -> pa.Table:
+                df = t.select(cols).to_pandas()
+                ok = set(df[df["a"].isna()]["v"])
+                e = df[df["a"].notna()]
+                e = e[e[key].isin(ok)]
+                return pa.table(
+                    {
+                        "a": pa.array(e["a"], pa.string()),
+                        "b": pa.array(e["b"], pa.string()),
+                    }
+                )
+            return f
+
+        step1 = exchange_reduce(
+            und.map_batches(
+                lambda bt: pad(bt, "a"), batch_format="pyarrow"
+            ).union(alive.map_batches(
+                lambda bt: pad(bt, "v"), batch_format="pyarrow"
+            )),
+            filt("a"), e_empty, num_buckets,
+        )
+        und = exchange_reduce(
+            step1.map_batches(
+                lambda bt: pad(bt, "b"), batch_format="pyarrow"
+            ).union(alive.map_batches(
+                lambda bt: pad(bt, "v"), batch_format="pyarrow"
+            )),
+            filt("b"), e_empty, num_buckets,
+        ).materialize()
+
+    def final_deg_rows(batch: pa.Table) -> pa.Table:
+        vs = batch["a"].to_pylist() + batch["b"].to_pylist()
+        return pa.table(
+            {
+                "v": pa.array(vs, pa.string()),
+                "__bucket": pa.array(_tag_by(vs, num_buckets)),
+            }
+        )
+
+    d_empty = pa.table(
+        {"url": pa.array([], pa.string()),
+         "degree": pa.array([], pa.int64())}
+    )
+
+    def final_deg(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["v"].to_pylist()).value_counts()
+        return pa.table(
+            {
+                "url": pa.array(s.index.tolist(), pa.string()),
+                "degree": pa.array(s.to_numpy(np.int64)),
+            }
+        )
+
+    return exchange_reduce(
+        und.map_batches(final_deg_rows, batch_format="pyarrow"),
+        final_deg, d_empty, num_buckets,
+    )
