@@ -2116,6 +2116,21 @@ def _q_crawl_triangles(sf_dir: str):
     )
 
 
+_PPR_ITERS = 3
+
+
+def _q_crawl_pagerank_seeded(sf_dir: str):
+    """Personalized PageRank from the crawl seed list (every site's
+    list-0): seed-proximity quality scores over the link graph."""
+    from webcollector_ray.functions.graph import pagerank_seeded
+
+    spec = _crawl_spec(sf_dir)
+    return pagerank_seeded(
+        _crawl_edges_ds(sf_dir), spec.seeds(), iters=_PPR_ITERS,
+        src_col="src_url", dst_col="target_url", num_buckets=8,
+    )
+
+
 _KCORE_K, _KCORE_ROUNDS = 3, 3
 
 
@@ -2935,6 +2950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnowing_fps": _q_doc_winnowing_fps,
         "docs_incremental_fuzzy_new": _q_docs_incremental_fuzzy_new,
         "crawl_kcore": _q_crawl_kcore,
+        "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_host_stats": _q_crawl_host_stats,
         "crawl_anchor_texts": _q_crawl_anchor_texts,
         "crawl_pagerank": _q_crawl_pagerank,
@@ -4440,8 +4456,55 @@ def _docs_pmi_oracle_sql() -> str:
     """
 
 
+def _crawl_ppr_oracle_sql() -> str:
+    """Personalized PageRank unrolled (pagerank oracle precedent):
+    seeds = the structural list-0 set; init and damping base apply to
+    seeds only; every step is the same integer floor arithmetic."""
+    from webcollector_ray.functions.graph import SCALE
+
+    u0 = "'http://site' || site || '.test/list-0.html'"
+    sql = _crawl_edges_cte() + f""",
+        sds AS MATERIALIZED (SELECT {u0} AS v FROM sites),
+        deg AS MATERIALIZED (
+            SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src
+        ),
+        consts AS MATERIALIZED (
+            SELECT ({SCALE} // (SELECT count(*) FROM sds)) AS r0v,
+                   (15 * ({SCALE} // (SELECT count(*) FROM sds))) // 100
+                       AS base
+        ),
+        r0 AS MATERIALIZED (
+            SELECT n.v,
+                   CASE WHEN n.v IN (SELECT v FROM sds)
+                        THEN (SELECT r0v FROM consts)
+                        ELSE 0 END AS r
+            FROM nodes n
+        )"""
+    for it in range(1, _PPR_ITERS + 1):
+        sql += f""",
+        s{it} AS MATERIALIZED (
+            SELECT e.dst AS v, sum(r{it - 1}.r // deg.d)::BIGINT AS s
+            FROM edges e
+            JOIN r{it - 1} ON r{it - 1}.v = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ),
+        r{it} AS MATERIALIZED (
+            SELECT n.v,
+                   (CASE WHEN n.v IN (SELECT v FROM sds)
+                         THEN (SELECT base FROM consts) ELSE 0 END
+                    + (85 * coalesce(s{it}.s, 0)) // 100)::BIGINT AS r
+            FROM nodes n LEFT JOIN s{it} ON s{it}.v = n.v
+        )"""
+    sql += f"""
+        SELECT v AS url, r::BIGINT AS pr_fp FROM r{_PPR_ITERS}
+    """
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_static()
+    out["crawl_pagerank_seeded"] = _crawl_ppr_oracle_sql()
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out["docs_bm25"] = _docs_bm25_oracle_sql()
     out["docs_pmi_bigrams"] = _docs_pmi_oracle_sql()
