@@ -1,0 +1,123 @@
+"""Partition invariance: every distributed operator must produce
+IDENTICAL results whether its input arrives as one block or many
+(the kmeans/quantile-sketch precedent) — this is the direct test of
+the order-free/exactness claims the oracles rely on."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+
+def _split_ds(table: pa.Table, n_blocks: int):
+    n = len(table)
+    cuts = np.linspace(0, n, n_blocks + 1).astype(int)
+    refs = [
+        ray.put(table.slice(lo, hi - lo))
+        for lo, hi in zip(cuts[:-1], cuts[1:])
+    ]
+    return rd.from_arrow_refs(refs)
+
+
+def _docs_table(n=60):
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+        for _ in range(n)
+    ]
+    return pa.table({"doc_id": list(range(n)), "text": texts})
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df[sorted(df.columns)].sort_values(
+        sorted(df.columns)
+    ).reset_index(drop=True)
+
+
+def test_pmi_partition_invariant(ray_session):
+    from webcollector_ray.functions.textstats import pmi_bigrams
+
+    t = _docs_table()
+    a = _canon(
+        pmi_bigrams(_split_ds(t, 1), min_count=2, top_n=50).to_pandas()
+    )
+    b = _canon(
+        pmi_bigrams(_split_ds(t, 7), min_count=2, top_n=50).to_pandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_graph_ops_partition_invariant(ray_session):
+    from webcollector_ray.functions.graph import (
+        hits_fixed,
+        kcore_peel,
+        pagerank_seeded,
+    )
+
+    rng = np.random.default_rng(11)
+    nodes = [f"n{i}" for i in range(30)]
+    src = rng.choice(nodes, 150).tolist()
+    dst = rng.choice(nodes, 150).tolist()
+    t = pa.table({"src": src, "dst": dst})
+    for fn in (
+        lambda ds: hits_fixed(ds, iters=2, num_buckets=4),
+        lambda ds: pagerank_seeded(
+            ds, ["n0", "n1"], iters=2, num_buckets=4
+        ),
+        lambda ds: kcore_peel(ds, k=3, rounds=2, num_buckets=4),
+    ):
+        a = _canon(fn(_split_ds(t, 1)).to_pandas())
+        b = _canon(fn(_split_ds(t, 6)).to_pandas())
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_sketches_partition_invariant(ray_session):
+    from webcollector_ray.functions.sketches import (
+        approx_distinct_hll_by_key,
+        cms_counts,
+        mg_top_words,
+    )
+
+    rng = np.random.default_rng(3)
+    keys = [f"k{i}" for i in rng.integers(0, 25, size=400)]
+    t = pa.table({
+        "event_type": keys,
+        "user_id": rng.integers(0, 60, size=400),
+        "text": [f"w{v} w{v + 1} w{v % 5}" for v in range(400)],
+    })
+    for fn in (
+        lambda ds: cms_counts(ds, key_col="event_type", depth=2, width=64),
+        lambda ds: mg_top_words(ds, text_col="text", n=10, capacity=2048),
+        lambda ds: approx_distinct_hll_by_key(
+            ds, key_col="event_type", col="user_id", num_buckets=4
+        ),
+    ):
+        a = _canon(fn(_split_ds(t, 1)).to_pandas())
+        b = _canon(fn(_split_ds(t, 9)).to_pandas())
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_bloom_decontaminate_partition_invariant(ray_session):
+    from webcollector_ray.functions.decontam import (
+        bloom_decontaminate,
+        build_eval_gram_bloom,
+    )
+
+    t = _docs_table(50)
+    ev = pa.table({
+        "doc_id": [1000],
+        "text": ["alpha beta gamma delta eps zeta alpha beta"],
+    })
+    outs = []
+    for blocks in (1, 5):
+        bloom = build_eval_gram_bloom(
+            _split_ds(ev, 1), k=3, m_bits=256
+        )
+        outs.append(sorted(
+            bloom_decontaminate(
+                _split_ds(t, blocks), bloom, k=3, m_bits=256
+            ).to_pandas()["doc_id"]
+        ))
+    assert outs[0] == outs[1]
