@@ -1522,6 +1522,43 @@ def _q_tpch_q14(sf_dir: str):
     )
 
 
+def _q_top_suppliers_per_nation(sf_dir: str):
+    """Top-3 suppliers by account balance per nation (cent-exact
+    ordering; nation broadcast as a dim)."""
+    from webcollector_ray.functions.ranking import top_n_per_group
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap_ref = ray.put(
+        dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["s_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        nmap = ray.get(nmap_ref)
+        names = [nmap[k] for k in batch["s_nationkey"].to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "s_suppkey": batch["s_suppkey"],
+                "s_name": batch["s_name"],
+                "bal_cents": pa.array(cents),
+            }
+        )
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return top_n_per_group(
+        supp, key_col="n_name", order_col="bal_cents", n=3,
+        tie_col="s_suppkey",
+    )
+
+
 def _q_lineitem_pricing(sf_dir: str):
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -2128,6 +2165,16 @@ def _q_crawl_pagerank_seeded(sf_dir: str):
     return pagerank_seeded(
         _crawl_edges_ds(sf_dir), spec.seeds(), iters=_PPR_ITERS,
         src_col="src_url", dst_col="target_url", num_buckets=8,
+    )
+
+
+def _q_crawl_assortativity(sf_dir: str):
+    """Degree-assortativity integer components of the link graph."""
+    from webcollector_ray.functions.graph import assortativity_sums
+
+    return assortativity_sums(
+        _crawl_edges_ds(sf_dir), src_col="src_url",
+        dst_col="target_url", num_buckets=8,
     )
 
 
@@ -2928,6 +2975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_attribution": _q_orders_attribution,
         "tpch_q14": _q_tpch_q14,
         "tpch_q5": _q_tpch_q5,
+        "top_suppliers_per_nation": _q_top_suppliers_per_nation,
         "docs_trigram_diversity": _q_docs_trigram_diversity,
         "docs_length_balanced_sample": _q_docs_length_balanced_sample,
         "events_trending": _q_events_trending,
@@ -2951,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_fuzzy_new": _q_docs_incremental_fuzzy_new,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
+        "crawl_assortativity": _q_crawl_assortativity,
         "crawl_host_stats": _q_crawl_host_stats,
         "crawl_anchor_texts": _q_crawl_anchor_texts,
         "crawl_pagerank": _q_crawl_pagerank,
@@ -4851,6 +4900,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT window_start, event_type, n_events, rnk::BIGINT AS "rank"
         FROM r WHERE rnk <= 3
     """
+    out["crawl_assortativity"] = _crawl_edges_cte() + """,
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ),
+        deg AS MATERIALIZED (
+            SELECT v, count(*)::BIGINT AS d FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY v
+        )
+        SELECT count(*)::BIGINT AS m,
+               sum(da.d * db.d)::BIGINT AS s_jk,
+               sum(da.d + db.d)::BIGINT AS s_j,
+               sum(da.d * da.d + db.d * db.d)::BIGINT AS s_j2
+        FROM und
+        JOIN deg da ON da.v = und.a
+        JOIN deg db ON db.v = und.b
+    """
     out["crawl_reciprocity"] = _crawl_edges_cte() + """,
         de AS (
             SELECT DISTINCT src, dst FROM edges WHERE src <> dst
@@ -5695,6 +5762,22 @@ def _oracle_sql_static() -> dict[str, str]:
             GROUP BY 1, 3, 4
             ORDER BY revenue_fp DESC, l.l_orderkey ASC
             LIMIT 10
+        """,
+        "top_suppliers_per_nation": """
+            SELECT n_name, s_suppkey, s_name,
+                   CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+                   rnk::BIGINT AS "rank"
+            FROM (
+                SELECT n.n_name, s.s_suppkey, s.s_name, s.s_acctbal,
+                       row_number() OVER (
+                           PARTITION BY n.n_name
+                           ORDER BY CAST(round(s.s_acctbal * 100)
+                                         AS BIGINT) DESC,
+                                    s.s_suppkey ASC
+                       ) AS rnk
+                FROM supplier s
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+            ) WHERE rnk <= 3
         """,
         "tpch_q5": f"""
             SELECT n.n_name,

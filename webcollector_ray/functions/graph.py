@@ -1138,3 +1138,168 @@ def _ppr_update(
         {"url": nodes_block["url"],
          "pr_fp": pa.array(bases + (85 * sv) // 100)}
     )
+
+
+def assortativity_sums(
+    edges_ds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+):
+    """Degree-assortativity components of the undirected simple graph
+    (Newman 2002): one row of EXACT int64 sums over edges (m, s_jk =
+    sum du*dv, s_j = sum du+dv, s_j2 = sum du^2+dv^2) — the Pearson
+    correlation is r = (s_jk/m - (s_j/2m)^2) / (s_j2/2m - (s_j/2m)^2),
+    left to the consumer so the operator output stays float-free and
+    order-free (the hubs-link-to-hubs vs hubs-link-to-leaves census).
+
+    Shape: canonical-edge exchange, both-endpoint degree exchange,
+    then two attach exchanges (da by endpoint a, db by endpoint b)
+    whose second reduce collapses each bucket to ONE partial-sums row;
+    the driver folds #buckets rows."""
+    import ray.data as rd
+
+    from .joins import df_or_empty, exchange_reduce
+
+    e_empty = pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        df = batch.select([src_col, dst_col]).to_pandas()
+        df = df[df[src_col] != df[dst_col]]
+        a = df[[src_col, dst_col]].min(axis=1)
+        b = df[[src_col, dst_col]].max(axis=1)
+        und = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(und["a"], pa.string()),
+                "b": pa.array(und["b"], pa.string()),
+                "__bucket": pa.array(
+                    _tag_by(und["a"].tolist(), num_buckets)
+                ),
+            }
+        )
+
+    und = exchange_reduce(
+        edges_ds.map_batches(canon, batch_format="pyarrow"),
+        lambda t: pa.Table.from_pandas(
+            t.select(["a", "b"]).to_pandas().drop_duplicates(),
+            preserve_index=False,
+        ),
+        e_empty, num_buckets,
+    ).materialize()
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        vs = batch["a"].to_pylist() + batch["b"].to_pylist()
+        return pa.table(
+            {
+                "v": pa.array(vs, pa.string()),
+                "__bucket": pa.array(_tag_by(vs, num_buckets)),
+            }
+        )
+
+    d_empty = pa.table(
+        {"v": pa.array([], pa.string()), "d": pa.array([], pa.int64())}
+    )
+
+    def deg_count(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["v"].to_pylist()).value_counts()
+        return pa.table(
+            {
+                "v": pa.array(s.index.tolist(), pa.string()),
+                "d": pa.array(s.to_numpy(np.int64)),
+            }
+        )
+
+    deg = exchange_reduce(
+        und.map_batches(deg_rows, batch_format="pyarrow"),
+        deg_count, d_empty, num_buckets,
+    ).materialize()
+
+    cols = ["a", "b", "v", "d", "da"]
+    types = {"a": pa.string(), "b": pa.string(), "v": pa.string(),
+             "d": pa.int64(), "da": pa.int64()}
+
+    def pad(batch: pa.Table, key: str) -> pa.Table:
+        n = len(batch)
+        out = pa.table(
+            {c: (batch[c] if c in batch.column_names
+                 else pa.nulls(n, types[c])) for c in cols}
+        )
+        return out.append_column(
+            "__bucket",
+            pa.array(_tag_by(out[key].to_pylist(), num_buckets)),
+        )
+
+    ea_empty = pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+         "da": pa.array([], pa.int64())}
+    )
+
+    def attach_da(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        dmap = df[df["v"].notna()].set_index("v")["d"]
+        e = df[df["v"].isna()][["a", "b"]]
+        da = e["a"].map(dmap).astype("int64")
+        return pa.table(
+            {
+                "a": pa.array(e["a"], pa.string()),
+                "b": pa.array(e["b"], pa.string()),
+                "da": pa.array(da.to_numpy(np.int64)),
+            }
+        )
+
+    j1 = exchange_reduce(
+        und.map_batches(lambda bt: pad(bt, "a"), batch_format="pyarrow")
+        .union(deg.map_batches(
+            lambda bt: pad(bt, "v"), batch_format="pyarrow"
+        )),
+        attach_da, ea_empty, num_buckets,
+    )
+
+    s_empty = pa.table(
+        {"m": pa.array([], pa.int64()), "s_jk": pa.array([], pa.int64()),
+         "s_j": pa.array([], pa.int64()),
+         "s_j2": pa.array([], pa.int64())}
+    )
+
+    def attach_db_and_sum(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        dmap = df[df["v"].notna()].set_index("v")["d"]
+        e = df[df["v"].isna()][["a", "b", "da"]]
+        if not len(e):
+            return s_empty
+        da = e["da"].to_numpy(np.int64)
+        db = e["b"].map(dmap).astype("int64").to_numpy(np.int64)
+        return pa.table(
+            {
+                "m": pa.array([len(e)], pa.int64()),
+                "s_jk": pa.array([int((da * db).sum())], pa.int64()),
+                "s_j": pa.array([int((da + db).sum())], pa.int64()),
+                "s_j2": pa.array(
+                    [int((da * da + db * db).sum())], pa.int64()
+                ),
+            }
+        )
+
+    parts = df_or_empty(
+        exchange_reduce(
+            j1.map_batches(
+                lambda bt: pad(bt, "b"), batch_format="pyarrow"
+            ).union(deg.map_batches(
+                lambda bt: pad(bt, "v"), batch_format="pyarrow"
+            )),
+            attach_db_and_sum, s_empty, num_buckets,
+        ),
+        s_empty,
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                c: pa.array([int(parts[c].sum())], pa.int64())
+                for c in ["m", "s_jk", "s_j", "s_j2"]
+            }
+        )
+    )
