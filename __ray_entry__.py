@@ -2398,6 +2398,88 @@ def _q_orders_attribution(sf_dir: str):
     )
 
 
+def _q_orders_first_event_delay(sf_dir: str):
+    """Time-to-first-engagement distribution: whole-day delay between
+    each order and the user's first event at/after it (forward as-of),
+    as an integer histogram (delay_days, n_orders); unmatched orders
+    land in the -1 bar."""
+    from ray.data.aggregate import Count
+
+    from webcollector_ray.functions.joins import asof_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+    )
+    j = asof_join(
+        orders, ev,
+        by="o_custkey", right_by="user_id",
+        left_on="o_orderdate", right_on="ts",
+        right_tie_cols=["event_id"],
+        direction="forward",
+    )
+
+    def delay(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        valid = ~pd.isna(batch["ts"].to_pandas())
+        tsv = pd.Series(ts).astype("datetime64[us]").astype(np.int64)
+        days = np.where(
+            valid.to_numpy(),
+            (tsv.to_numpy() - od) // (86400 * 1_000_000),
+            np.int64(-1),
+        )
+        return pa.table({"delay_days": pa.array(days, pa.int64())})
+
+    return j.map_batches(delay, batch_format="pyarrow").groupby(
+        "delay_days"
+    ).aggregate(Count(alias_name="n_orders"))
+
+
+def _q_docs_hapax(sf_dir: str):
+    """Hapax-legomena census: vocabulary size, frequency-1 word count
+    and total tokens — the corpus-freshness scalar (one bounded fold
+    over the word-count exchange's per-bucket partials)."""
+    from ray.data.aggregate import Sum
+
+    from webcollector_ray.functions.sketches import word_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    wc = word_counts(ds, text_col="text")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_vocab": pa.array([len(n)], pa.int64()),
+                "n_hapax": pa.array([int((n == 1).sum())], pa.int64()),
+                "n_tokens": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    parts = wc.map_batches(partial, batch_format="pyarrow")
+    agg = parts.aggregate(
+        Sum("n_vocab", alias_name="n_vocab"),
+        Sum("n_hapax", alias_name="n_hapax"),
+        Sum("n_tokens", alias_name="n_tokens"),
+    )
+    return pa.table(
+        {
+            "n_vocab": pa.array([int(agg["n_vocab"] or 0)], pa.int64()),
+            "n_hapax": pa.array([int(agg["n_hapax"] or 0)], pa.int64()),
+            "n_tokens": pa.array([int(agg["n_tokens"] or 0)], pa.int64()),
+        }
+    )
+
+
 def _q_events_rolling_distinct(sf_dir: str):
     """Rolling-7-day distinct users per day (WAU-per-day) — hopping
     window distinct with the (key, day) pre-dedupe combiner."""
@@ -3000,6 +3082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
+        "orders_first_event_delay": _q_orders_first_event_delay,
+        "docs_hapax": _q_docs_hapax,
         "crawl_host_stats": _q_crawl_host_stats,
         "crawl_anchor_texts": _q_crawl_anchor_texts,
         "crawl_pagerank": _q_crawl_pagerank,
@@ -4899,6 +4983,33 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT window_start, event_type, n_events, rnk::BIGINT AS "rank"
         FROM r WHERE rnk <= 3
+    """
+    out["orders_first_event_delay"] = """
+        WITH j AS (
+            SELECT o.o_orderkey, o.o_orderdate, e.ts
+            FROM orders o ASOF LEFT JOIN events e
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT (CASE WHEN ts IS NULL THEN -1
+                ELSE (epoch_us(ts) - epoch_us(o_orderdate))
+                     // 86400000000 END)::BIGINT AS delay_days,
+               count(*)::BIGINT AS n_orders
+        FROM j GROUP BY 1
+    """
+    out["docs_hapax"] = r"""
+        WITH words AS (
+            SELECT unnest(regexp_split_to_array(
+                lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                '\s+')) AS word
+            FROM documents
+            WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ), c AS (
+            SELECT word, count(*)::BIGINT AS n FROM words GROUP BY word
+        )
+        SELECT count(*)::BIGINT AS n_vocab,
+               sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+               sum(n)::BIGINT AS n_tokens
+        FROM c
     """
     out["crawl_assortativity"] = _crawl_edges_cte() + """,
         und AS MATERIALIZED (
