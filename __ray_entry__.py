@@ -859,7 +859,7 @@ def _q_tpch_q3(sf_dir: str):
         n = len(batch)
         out = pa.table(
             {
-                c: (batch[c] if c in batch.column_names
+                c: (pc.cast(batch[c], types[c]) if c in batch.column_names
                     else pa.nulls(n, types[c]))
                 for c in cols
             }
@@ -1023,7 +1023,7 @@ def _q_tpch_q10(sf_dir: str):
     def pad1(batch: pa.Table) -> pa.Table:
         n = len(batch)
         out = pa.table(
-            {c: (batch[c] if c in batch.column_names
+            {c: (pc.cast(batch[c], t1[c]) if c in batch.column_names
                  else pa.nulls(n, t1[c])) for c in k1}
         )
         return out.append_column(
@@ -1075,7 +1075,7 @@ def _q_tpch_q10(sf_dir: str):
     def pad2(batch: pa.Table) -> pa.Table:
         n = len(batch)
         out = pa.table(
-            {c: (batch[c] if c in batch.column_names
+            {c: (pc.cast(batch[c], t2[c]) if c in batch.column_names
                  else pa.nulls(n, t2[c])) for c in k2}
         )
         return out.append_column(
@@ -1195,7 +1195,7 @@ def _q_tpch_q5(sf_dir: str):
     def pad1(batch: pa.Table) -> pa.Table:
         n = len(batch)
         out = pa.table(
-            {c: (batch[c] if c in batch.column_names
+            {c: (pc.cast(batch[c], t1[c]) if c in batch.column_names
                  else pa.nulls(n, t1[c])) for c in k1}
         )
         return out.append_column(
@@ -1283,7 +1283,7 @@ def _q_tpch_q5(sf_dir: str):
     def pad2(batch: pa.Table) -> pa.Table:
         n = len(batch)
         out = pa.table(
-            {c: (batch[c] if c in batch.column_names
+            {c: (pc.cast(batch[c], t2[c]) if c in batch.column_names
                  else pa.nulls(n, t2[c])) for c in k2}
         )
         return out.append_column(
@@ -1355,7 +1355,7 @@ def _q_tpch_q5(sf_dir: str):
     def pad3(batch: pa.Table) -> pa.Table:
         n = len(batch)
         out = pa.table(
-            {c: (batch[c] if c in batch.column_names
+            {c: (pc.cast(batch[c], t3[c]) if c in batch.column_names
                  else pa.nulls(n, t3[c])) for c in k3}
         )
         return out.append_column(
@@ -1439,7 +1439,7 @@ def _q_tpch_q14(sf_dir: str):
     def pad(batch: pa.Table) -> pa.Table:
         n = len(batch)
         out = pa.table(
-            {c: (batch[c] if c in batch.column_names
+            {c: (pc.cast(batch[c], types[c]) if c in batch.column_names
                  else pa.nulls(n, types[c])) for c in cols}
         )
         return out.append_column(
@@ -3025,60 +3025,11 @@ def _q_docs_length_band(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # First 50 = every query with no prior driver-correctness
-        # record (the driver checks the first 50 dict entries).
-        # Next 9 were judge-verified green in round 3 (VERDICT 'J'
-        # rows); the rest have r1-r3 records.
-        "crawl_hits": _q_crawl_hits,
-        "docs_bm25": _q_docs_bm25,
-        "docs_pmi_bigrams": _q_docs_pmi_bigrams,
-        "vocab_mg_top_words": _q_vocab_mg_top_words,
-        "events_next_order": _q_events_next_order,
-        "crawl_degree_hist": _q_crawl_degree_hist,
-        "docs_length_pct": _q_docs_length_pct,
-        "crawl_components": _q_crawl_components,
-        "events_spikes": _q_events_spikes,
-        "docs_mix_report": _q_docs_mix_report,
-        "events_cms_counts": _q_events_cms_counts,
-        "docs_bloom_decontaminated": _q_docs_bloom_decontaminated,
-        "docs_dup_rate_by_source": _q_docs_dup_rate_by_source,
-        "embeddings_label_centroids": _q_embeddings_label_centroids,
-        "events_user_gap_median": _q_events_user_gap_median,
-        "docs_length_quantiles": _q_docs_length_quantiles,
-        "events_hll_by_type": _q_events_hll_by_type,
-        "events_winsorized": _q_events_winsorized,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q10": _q_tpch_q10,
-        "docs_fuzzy_best_clean_corpus": _q_docs_fuzzy_best_clean_corpus,
-        "events_rolling_distinct": _q_events_rolling_distinct,
-        "crawl_reciprocity": _q_crawl_reciprocity,
-        "crawl_triangles": _q_crawl_triangles,
-        "events_session_stats": _q_events_session_stats,
-        "orders_attribution": _q_orders_attribution,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q5": _q_tpch_q5,
-        "top_suppliers_per_nation": _q_top_suppliers_per_nation,
-        "docs_trigram_diversity": _q_docs_trigram_diversity,
-        "docs_length_balanced_sample": _q_docs_length_balanced_sample,
-        "events_trending": _q_events_trending,
-        "media_real_features": _q_media_real_features,
-        "media_real_frames": _q_media_real_frames,
-        "media_real_audio": _q_media_real_audio,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "docs_dup_spans": _q_docs_dup_spans,
-        "dedup_containment": _q_dedup_containment,
-        "docs_incremental_new": _q_docs_incremental_new,
-        "docs_length_histogram": _q_docs_length_histogram,
-        "docs_remove_dup_spans": _q_docs_remove_dup_spans,
-        "docs_hash_split": _q_docs_hash_split,
-        "docs_source_gate": _q_docs_source_gate,
-        "docs_length_band": _q_docs_length_band,
-        "source_ngram_overlap": _q_source_ngram_overlap,
-        "docs_fuzzy_decontaminated": _q_docs_fuzzy_decontaminated,
-        "events_funnel": _q_events_funnel,
-        "events_transitions": _q_events_transitions,
-        "doc_winnowing_fps": _q_doc_winnowing_fps,
-        "docs_incremental_fuzzy_new": _q_docs_incremental_fuzzy_new,
+        # Round-5 ordering: the 15 queries with no prior driver-
+        # correctness record head the dict (the driver checks the
+        # first 50 entries), followed by the stalest-recorded
+        # queries (r1/r2 records first) so the 50-row window both
+        # closes the record gap and re-verifies the oldest rows.
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -3094,11 +3045,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_projected": _q_embeddings_projected,
         "vocab_top_words": _q_vocab_top_words,
         "docs_stratified_sample": _q_docs_stratified_sample,
-        "crawl_extract": _q_crawl_extract,
-        "crawl_robots": _q_crawl_robots,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
+        "crawl_extract": _q_crawl_extract,
+        "crawl_robots": _q_crawl_robots,
         "crawl_bfs": _q_crawl_bfs,
         "doc_token_counts": _q_doc_token_counts,
         "doc_subtoken_counts": _q_doc_subtoken_counts,
@@ -3149,6 +3100,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_with_orders": _q_suppliers_with_orders,
         "docs_top_chars": _q_docs_top_chars,
         "distinct_langs": _q_distinct_langs,
+        "crawl_hits": _q_crawl_hits,
+        "docs_bm25": _q_docs_bm25,
+        "docs_pmi_bigrams": _q_docs_pmi_bigrams,
+        "vocab_mg_top_words": _q_vocab_mg_top_words,
+        "events_next_order": _q_events_next_order,
+        "crawl_degree_hist": _q_crawl_degree_hist,
+        "docs_length_pct": _q_docs_length_pct,
+        "crawl_components": _q_crawl_components,
+        "events_spikes": _q_events_spikes,
+        "docs_mix_report": _q_docs_mix_report,
+        "events_cms_counts": _q_events_cms_counts,
+        "docs_bloom_decontaminated": _q_docs_bloom_decontaminated,
+        "docs_dup_rate_by_source": _q_docs_dup_rate_by_source,
+        "embeddings_label_centroids": _q_embeddings_label_centroids,
+        "events_user_gap_median": _q_events_user_gap_median,
+        "docs_length_quantiles": _q_docs_length_quantiles,
+        "events_hll_by_type": _q_events_hll_by_type,
+        "events_winsorized": _q_events_winsorized,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q10": _q_tpch_q10,
+        "docs_fuzzy_best_clean_corpus": _q_docs_fuzzy_best_clean_corpus,
+        "events_rolling_distinct": _q_events_rolling_distinct,
+        "crawl_reciprocity": _q_crawl_reciprocity,
+        "crawl_triangles": _q_crawl_triangles,
+        "events_session_stats": _q_events_session_stats,
+        "orders_attribution": _q_orders_attribution,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q5": _q_tpch_q5,
+        "top_suppliers_per_nation": _q_top_suppliers_per_nation,
+        "docs_trigram_diversity": _q_docs_trigram_diversity,
+        "docs_length_balanced_sample": _q_docs_length_balanced_sample,
+        "events_trending": _q_events_trending,
+        "media_real_features": _q_media_real_features,
+        "media_real_frames": _q_media_real_frames,
+        "media_real_audio": _q_media_real_audio,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "docs_dup_spans": _q_docs_dup_spans,
+        "dedup_containment": _q_dedup_containment,
+        "docs_incremental_new": _q_docs_incremental_new,
+        "docs_length_histogram": _q_docs_length_histogram,
+        "docs_remove_dup_spans": _q_docs_remove_dup_spans,
+        "docs_hash_split": _q_docs_hash_split,
+        "docs_source_gate": _q_docs_source_gate,
+        "docs_length_band": _q_docs_length_band,
+        "source_ngram_overlap": _q_source_ngram_overlap,
+        "docs_fuzzy_decontaminated": _q_docs_fuzzy_decontaminated,
+        "events_funnel": _q_events_funnel,
+        "events_transitions": _q_events_transitions,
+        "doc_winnowing_fps": _q_doc_winnowing_fps,
+        "docs_incremental_fuzzy_new": _q_docs_incremental_fuzzy_new,
     }
 
 

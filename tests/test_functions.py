@@ -236,6 +236,12 @@ def test_cosine_pairs_exact_row_cap(ray_session):
         cosine_pairs_exact(ds, threshold=0.9, max_rows=10)
 
 
+def test_knn_brute_row_cap(ray_session):
+    ds, M = _emb_ds(n=30)
+    with pytest.raises(ValueError, match="small-N"):
+        knn_brute(ds, M[0][None, :], k=3, max_rows=10)
+
+
 def test_knn_brute_matches_numpy(ray_session):
     ds, M = _emb_ds()
     q = M[5]
@@ -1641,6 +1647,73 @@ def test_cms_counts_collisions(ray_session):
         )
         assert out[k] == ref
         assert out[k] >= c[k]
+
+
+def test_bloom_decontaminate_empty_eval_keeps_all(ray_session):
+    from webcollector_ray.functions.decontam import (
+        bloom_decontaminate,
+        build_eval_gram_bloom,
+    )
+
+    ev = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    })
+    tr = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c", "d e f", ""],
+    })
+    bloom_ref = build_eval_gram_bloom(rd.from_arrow(ev), k=2, m_bits=64)
+    got = sorted(
+        bloom_decontaminate(
+            rd.from_arrow(tr), bloom_ref, k=2, m_bits=64
+        ).to_pandas()["doc_id"]
+    )
+    assert got == [1, 2, 3]  # all-zero bloom drops nothing
+
+
+def test_gap_median_and_session_stats_string_keys(ray_session):
+    """String key columns route through pd.util.hash_array instead of
+    the int multiplicative mix (ADVICE r4) — both operators must give
+    the same answer as their int-keyed siblings."""
+    import datetime as dt
+
+    from webcollector_ray.functions.windows import (
+        session_stats,
+        user_gap_median,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u-a", 0), ("u-a", 10), ("u-a", 25), ("u-b", 5),
+            ("u-b", 7200), ("u-c", 50)]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.string()),
+        "ts": pa.array(
+            [base + dt.timedelta(seconds=s) for _, s in rows],
+            pa.timestamp("us"),
+        ),
+    })
+    g = user_gap_median(
+        rd.from_arrow(t), num_buckets=3
+    ).to_pandas().set_index("user_id").sort_index()
+    assert g.loc["u-a", "n_gaps"] == 2
+    assert g.loc["u-a", "median_gap_us"] == 10_000_000
+    assert g.loc["u-b", "median_gap_us"] == 7_195_000_000
+    assert "u-c" not in g.index
+
+    s = session_stats(
+        rd.from_arrow(t), gap_sec=3600, num_buckets=3
+    ).to_pandas().sort_values(["user_id", "session_idx"])
+    recs = list(
+        s[["user_id", "session_idx", "n_events", "duration_us"]]
+        .itertuples(index=False, name=None)
+    )
+    assert recs == [
+        ("u-a", 1, 3, 25_000_000),
+        ("u-b", 1, 1, 0),
+        ("u-b", 2, 1, 0),
+        ("u-c", 1, 1, 0),
+    ]
 
 
 def test_bloom_decontaminate_false_positives(ray_session):

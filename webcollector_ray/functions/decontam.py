@@ -257,6 +257,8 @@ def build_eval_gram_bloom(
     parts = [
         _eval_bloom_block.remote(k, text_col, m_bits, r) for r in refs
     ]
+    if not parts:  # empty eval set => all-zero bloom, nothing drops
+        return ray.put(np.packbits(np.zeros(m_bits, dtype=bool)))
     return _bloom_or.remote(*parts)
 
 
@@ -270,12 +272,35 @@ def bloom_decontaminate(
     and the oracle reproduces those false positives bit-for-bit, so
     the output is still hash-exact."""
 
-    def survive(batch: pa.Table) -> pa.Table:
-        bits = np.unpackbits(ray.get(bloom_ref)).astype(bool)
-        keep = []
-        for text in batch[text_col].to_pylist():
-            pos = _bloom_positions(_doc_gram_strings(text, k), m_bits)
-            keep.append(not bool(bits[pos].all(axis=1).any()))
-        return batch.filter(pa.array(keep, pa.bool_())).select([id_col])
+    class Survive:
+        """Actor-pool stage: the bloom is fetched and unpacked ONCE per
+        worker in __init__ (m_bits bools), not per batch; the all-lanes
+        -set test runs as one vectorized reduceat over every gram of
+        the batch."""
 
-    return ds.map_batches(survive, batch_format="pyarrow")
+        def __init__(self):
+            self._bits = np.unpackbits(ray.get(bloom_ref)).astype(bool)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            grams, offsets = [], [0]
+            for text in texts:
+                grams.extend(_doc_gram_strings(text, k))
+                offsets.append(len(grams))
+            pos = _bloom_positions(grams, m_bits)
+            hit = self._bits[pos].all(axis=1)  # per-gram contaminated
+            # per-doc any(): maximum.reduceat over each doc's gram span
+            starts = np.asarray(offsets[:-1])
+            keep = np.ones(len(texts), dtype=bool)
+            if len(hit):
+                nonempty = starts < len(hit)
+                doc_hit = np.zeros(len(texts), dtype=bool)
+                doc_hit[nonempty] = np.maximum.reduceat(
+                    hit, starts[nonempty]
+                )
+                keep = ~doc_hit
+            return batch.filter(pa.array(keep)).select([id_col])
+
+    return ds.map_batches(
+        Survive, batch_format="pyarrow", concurrency=(1, 8)
+    )

@@ -40,6 +40,22 @@ def _tag_by(col_vals, num_buckets: int) -> np.ndarray:
     ).astype(np.int32)
 
 
+def _bucket_refs(ds, num_buckets: int):
+    """to_arrow_refs() with the bucket-layout contract ASSERTED:
+    exchange_reduce emits exactly one block per bucket, in bucket
+    order, and every zip-by-index alignment in this module (ranks
+    onto co-bucketed edges, scores onto node markers) depends on it.
+    If a future Ray version splits or coalesces blocks during
+    materialize()/to_arrow_refs(), fail loudly here instead of
+    silently producing misaligned ranks."""
+    refs = list(ds.to_arrow_refs())
+    assert len(refs) == num_buckets, (
+        f"bucket layout broken: {len(refs)} blocks != {num_buckets} "
+        "buckets — Ray changed exchange_reduce's block layout"
+    )
+    return refs
+
+
 def pagerank_fixed(
     edges_ds,
     *,
@@ -107,8 +123,8 @@ def pagerank_fixed(
     ).materialize()
     import ray.data as rd
 
-    es_refs = list(edges.to_arrow_refs())
-    node_refs = list(nodes.to_arrow_refs())
+    es_refs = _bucket_refs(edges, num_buckets)
+    node_refs = _bucket_refs(nodes, num_buckets)
     n_nodes = sum(ray.get([_hits_block_len.remote(r) for r in node_refs]))
     r_init = SCALE // n_nodes
     base = (15 * r_init) // 100
@@ -258,16 +274,16 @@ def hits_fixed(
         ),
         lambda t: t.select([src_col, dst_col]), e_empty, num_buckets,
     )
-    es_refs = list(edges_src.to_arrow_refs())
+    es_refs = _bucket_refs(edges_src, num_buckets)
     # dst-bucketed copy derives from the already-exchanged src copy —
     # the (possibly expensive) edges_ds lineage runs exactly once
-    ed_refs = list(
+    ed_refs = _bucket_refs(
         exchange_reduce(
             rd.from_arrow_refs(list(es_refs)).map_batches(
                 lambda b: tag(b, dst_col), batch_format="pyarrow",
             ),
             lambda t: t.select([src_col, dst_col]), e_empty, num_buckets,
-        ).to_arrow_refs()
+        ), num_buckets,
     )
 
     def node_rows(batch: pa.Table) -> pa.Table:
@@ -282,7 +298,7 @@ def hits_fixed(
         )
 
     nodes_empty = pa.table({"url": pa.array([], pa.string())})
-    node_refs = list(
+    node_refs = _bucket_refs(
         exchange_reduce(
             rd.from_arrow_refs(list(es_refs)).map_batches(
                 node_rows, batch_format="pyarrow"
@@ -293,7 +309,7 @@ def hits_fixed(
                 )}
             ),
             nodes_empty, num_buckets,
-        ).to_arrow_refs()
+        ), num_buckets,
     )
     import ray as _ray
 
@@ -476,14 +492,14 @@ def degree_histogram(
         ),
         lambda t: t.select([src_col, dst_col]), e_empty, num_buckets,
     )
-    es_refs = list(edges_src.to_arrow_refs())
-    ed_refs = list(
+    es_refs = _bucket_refs(edges_src, num_buckets)
+    ed_refs = _bucket_refs(
         exchange_reduce(
             rd.from_arrow_refs(list(es_refs)).map_batches(
                 lambda b: tag(b, dst_col), batch_format="pyarrow",
             ),
             lambda t: t.select([src_col, dst_col]), e_empty, num_buckets,
-        ).to_arrow_refs()
+        ), num_buckets,
     )
 
     def node_rows(batch: pa.Table) -> pa.Table:
@@ -498,7 +514,7 @@ def degree_histogram(
         )
 
     nodes_empty = pa.table({"url": pa.array([], pa.string())})
-    node_refs = list(
+    node_refs = _bucket_refs(
         exchange_reduce(
             rd.from_arrow_refs(list(es_refs)).map_batches(
                 node_rows, batch_format="pyarrow"
@@ -509,7 +525,7 @@ def degree_histogram(
                 )}
             ),
             nodes_empty, num_buckets,
-        ).to_arrow_refs()
+        ), num_buckets,
     )
 
     parts = [
@@ -1080,8 +1096,8 @@ def pagerank_seeded(
     ).materialize()
     import ray.data as rd
 
-    es_refs = list(edges.to_arrow_refs())
-    node_refs = list(nodes.to_arrow_refs())
+    es_refs = _bucket_refs(edges, num_buckets)
+    node_refs = _bucket_refs(nodes, num_buckets)
     r_init = SCALE // len(seed_set)
     base = (15 * r_init) // 100
     seeds_ref = ray.put(seed_set)

@@ -65,9 +65,23 @@ def knn_brute(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     exclude_ids: Optional[set] = None,
+    max_rows: int = 200_000,
 ):
     """-> pandas DataFrame (query_id, rank, vec_id, cosine), rank 1..k,
-    ties broken by vec_id asc (deterministic)."""
+    ties broken by vec_id asc (deterministic).
+
+    SMALL-N BASELINE (VERDICT r4 §wrong.3): O(N x Q) matmul over the
+    whole table — the oracle-scale reference next to knn_ivf /
+    knn_ivf_pivot, row-capped at `max_rows` exactly like
+    cosine_pairs_exact so it cannot silently run at corpus scale."""
+    ds = ds.select_columns([id_col, emb_col]).materialize()
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"knn_brute is a small-N baseline (rows={n} > "
+            f"max_rows={max_rows}); use knn_ivf or knn_ivf_pivot "
+            "at scale"
+        )
     q_unit = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     q_ref = ray.put(q_unit)
     excl = exclude_ids or set()

@@ -506,7 +506,7 @@ def hash_split(ds, *, id_col: str = "doc_id",
 # ------------------------------------------------------- Misra-Gries
 
 def mg_top_words(ds, *, text_col: str = "text", n: int = 50,
-                 capacity: int = 4096, num_buckets: int = 32):
+                 capacity: int = 4096):
     """Misra-Gries heavy hitters over corpus words — the BOUNDED-STATE
     scale path for vocab_top_words (quantiles_sketch_by_key precedent:
     exact operator + mergeable sketch side by side).

@@ -21,6 +21,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _key_mix(k: "np.ndarray") -> "np.ndarray":
+    """uint64 hash of a key array: integer multiplicative mix for
+    int dtypes, pd.util.hash_array for object/string keys — the ONE
+    dtype branch every bucket tagger in this module shares."""
+    import numpy as np
+
+    if np.issubdtype(k.dtype, np.integer):
+        return k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    import pandas as _pd
+
+    return _pd.util.hash_array(np.asarray(k, dtype=object), categorize=False)
+
+
 def _win_bucketed(g: "pd.DataFrame", key_col: str, num_buckets: int) -> pa.Table:
     """Partial frame -> Arrow with a __bucket column keyed on
     (key, window_start)."""
@@ -28,12 +41,7 @@ def _win_bucketed(g: "pd.DataFrame", key_col: str, num_buckets: int) -> pa.Table
 
     k = g[key_col].to_numpy()
     w = g["window_start"].to_numpy().astype(np.int64)
-    if np.issubdtype(k.dtype, np.integer):
-        mix = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-    else:
-        import pandas as _pd
-
-        mix = _pd.util.hash_array(k, categorize=False)
+    mix = _key_mix(k)
     bk = ((mix ^ w.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
     t = pa.Table.from_pandas(g, preserve_index=False)
     return t.append_column("__bucket", pa.array(bk))
@@ -673,18 +681,18 @@ def user_gap_median(
     precedent); per-key state is that key's event count."""
     from .joins import exchange_reduce
 
+    sch = events.schema()
+    key_type = dict(zip(sch.names, sch.types))[key_col]
+
     def tag(batch: pa.Table) -> pa.Table:
         t = batch.select([key_col, ts_col])
         k = t[key_col].to_numpy(zero_copy_only=False)
-        bk = (
-            k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            % np.uint64(num_buckets)
-        ).astype(np.int32)
+        bk = (_key_mix(k) % np.uint64(num_buckets)).astype(np.int32)
         return t.append_column("__bucket", pa.array(bk))
 
     empty = pa.table(
         {
-            key_col: pa.array([], pa.int64()),
+            key_col: pa.array([], key_type),
             "n_gaps": pa.array([], pa.int64()),
             "median_gap_us": pa.array([], pa.int64()),
         }
@@ -709,7 +717,7 @@ def user_gap_median(
         return pa.table(
             {
                 key_col: pa.array(
-                    out[key_col].to_numpy(np.int64)
+                    out[key_col].to_numpy(), type=key_type
                 ),
                 "n_gaps": pa.array(n[pick].astype(np.int64)),
                 "median_gap_us": pa.array(
@@ -847,19 +855,19 @@ def session_stats(
     value hash is float-free)."""
     from .joins import exchange_reduce
 
+    sch = events.schema()
+    key_type = dict(zip(sch.names, sch.types))[key_col]
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False)
-        bk = (
-            (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            % np.uint64(num_buckets)
-        ).astype(np.int32)
+        bk = (_key_mix(k) % np.uint64(num_buckets)).astype(np.int32)
         return batch.select([key_col, ts_col]).append_column(
             "__bucket", pa.array(bk)
         )
 
     empty = pa.table(
         {
-            key_col: pa.array([], pa.int64()),
+            key_col: pa.array([], key_type),
             "session_idx": pa.array([], pa.int64()),
             "n_events": pa.array([], pa.int64()),
             "duration_us": pa.array([], pa.int64()),
@@ -885,7 +893,7 @@ def session_stats(
         ).reset_index()
         return pa.table(
             {
-                key_col: pa.array(g[key_col].to_numpy(np.int64)),
+                key_col: pa.array(g[key_col].to_numpy(), type=key_type),
                 "session_idx": pa.array(g["__sid"].to_numpy(np.int64)),
                 "n_events": pa.array(g["n_events"].to_numpy(np.int64)),
                 "duration_us": pa.array(
