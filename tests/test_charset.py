@@ -215,3 +215,30 @@ def test_utf16_probe_no_false_positives():
     assert guess_encoding(b"just plain ascii text, long enough to sample") == "UTF-8"
     assert guess_encoding(_meta_less_page("utf-8", RU_TEXT)) == "UTF-8"
     assert guess_encoding(_meta_less_page("koi8_r", RU_TEXT)) == "KOI8-R"
+
+
+@pytest.mark.parametrize(
+    "codec,want,text",
+    [
+        ("iso2022_jp", "ISO-2022-JP", "今日は良い天気です。"),
+        ("iso2022_kr", "ISO-2022-KR", "안녕하세요 세계"),
+        ("hz", "HZ-GB-2312", "你好世界"),
+    ],
+)
+def test_escaped_encodings_meta_less(codec, want, text):
+    # no meta, no BOM: the designator escape sequence alone must
+    # identify the stream (juniversalchardet EscCharsetProber
+    # envelope), and the decode must round-trip
+    body = f"<html><body><p>{text}</p></body></html>".encode(codec)
+    assert guess_encoding(body) == want
+    assert text in decode_html(body)
+
+
+def test_escaped_prober_no_false_positives():
+    # a stray ESC in binary-ish or high-byte content must not claim
+    # ISO-2022; pure ASCII with a tilde-brace-free body stays UTF-8
+    high = b"\x1b" + bytes(range(128, 256)) * 8
+    assert guess_encoding(high) != "ISO-2022-JP"
+    assert guess_encoding(b"ascii with ~tilde~ but no shift") == "UTF-8"
+    # ESC without any designator sequence is not an escaped charset
+    assert guess_encoding(b"\x1b[31mansi colored terminal text\x1b[0m") == "UTF-8"

@@ -430,12 +430,54 @@ def _probe_utf1632(data: bytes) -> Optional[str]:
     return best
 
 
+# juniversalchardet EscCharsetProber envelope: each escaped charset
+# announces itself with a designator escape sequence (or HZ's ~{
+# shift); the reference's detector returns as soon as one state
+# machine reaches ItsMe (CharsetDetector.java:33-124 delegates to the
+# library, whose EscCharsetProber runs these four machines).
+_ESC_SIGNATURES = [
+    ("ISO-2022-KR", (b"\x1b$)C",)),
+    ("ISO-2022-CN", (b"\x1b$)A", b"\x1b$)G", b"\x1b$*H")),
+    ("ISO-2022-JP", (b"\x1b$B", b"\x1b$@", b"\x1b(J", b"\x1b$(D")),
+    ("HZ-GB-2312", (b"~{",)),
+]
+
+
+def _probe_escaped(data: bytes) -> Optional[str]:
+    """ISO-2022-JP/KR/CN and HZ-GB-2312 by designator signature.
+
+    Gate: these encodings are pure 7-bit streams (that is the point of
+    escaped encodings), so any stream with >2% high bytes is never one
+    of them; within the gate the first matching designator wins, in
+    the same specificity order as the reference's parallel state
+    machines. MUST run before the UTF-8 validator — an ISO-2022 stream
+    is byte-wise valid (7-bit) UTF-8, so the validator would claim
+    it."""
+    n = len(data)
+    if n < 4:
+        return None
+    has_esc = b"\x1b" in data
+    if not has_esc and b"~{" not in data:
+        return None
+    if sum(1 for b in data[:4096] if b > 0x7F) / min(n, 4096) > 0.02:
+        return None
+    for name, sigs in _ESC_SIGNATURES:
+        if name == "HZ-GB-2312" and has_esc:
+            continue  # real HZ text has no ESC designators
+        if any(s in data for s in sigs):
+            return name
+    return None
+
+
 def _guess_statistical(content: bytes) -> str:
-    """guessEncodingByMozilla equivalent: null-pattern UTF-16/32 probe,
-    UTF-8 state machine, then the single-byte prober group;
-    None-equivalent (pure ASCII / nothing confident) falls back to
-    UTF-8."""
+    """guessEncodingByMozilla equivalent: escaped-charset designator
+    probe, null-pattern UTF-16/32 probe, UTF-8 state machine, then the
+    single-byte prober group; None-equivalent (pure ASCII / nothing
+    confident) falls back to UTF-8."""
     data = bytes(content)
+    esc = _probe_escaped(data)
+    if esc is not None:
+        return esc
     wide = _probe_utf1632(data)
     if wide is not None:
         return wide
