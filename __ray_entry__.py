@@ -368,6 +368,82 @@ def _q_docs_lm_score(sf_dir: str):
     return unigram_lm_score(ds, model_ref)
 
 
+_DSIR_TARGET_SOURCE = "src0"
+_DSIR_TOP_M = 100
+
+
+def _q_docs_dsir_selected(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): train a target-
+    domain unigram LM (source == src0) and a raw-corpus LM, weight
+    every doc by mean ln-likelihood-ratio, keep the top-m — the
+    data-selection pipeline that upsamples in-domain text. Both models
+    are bounded broadcasts; selection is local-top-n + one reduce,
+    never a global sort."""
+    from webcollector_ray.functions.lm import dsir_weights, train_unigram_lm
+    from webcollector_ray.functions.ranking import global_top_n
+
+    full = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+    target = full.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["source"], _DSIR_TARGET_SOURCE)
+        ).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    t_ref, _ = train_unigram_lm(target, top_v=_LM_TOP_V)
+    r_ref, _ = train_unigram_lm(_docs(sf_dir), top_v=_LM_TOP_V)
+    scored = dsir_weights(_docs(sf_dir), t_ref, r_ref)
+    return global_top_n(
+        scored, order_col="dsir_weight", n=_DSIR_TOP_M, tie_col="doc_id"
+    )
+
+
+def _q_source_kl(sf_dir: str):
+    """Per-source KL(P_source || P_corpus) over the corpus top-V vocab
+    — the mix-drift census: which source's word distribution departs
+    furthest from the blend."""
+    from webcollector_ray.functions.lm import (
+        source_kl_divergence,
+        train_unigram_lm,
+    )
+
+    model_ref, _ = train_unigram_lm(_docs(sf_dir), top_v=_LM_TOP_V)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return source_kl_divergence(ds, model_ref)
+
+
+def _q_docs_normalized(sf_dir: str):
+    """Unicode normalization scrub (NFC + control strip + whitespace
+    collapse + trim) over a deterministically-dirtied third of the
+    corpus: docs with doc_id % 3 == 0 get a combining-accent injection
+    ('value' -> 'va' + U+0301 + 'lue') and edge whitespace so the
+    NFC/collapse/trim kernels do real work; the oracle applies the
+    identical dirtying in SQL. changed is true exactly for the dirtied
+    rows."""
+    from webcollector_ray.functions.textstats import normalize_corpus
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        d = pc.binary_join_element_wise(
+            pa.scalar(" "),
+            pc.replace_substring(
+                batch["text"], pattern="value",
+                replacement="va\u0301lue",  # decomposed a + combining acute
+            ),
+            pa.scalar("  \t"),
+            "",
+        )
+        t = pc.if_else(pa.array(ids % 3 == 0), d, batch["text"])
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    ds = _docs(sf_dir).map_batches(dirty, batch_format="pyarrow")
+    return normalize_corpus(ds)
+
+
 # src<N> -> one of four weights: downsample / keep / fractional
 # upsample / 2.5-epoch upsample (covers every gate in mix_rebalance)
 _MIX_WEIGHT_CYCLE = (0.25, 1.0, 1.75, 2.5)
@@ -3045,6 +3121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_projected": _q_embeddings_projected,
         "vocab_top_words": _q_vocab_top_words,
         "docs_stratified_sample": _q_docs_stratified_sample,
+        # round-5 additions (inside the 50-row driver window so they
+        # get a record the round they land)
+        "docs_dsir_selected": _q_docs_dsir_selected,
+        "source_kl": _q_source_kl,
+        "docs_normalized": _q_docs_normalized,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -5480,6 +5561,132 @@ def _oracle_sql_static() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "docs_lm_score": _LM_SQL + "SELECT doc_id, n_tokens, lm_score FROM lm",
+        "docs_dsir_selected": rf"""
+            WITH docs AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                           '\s+') AS words
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, source, unnest(words) AS w FROM docs),
+            wc_r AS (
+                SELECT w, count(*)::BIGINT AS n FROM tok
+                WHERE w != '' GROUP BY w
+            ),
+            tot_r AS (SELECT coalesce(sum(n), 0) AS t FROM wc_r),
+            topv_r AS (
+                SELECT w, n FROM (
+                    SELECT w, n,
+                           row_number() OVER (ORDER BY n DESC, w ASC) AS rn
+                    FROM wc_r
+                ) WHERE rn <= {_LM_TOP_V}
+            ),
+            wc_t AS (
+                SELECT w, count(*)::BIGINT AS n FROM tok
+                WHERE w != '' AND source = '{_DSIR_TARGET_SOURCE}'
+                GROUP BY w
+            ),
+            tot_t AS (SELECT coalesce(sum(n), 0) AS t FROM wc_t),
+            topv_t AS (
+                SELECT w, n FROM (
+                    SELECT w, n,
+                           row_number() OVER (ORDER BY n DESC, w ASC) AS rn
+                    FROM wc_t
+                ) WHERE rn <= {_LM_TOP_V}
+            ),
+            sc AS (
+                SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+                       round(avg(
+                           ln((coalesce(vt.n, 0) + 1)::DOUBLE
+                              / (tt.t + {_LM_TOP_V + 1})::DOUBLE)
+                         - ln((coalesce(vr.n, 0) + 1)::DOUBLE
+                              / (tr.t + {_LM_TOP_V + 1})::DOUBLE)
+                       ), 6) AS dsir_weight
+                FROM tok CROSS JOIN tot_t tt CROSS JOIN tot_r tr
+                LEFT JOIN topv_t vt ON tok.w = vt.w
+                LEFT JOIN topv_r vr ON tok.w = vr.w
+                WHERE tok.w != ''
+                GROUP BY tok.doc_id
+            ),
+            full_sc AS (
+                SELECT d.doc_id,
+                       coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+                       coalesce(sc.dsir_weight, 0.0) AS dsir_weight
+                FROM docs d LEFT JOIN sc USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, dsir_weight FROM full_sc
+            ORDER BY dsir_weight DESC, doc_id ASC LIMIT {_DSIR_TOP_M}
+        """,
+        "source_kl": rf"""
+            WITH docs AS (
+                SELECT source,
+                       regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                           '\s+') AS words
+                FROM documents
+            ),
+            tok AS (SELECT source, unnest(words) AS w FROM docs),
+            wc AS (
+                SELECT w, count(*)::BIGINT AS n FROM tok
+                WHERE w != '' GROUP BY w
+            ),
+            tot AS (SELECT coalesce(sum(n), 0) AS t FROM wc),
+            topv AS (
+                SELECT w, n FROM (
+                    SELECT w, n,
+                           row_number() OVER (ORDER BY n DESC, w ASC) AS rn
+                    FROM wc
+                ) WHERE rn <= {_LM_TOP_V}
+            ),
+            stot AS (
+                SELECT source, count(*)::BIGINT AS ts FROM tok
+                WHERE w != '' GROUP BY source
+            ),
+            scnt AS (
+                SELECT source, w, count(*)::BIGINT AS n FROM tok
+                WHERE w != '' GROUP BY source, w
+            ),
+            kl AS (
+                SELECT s.source, s.ts AS n_tokens,
+                    round(sum(
+                        ((coalesce(c.n, 0) + 1)::DOUBLE
+                         / (s.ts + {_LM_TOP_V + 1})::DOUBLE)
+                        * ln(
+                            ((coalesce(c.n, 0) + 1)::DOUBLE
+                             / (s.ts + {_LM_TOP_V + 1})::DOUBLE)
+                            / ((v.n + 1)::DOUBLE
+                               / (t.t + {_LM_TOP_V + 1})::DOUBLE)
+                        )
+                    ), 6) AS kl
+                FROM stot s CROSS JOIN topv v CROSS JOIN tot t
+                LEFT JOIN scnt c ON c.source = s.source AND c.w = v.w
+                GROUP BY s.source, s.ts
+            )
+            SELECT source, n_tokens, kl FROM kl
+        """,
+        "docs_normalized": r"""
+            WITH dirty AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN ' ' || replace(text, 'value',
+                                     'va' || chr(769) || 'lue')
+                                 || '  ' || chr(9)
+                            ELSE text END AS t0
+                FROM documents
+            ),
+            norm AS (
+                SELECT doc_id, t0,
+                       trim(regexp_replace(regexp_replace(
+                           nfc_normalize(t0),
+                           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                           '[ \t\r\n\f\v]+', ' ', 'g'), ' ') AS tn
+                FROM dirty
+            )
+            SELECT doc_id, len(tn)::BIGINT AS n_chars_norm,
+                   md5(tn) AS norm_fp, (tn != t0) AS changed
+            FROM norm
+        """,
         "docs_lm_head": _LM_SQL + """
             SELECT doc_id FROM lm
             WHERE lm_score >= (

@@ -1833,3 +1833,126 @@ def test_kcore_peel(ray_session):
     )
     assert sorted(out.index) == ["f", "g", "h"]
     assert set(out) == {2}
+
+
+def test_normalize_corpus_reference(ray_session):
+    import unicodedata
+
+    from webcollector_ray.functions.textstats import normalize_corpus
+
+    texts = [
+        "plain ascii text",
+        "  leading and  trailing \t\n ",
+        "combining: válue and café",   # decomposed accents
+        "ctrl\x01chars\x7fhere",
+        "",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = (
+        normalize_corpus(rd.from_arrow(t))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import hashlib as _h
+    import re as _re
+
+    for i, s in enumerate(texts):
+        ref = _re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", s)
+        ref = _re.sub("[ \t\r\n\f\v]+", " ", ref).strip(" ")
+        ref = unicodedata.normalize("NFC", ref)
+        assert got.loc[i, "n_chars_norm"] == len(ref)
+        assert got.loc[i, "norm_fp"] == _h.md5(ref.encode()).hexdigest()
+        assert bool(got.loc[i, "changed"]) == (ref != s)
+    # the combining-accent row must have composed (shorter than input)
+    assert got.loc[2, "n_chars_norm"] == len(texts[2]) - 2
+
+
+def test_dsir_weights_reference(ray_session):
+    from webcollector_ray.functions.lm import dsir_weights, train_unigram_lm
+
+    target_rows = ["apple banana apple", "apple cherry"]
+    corpus_rows = target_rows + ["dog cat mouse", "apple dog", ""]
+    corpus = pa.table({
+        "doc_id": pa.array(range(len(corpus_rows)), pa.int64()),
+        "text": pa.array(corpus_rows, pa.string()),
+    })
+    target = pa.table({
+        "doc_id": pa.array(range(len(target_rows)), pa.int64()),
+        "text": pa.array(target_rows, pa.string()),
+    })
+    V = 8
+    t_ref, _ = train_unigram_lm(rd.from_arrow(target), top_v=V)
+    r_ref, _ = train_unigram_lm(rd.from_arrow(corpus), top_v=V)
+    got = (
+        dsir_weights(rd.from_arrow(corpus), t_ref, r_ref)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # reference
+    from collections import Counter
+
+    ct = Counter(w for r in target_rows for w in r.lower().split())
+    cr = Counter(w for r in corpus_rows for w in r.lower().split())
+    tt, tr = sum(ct.values()), sum(cr.values())
+    for i, row in enumerate(corpus_rows):
+        ws = row.lower().split()
+        if not ws:
+            assert got.loc[i, "dsir_weight"] == 0.0
+            continue
+        w = np.mean([
+            np.log((ct.get(x, 0) + 1) / (tt + V + 1))
+            - np.log((cr.get(x, 0) + 1) / (tr + V + 1))
+            for x in ws
+        ])
+        assert got.loc[i, "dsir_weight"] == round(float(w), 6)
+        assert got.loc[i, "n_tokens"] == len(ws)
+    # in-domain docs must outrank out-of-domain ones
+    assert got.loc[0, "dsir_weight"] > got.loc[2, "dsir_weight"]
+
+
+def test_source_kl_reference(ray_session):
+    from webcollector_ray.functions.lm import (
+        source_kl_divergence,
+        train_unigram_lm,
+    )
+
+    rows = [
+        ("a", "apple banana apple apple"),
+        ("a", "banana apple"),
+        ("b", "dog cat dog"),
+        ("b", "cat cat dog mouse"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "source": pa.array([s for s, _ in rows], pa.string()),
+        "text": pa.array([x for _, x in rows], pa.string()),
+    })
+    V = 4
+    m_ref, _ = train_unigram_lm(rd.from_arrow(t), top_v=V)
+    got = (
+        source_kl_divergence(rd.from_arrow(t), m_ref, num_buckets=3)
+        .to_pandas().set_index("source").sort_index()
+    )
+    from collections import Counter
+
+    cc = Counter(w for _, x in rows for w in x.lower().split())
+    vocab = sorted(cc, key=lambda w: (-cc[w], w))[:V]
+    tot = sum(cc.values())
+    for src in ("a", "b"):
+        cs = Counter(
+            w for s, x in rows if s == src for w in x.lower().split()
+        )
+        ts = sum(cs.values())
+        kl = sum(
+            ((cs.get(w, 0) + 1) / (ts + V + 1))
+            * np.log(
+                ((cs.get(w, 0) + 1) / (ts + V + 1))
+                / ((cc[w] + 1) / (tot + V + 1))
+            )
+            for w in vocab
+        )
+        assert got.loc[src, "kl"] == round(float(kl), 6)
+        assert got.loc[src, "n_tokens"] == ts
+    # distributions differ from the blend, so both KLs are positive
+    assert (got["kl"] > 0).all()

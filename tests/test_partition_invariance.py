@@ -121,3 +121,27 @@ def test_bloom_decontaminate_partition_invariant(ray_session):
             ).to_pandas()["doc_id"]
         ))
     assert outs[0] == outs[1]
+
+
+def test_source_kl_partition_invariant(ray_session):
+    from webcollector_ray.functions.lm import (
+        source_kl_divergence,
+        train_unigram_lm,
+    )
+
+    rng = np.random.default_rng(11)
+    srcs = [f"s{i}" for i in rng.integers(0, 7, size=300)]
+    t = pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "text": [
+            f"w{v % 13} w{(v * 3) % 17} w{v % 5}" for v in range(300)
+        ],
+    })
+    m_ref, _ = train_unigram_lm(_split_ds(t, 1), top_v=16)
+    a = _canon(
+        source_kl_divergence(_split_ds(t, 1), m_ref).to_pandas()
+    )
+    b = _canon(
+        source_kl_divergence(_split_ds(t, 8), m_ref).to_pandas()
+    )
+    pd.testing.assert_frame_equal(a, b)

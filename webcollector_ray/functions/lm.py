@@ -25,6 +25,7 @@ last-ulp libm differences sit ~10 orders below that).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -96,3 +97,177 @@ def unigram_lm_score(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights(
+    ds,
+    target_model_ref,
+    raw_model_ref,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+):
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    via Importance Resampling): rank raw docs by how much more likely
+    their tokens are under a TARGET-domain LM than under the RAW-corpus
+    LM. weight(doc) = mean over tokens of [ln p_target(w) -
+    ln p_raw(w)], both unigram models from train_unigram_lm (top-V +
+    add-one smoothing, V and total carried inside each model), rounded
+    to `ndigits` so the DuckDB oracle — the same rational-arithmetic +
+    ln recipe as unigram_lm_score — reproduces the value exactly.
+
+    Map-only over the corpus; both models are bounded top-V broadcasts.
+    Selection composes with ranking.global_top_n (weight desc, id
+    tie-break) — top-m importance resampling without a global sort.
+    Returns (id, n_tokens, dsir_weight); empty docs weigh 0.0."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        mt = ray.get(target_model_ref)
+        mr = ray.get(raw_model_ref)
+        ct, dent = mt["counts"], float(mt["total"] + mt["v"] + 1)
+        cr, denr = mr["counts"], float(mr["total"] + mr["v"] + 1)
+        n_out = np.zeros(len(batch), dtype=np.int64)
+        w_out = np.zeros(len(batch), dtype=np.float64)
+        for i, text in enumerate(batch[text_col].to_pylist()):
+            words = (text or "").lower().split()
+            if not words:
+                continue
+            nt = np.fromiter(
+                (ct.get(w, 0) for w in words), dtype=np.float64,
+                count=len(words),
+            )
+            nr = np.fromiter(
+                (cr.get(w, 0) for w in words), dtype=np.float64,
+                count=len(words),
+            )
+            n_out[i] = len(words)
+            w_out[i] = round(
+                float(np.mean(
+                    np.log((nt + 1.0) / dent) - np.log((nr + 1.0) / denr)
+                )),
+                ndigits,
+            )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_out),
+                "dsir_weight": pa.array(w_out),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def source_kl_divergence(
+    ds,
+    corpus_model_ref,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    ndigits: int = 6,
+    num_buckets: int = 16,
+):
+    """Per-source distribution drift: KL(P_source || P_corpus) over the
+    corpus top-V vocabulary with add-one smoothing on both sides —
+    the mix-analysis census that tells a data curator which source's
+    word distribution departs furthest from the blend.
+
+    KL(s) = sum over the model's V words of p_s(w) ln(p_s(w)/p_c(w)),
+    p_s(w) = (c_s(w)+1)/(T_s+V+1), p_c(w) = (c(w)+1)/(T+V+1), with
+    T_s = ALL tokens of source s (not just in-vocab ones). Rounded to
+    `ndigits` (the lm.py float recipe), so DuckDB re-derives it
+    bit-equal.
+
+    Shape: per-batch Counter partials restricted to the broadcast
+    top-V vocab plus one total-tokens row per source, ONE source-hash
+    exchange, and a V-term numpy reduce per source — per-task state is
+    O(V + sources), never the vocabulary. Returns (source, n_tokens,
+    kl)."""
+    from collections import Counter
+
+    from .joins import exchange_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        model = ray.get(corpus_model_ref)
+        vocab = model["counts"]
+        srcs, words, ns = [], [], []
+        df = pd.DataFrame(
+            {
+                source_col: batch[source_col].to_pylist(),
+                text_col: batch[text_col].to_pylist(),
+            }
+        )
+        for src, g in df.groupby(source_col, sort=False):
+            c: Counter = Counter()
+            total = 0
+            for t in g[text_col]:
+                ws = (t or "").lower().split()
+                total += len(ws)
+                c.update(w for w in ws if w in vocab)
+            for w, n in c.items():
+                srcs.append(src)
+                words.append(w)
+                ns.append(n)
+            srcs.append(src)
+            words.append("")  # the per-source total-token marker row
+            ns.append(total)
+        h = pd.util.hash_array(
+            np.asarray(srcs, dtype=object), categorize=False
+        )
+        return pa.table(
+            {
+                source_col: pa.array(srcs, pa.string()),
+                "w": pa.array(words, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "__bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {
+            source_col: pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "kl": pa.array([], pa.float64()),
+        }
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        model = ray.get(corpus_model_ref)
+        vocab = model["counts"]
+        vlist = sorted(vocab)
+        cvec = np.fromiter(
+            (vocab[w] for w in vlist), dtype=np.float64, count=len(vlist)
+        )
+        pc_vec = (cvec + 1.0) / float(model["total"] + model["v"] + 1)
+        widx = {w: i for i, w in enumerate(vlist)}
+        df = t.select([source_col, "w", "n"]).to_pandas()
+        if not len(df):
+            return empty
+        out_s, out_n, out_kl = [], [], []
+        for src, g in df.groupby(source_col, sort=True):
+            totals = g[g["w"] == ""]["n"].sum()
+            svec = np.zeros(len(vlist), dtype=np.float64)
+            gg = g[g["w"] != ""]
+            agg = gg.groupby("w", sort=False)["n"].sum()
+            for w, n in agg.items():
+                svec[widx[w]] = n
+            ps = (svec + 1.0) / float(totals + model["v"] + 1)
+            kl = round(float(np.sum(ps * np.log(ps / pc_vec))), ndigits)
+            out_s.append(src)
+            out_n.append(int(totals))
+            out_kl.append(kl)
+        return pa.table(
+            {
+                source_col: pa.array(out_s, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "kl": pa.array(out_kl, pa.float64()),
+            }
+        )
+
+    return exchange_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        reduce_fn, empty, num_buckets,
+    )

@@ -183,6 +183,59 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return stage(batch)
 
 
+# -------------------------------------------------------- normalization
+
+
+def normalize_corpus(ds, *, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Pre-tokenization text cleanup — the standard first pass of a
+    training-data pipeline: Unicode NFC composition, C0/DEL control
+    stripping, ASCII-whitespace run collapse, edge trim. Returns
+    (id, n_chars_norm, norm_fp, changed) with norm_fp = md5 hex of
+    the normalized text and changed = (normalized != input).
+
+    Map-only, no shuffle. The control-strip / collapse / trim steps
+    are Arrow RE2 kernels over the zero-copy batch, with EXPLICIT
+    ASCII character classes (never \\s, whose meaning differs between
+    RE2 and Python) that run verbatim in the DuckDB oracle. NFC runs
+    per-row via unicodedata — pyarrow's utf8_normalize does NOT
+    canonically compose (combining marks survive its "NFC"), so it
+    cannot match DuckDB's nfc_normalize — gated by str.isascii()
+    (ASCII is NFC-invariant), and folded into the md5 loop the
+    fingerprint needed anyway. The ASCII-only regex steps commute
+    with NFC (composition never creates or destroys ASCII controls
+    or whitespace), so running them first keeps the Python loop to
+    the already-shortened strings."""
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        orig = batch[text_col]
+        t = pc.replace_substring_regex(
+            orig, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+        )
+        t = pc.replace_substring_regex(t, "[ \t\r\n\f\v]+", " ")
+        t = pc.utf8_trim(t, " ")
+        orig_l = orig.to_pylist()
+        fps, lens, changed = [], [], []
+        for s, o in zip(t.to_pylist(), orig_l):
+            s = s or ""
+            if not s.isascii():
+                s = unicodedata.normalize("NFC", s)
+            fps.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+            lens.append(len(s))
+            changed.append(s != (o or ""))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars_norm": pa.array(lens, pa.int64()),
+                "norm_fp": pa.array(fps, pa.string()),
+                "changed": pa.array(changed, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ fingerprint
 
 
