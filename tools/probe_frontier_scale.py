@@ -168,7 +168,7 @@ def main() -> None:
         rd.read_parquet(fetch_dir),
         rd.read_parquet(link_dir),
         num_buckets=64,
-    )
+    ).materialize()  # full streaming execution lands here
     n_merged = merged.count()
     dt = time.time() - t0
     sj = steal() - s0
@@ -212,6 +212,32 @@ def main() -> None:
         "rows_per_s": round(n / dt),
         "steal_jiffies": sj,
         "steal_ratio": round(sj / (dt * 100 * args.cpus), 5),
+    }
+
+    # 4. checkpoint round-trip: write the merged frontier as a depth
+    # checkpoint (partitioned parquet + lineage manifest), then resume
+    # — read it back and count. The resumability contract at 10M rows.
+    from webcollector_ray.state.frontier import CheckpointStore
+
+    ckpt = CheckpointStore(os.path.join(args.workdir, "ckpt"))
+    s0, t0 = steal(), time.time()
+    n_written = ckpt.write_table(merged, depth=0, name="crawldb")
+    ckpt.write_manifest(0, {"crawldb_size": n_written})
+    dt_w = time.time() - t0
+    sj_w = steal() - s0
+    s0, t0 = steal(), time.time()
+    assert ckpt.latest_complete_depth() == 0
+    n_back = ckpt.read_dataset(0, "crawldb").count()
+    dt_r = time.time() - t0
+    sj_r = steal() - s0
+    out["stages"]["checkpoint"] = {
+        "write_secs": round(dt_w, 3),
+        "write_rows_per_s": round(n_written / dt_w),
+        "rows": n_written,
+        "resume_read_secs": round(dt_r, 3),
+        "resume_rows_per_s": round(n_back / dt_r),
+        "rows_match": bool(n_back == n_written),
+        "steal_jiffies": sj_w + sj_r,
     }
 
     print(json.dumps(out))
