@@ -416,6 +416,16 @@ def _q_source_kl(sf_dir: str):
     return source_kl_divergence(ds, model_ref)
 
 
+def _q_vocab_bpe_pairs(sf_dir: str):
+    """First BPE-training iteration: top-50 adjacent character pairs
+    within words, weighted by word frequency — the corpus collapses to
+    its vocabulary through one word-hash exchange before any pair
+    work."""
+    from webcollector_ray.functions.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(sf_dir), n=50)
+
+
 def _q_docs_normalized(sf_dir: str):
     """Unicode normalization scrub (NFC + control strip + whitespace
     collapse + trim) over a deterministically-dirtied third of the
@@ -3126,6 +3136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_selected": _q_docs_dsir_selected,
         "source_kl": _q_source_kl,
         "docs_normalized": _q_docs_normalized,
+        "vocab_bpe_pairs": _q_vocab_bpe_pairs,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -5664,6 +5675,28 @@ def _oracle_sql_static() -> dict[str, str]:
                 GROUP BY s.source, s.ts
             )
             SELECT source, n_tokens, kl FROM kl
+        """,
+        "vocab_bpe_pairs": r"""
+            WITH docs AS (
+                SELECT regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                           '\s+') AS words
+                FROM documents
+            ),
+            tok AS (SELECT unnest(words) AS w FROM docs),
+            wc AS (
+                SELECT w, count(*)::BIGINT AS n FROM tok
+                WHERE w != '' GROUP BY w
+            ),
+            pos AS (
+                SELECT w, n, unnest(range(1, length(w))) AS i
+                FROM wc WHERE length(w) >= 2
+            ),
+            pairs AS (
+                SELECT substr(w, i, 2) AS pair, sum(n)::BIGINT AS n
+                FROM pos GROUP BY substr(w, i, 2)
+            )
+            SELECT pair, n FROM pairs ORDER BY n DESC, pair ASC LIMIT 50
         """,
         "docs_normalized": r"""
             WITH dirty AS (

@@ -1956,3 +1956,26 @@ def test_source_kl_reference(ray_session):
         assert got.loc[src, "n_tokens"] == ts
     # distributions differ from the blend, so both KLs are positive
     assert (got["kl"] > 0).all()
+
+
+def test_bpe_pair_counts_reference(ray_session):
+    from collections import Counter
+
+    from webcollector_ray.functions.textstats import bpe_pair_counts
+
+    rows = ["low lower lowest", "low low newer", "a", ""]
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array(rows, pa.string()),
+    })
+    got = bpe_pair_counts(
+        rd.from_arrow(t), n=100, num_buckets=3
+    ).to_pandas()
+    ref: Counter = Counter()
+    for r in rows:
+        for w in r.lower().split():
+            for i in range(len(w) - 1):
+                ref[w[i:i + 2]] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(zip(got["pair"], got["n"])) == want
+    assert ref["lo"] == 5  # low x3 + lower + lowest

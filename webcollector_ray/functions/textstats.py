@@ -236,6 +236,71 @@ def normalize_corpus(ds, *, text_col: str = "text",
     return ds.map_batches(norm, batch_format="pyarrow")
 
 
+def bpe_pair_counts(ds, *, text_col: str = "text", n: int = 50,
+                    num_buckets: int = 32):
+    """First iteration of BPE tokenizer training at corpus scale:
+    counts of adjacent CHARACTER pairs within words, weighted by word
+    frequency — the argmax of this table is the first BPE merge
+    (Sennrich et al. 2016). Returns the top-n (pair, n), ties
+    pair-ascending (vocab_top_words schema).
+
+    Shape: composes word_counts (ONE word-hash exchange — the corpus
+    collapses to its vocabulary BEFORE any pair work, so the pair
+    explosion runs over vocab-sized, not corpus-sized, data) with a
+    pair-hash exchange summing per-vocab-entry partials and a
+    local-top-n global reduce. The per-word character loop is Python
+    over the vocabulary table only; per-task state is one Counter of
+    the pairs seen in that block's words."""
+    from collections import Counter
+
+    from .joins import exchange_reduce
+    from .ranking import global_top_n
+    from .sketches import word_counts
+
+    wc = word_counts(ds, text_col=text_col, num_buckets=num_buckets)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for w, cnt in zip(
+            batch["word"].to_pylist(), batch["n"].to_pylist()
+        ):
+            for i in range(len(w) - 1):
+                c[w[i:i + 2]] += cnt
+        pairs = list(c.keys())
+        h = pd.util.hash_array(
+            np.asarray(pairs, dtype=object), categorize=False
+        )
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "n": pa.array([c[p] for p in pairs], pa.int64()),
+                "__bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        df = t.select(["pair", "n"]).to_pandas()
+        g = df.groupby("pair", sort=False, as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "pair": pa.array(g["pair"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    summed = exchange_reduce(
+        wc.map_batches(pair_partial, batch_format="pyarrow"),
+        sum_bucket, empty, num_buckets,
+    )
+    return global_top_n(summed, order_col="n", n=n, tie_col="pair")
+
+
 # ------------------------------------------------------------ fingerprint
 
 
