@@ -416,6 +416,36 @@ def _q_source_kl(sf_dir: str):
     return source_kl_divergence(ds, model_ref)
 
 
+def _q_docs_contamination_pairs(sf_dir: str):
+    """Contamination ATTRIBUTION: distinct (train doc, eval doc) pairs
+    sharing a word 8-gram — which benchmark item leaked into which
+    training doc (the report contamination_flags' count cannot give)."""
+    from webcollector_ray.functions.decontam import (
+        build_eval_gram_postings,
+        contamination_pairs,
+    )
+
+    ds = _docs(sf_dir)
+    ev = ds.map_batches(
+        lambda b: _eval_split_mask(b, True), batch_format="pyarrow"
+    )
+    train = ds.map_batches(
+        lambda b: _eval_split_mask(b, False), batch_format="pyarrow"
+    )
+    postings = build_eval_gram_postings(ev, k=_DECON_K)
+    return contamination_pairs(train, postings, k=_DECON_K)
+
+
+def _q_embeddings_outliers(sf_dir: str):
+    """Per-label embedding outliers: the 10 vectors farthest (lowest
+    cosine) from their label's fixed-point-exact centroid — the
+    mislabeled-example detector of an embedding-curated corpus."""
+    from webcollector_ray.functions.similarity import label_outliers
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return label_outliers(ds, k=10)
+
+
 def _q_vocab_bpe_pairs(sf_dir: str):
     """First BPE-training iteration: top-50 adjacent character pairs
     within words, weighted by word frequency — the corpus collapses to
@@ -3137,6 +3167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": _q_source_kl,
         "docs_normalized": _q_docs_normalized,
         "vocab_bpe_pairs": _q_vocab_bpe_pairs,
+        "embeddings_outliers": _q_embeddings_outliers,
+        "docs_contamination_pairs": _q_docs_contamination_pairs,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -5676,6 +5708,44 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT source, n_tokens, kl FROM kl
         """,
+        "embeddings_outliers": r"""
+            WITH e AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS emb
+                FROM embeddings
+            ),
+            dims AS (
+                SELECT label, unnest(emb) AS v,
+                       generate_subscripts(emb, 1) AS d
+                FROM e
+            ),
+            sums AS (
+                SELECT label, d,
+                       sum(floor(v * 1048576.0)::BIGINT) AS s,
+                       count(*) AS n
+                FROM dims GROUP BY label, d
+            ),
+            cent AS (
+                SELECT label,
+                       list(s::DOUBLE / (n * 1048576.0) ORDER BY d) AS c
+                FROM sums GROUP BY label
+            ),
+            sc AS (
+                SELECT e.vec_id, e.label,
+                       round(list_cosine_similarity(e.emb, cent.c), 6)
+                           AS centroid_cosine
+                FROM e JOIN cent USING (label)
+            ),
+            ranked AS (
+                SELECT vec_id, label, centroid_cosine,
+                       row_number() OVER (
+                           PARTITION BY label
+                           ORDER BY centroid_cosine ASC, vec_id ASC
+                       ) AS rank
+                FROM sc
+            )
+            SELECT vec_id, label, centroid_cosine, rank
+            FROM ranked WHERE rank <= 10
+        """,
         "vocab_bpe_pairs": r"""
             WITH docs AS (
                 SELECT regexp_split_to_array(
@@ -5728,6 +5798,18 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "docs_contamination": _DECONTAM_SQL
         + "SELECT doc_id, n_hits FROM hits",
+        "docs_contamination_pairs": _DECONTAM_SQL + f"""
+            , evd AS (
+                SELECT DISTINCT doc_id AS eval_id, g FROM grams
+                WHERE doc_id % {_DECON_MOD} = {_DECON_REM}
+            ),
+            cpairs AS (
+                SELECT DISTINCT g.doc_id, evd.eval_id
+                FROM grams g JOIN evd ON g.g = evd.g
+                WHERE g.doc_id % {_DECON_MOD} != {_DECON_REM}
+            )
+            SELECT doc_id, eval_id FROM cpairs
+        """,
         "events_cohorts": """
             WITH d AS (
                 SELECT user_id,

@@ -1979,3 +1979,79 @@ def test_bpe_pair_counts_reference(ray_session):
     want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
     assert list(zip(got["pair"], got["n"])) == want
     assert ref["lo"] == 5  # low x3 + lower + lowest
+
+
+def test_label_outliers_reference(ray_session):
+    from webcollector_ray.functions.similarity import label_outliers
+
+    rng = np.random.default_rng(7)
+    n, d = 60, 8
+    M = rng.normal(size=(n, d))
+    labels = np.array([i % 3 for i in range(n)], dtype=np.int32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in M]),
+        "label": pa.array(labels, pa.int32()),
+    })
+    got = (
+        label_outliers(rd.from_arrow(t), k=4)
+        .to_pandas().sort_values(["label", "rank"]).reset_index(drop=True)
+    )
+    SCALE = float(1 << 20)
+    for lab in range(3):
+        V = M[labels == lab]
+        ids = np.arange(n)[labels == lab]
+        c = np.floor(V * SCALE).sum(axis=0) / (len(V) * SCALE)
+        cos = np.round(
+            (V @ c) / (np.linalg.norm(V, axis=1) * np.linalg.norm(c)), 6
+        )
+        order = np.lexsort((ids, cos))[:4]
+        sub = got[got["label"] == lab]
+        assert sub["vec_id"].tolist() == ids[order].tolist()
+        assert sub["centroid_cosine"].tolist() == cos[order].tolist()
+        assert sub["rank"].tolist() == [1, 2, 3, 4]
+
+
+def test_contamination_pairs_reference(ray_session):
+    from webcollector_ray.functions.decontam import (
+        build_eval_gram_postings,
+        contamination_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    ev = pa.table({
+        "doc_id": [100, 101],
+        "text": [shared + " iota", "totally different words here now ok yes there"],
+    })
+    tr = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "prefix " + shared,                     # hits eval 100
+            "totally different words here now ok yes there",  # hits 101
+            "no overlap at all in this one really truly",
+        ],
+    })
+    postings = build_eval_gram_postings(rd.from_arrow(ev), k=8)
+    got = sorted(
+        contamination_pairs(rd.from_arrow(tr), postings, k=8)
+        .to_pandas().itertuples(index=False, name=None)
+    )
+    assert got == [(1, 100), (2, 101)]
+
+
+def test_contamination_pairs_empty_eval(ray_session):
+    from webcollector_ray.functions.decontam import (
+        build_eval_gram_postings,
+        contamination_pairs,
+    )
+
+    ev = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    })
+    tr = pa.table({"doc_id": [1], "text": ["some words"]})
+    postings = build_eval_gram_postings(rd.from_arrow(ev), k=8)
+    out = contamination_pairs(
+        rd.from_arrow(tr), postings, k=8
+    ).to_pandas()
+    assert len(out) == 0

@@ -80,6 +80,88 @@ def contamination_flags(
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+@ray.remote
+def _eval_gram_postings(k: int, text_col: str, id_col: str, *blocks):
+    """(sorted unique gram hashes, posting offsets, eval ids): the
+    gram -> eval-doc inverted index over the eval set, built in one
+    task (benchmark-sized side; same 1 GiB bound as the plain set)."""
+    hs = [np.zeros(0, dtype=np.uint64)]
+    ids = [np.zeros(0, dtype=np.int64)]
+    for t in blocks:
+        if t is None or not len(t):
+            continue
+        for text, did in zip(
+            t[text_col].to_pylist(), t[id_col].to_pylist()
+        ):
+            h = np.unique(_shingle_hashes(text, k))
+            hs.append(h)
+            ids.append(np.full(len(h), did, dtype=np.int64))
+    h = np.concatenate(hs)
+    i = np.concatenate(ids)
+    order = np.lexsort((i, h))
+    h, i = h[order], i[order]
+    if h.nbytes + i.nbytes > 1 << 30:
+        raise ValueError(
+            "eval gram postings exceed 1 GiB — the eval side must stay "
+            "benchmark-sized (see module docstring)"
+        )
+    uh, starts = np.unique(h, return_index=True)
+    return uh, np.append(starts, len(h)).astype(np.int64), i
+
+
+def build_eval_gram_postings(
+    eval_ds, *, k: int = 8, text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    refs = list(eval_ds.to_arrow_refs())
+    return _eval_gram_postings.remote(k, text_col, id_col, *refs)
+
+
+def contamination_pairs(
+    ds,
+    postings_ref,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """ATTRIBUTION sibling of contamination_flags: distinct (train id,
+    eval id) pairs sharing at least one word k-gram — the report that
+    tells a curator WHICH benchmark item leaked into which training
+    doc, not just that something did. Same scale shape: the inverted
+    index is a bounded broadcast, the pass over the corpus is
+    map-only."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uh, offs, eids = ray.get(postings_ref)
+        out_d: list = []
+        out_e: list = []
+        dids = batch[id_col].to_pylist()
+        for j, text in enumerate(batch[text_col].to_pylist()):
+            h = np.unique(_shingle_hashes(text, k))
+            if not len(uh) or not len(h):
+                continue
+            idx = np.searchsorted(uh, h)
+            idx[idx == len(uh)] = 0
+            m = uh[idx] == h
+            if not m.any():
+                continue
+            sel = idx[m]
+            ev = np.unique(
+                np.concatenate([eids[offs[s]:offs[s + 1]] for s in sel])
+            )
+            out_d.extend([dids[j]] * len(ev))
+            out_e.extend(ev.tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_d, pa.int64()),
+                "eval_id": pa.array(out_e, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 # ------------------------------------------------ fuzzy decontamination
 
 

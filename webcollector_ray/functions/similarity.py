@@ -664,3 +664,73 @@ def label_centroid_sums(
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["label", "dim"]
     ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+
+def label_outliers(
+    ds,
+    *,
+    k: int = 10,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 20,
+    ndigits: int = 6,
+    num_buckets: int = 16,
+):
+    """Per-label outlier census: the k vectors FARTHEST from their
+    label's centroid (lowest cosine, ties id-ascending) — the
+    mislabeled-example / contamination detector of an embedding-
+    curated corpus. Returns (id, label, centroid_cosine, rank).
+
+    Shape: label_centroid_sums' fixed-point accumulators (order-free
+    integer adds, so the centroid is EXACT and oracle-reproducible)
+    collapse to a labels x D table — bounded, collected once and
+    broadcast via ray.put — then a map-only cosine pass (one BLAS
+    matvec per row against the row's label centroid, vectorized per
+    label group) and a grouped top-k exchange. Cosines round to
+    `ndigits` BEFORE ranking so the DuckDB oracle's ordering is
+    identical."""
+    from .ranking import top_n_per_group
+
+    SCALE = float(1 << scale_bits)
+    cent_tbl = label_centroid_sums(
+        ds, label_col=label_col, emb_col=emb_col, scale_bits=scale_bits
+    ).to_pandas()  # bounded: labels x D rows
+    cent: dict = {}
+    for lab, g in cent_tbl.groupby("label"):
+        g = g.sort_values("dim")
+        cent[int(lab)] = (
+            g["s"].to_numpy(np.float64)
+            / (g["n"].to_numpy(np.float64) * SCALE)
+        )
+    cent_ref = ray.put(cent)
+
+    def score(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cent_ref)
+        m = _to_matrix(batch[emb_col]).astype(np.float64)
+        labels = np.asarray(batch[label_col].to_pylist())
+        cos = np.zeros(len(labels), dtype=np.float64)
+        for lab in np.unique(labels):
+            idx = np.nonzero(labels == lab)[0]
+            c = cmap[int(lab)]
+            cn = float(np.linalg.norm(c))
+            vs = m[idx]
+            vn = np.linalg.norm(vs, axis=1)
+            denom = vn * cn
+            raw = np.where(denom > 0, (vs @ c) / np.where(
+                denom == 0, 1, denom), 0.0)
+            cos[idx] = np.round(raw, ndigits)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                label_col: batch[label_col],
+                "centroid_cosine": pa.array(cos),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return top_n_per_group(
+        scored, key_col=label_col, order_col="centroid_cosine",
+        n=k, descending=False, tie_col=id_col,
+        num_buckets=num_buckets,
+    )
