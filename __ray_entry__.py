@@ -2457,6 +2457,24 @@ def _q_embeddings_projected(sf_dir: str):
     )
 
 
+# 0.4 for the same reason as embedding_dup_pairs: the synthetic
+# embeddings' max off-diagonal cosine is ~0.51, so a 0.9 cut is vacuous
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def _q_embeddings_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): cluster with the exact Lloyd
+    fixpoint, then drop any vector with a lower-id cluster-mate above
+    the cosine threshold — semantic dedup at k*(N/k)^2 instead of
+    N^2."""
+    from webcollector_ray.functions.similarity import semantic_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(
+        ds, k=8, iters=2, threshold=_SEMDEDUP_THRESHOLD
+    )
+
+
 def _q_embeddings_kmeans(sf_dir: str):
     # deterministic 2-iteration Lloyd over fixed-point sums; the full
     # fixpoint (init -> assign -> update x2 -> final assign) is
@@ -3169,6 +3187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_bpe_pairs": _q_vocab_bpe_pairs,
         "embeddings_outliers": _q_embeddings_outliers,
         "docs_contamination_pairs": _q_docs_contamination_pairs,
+        "embeddings_semdedup": _q_embeddings_semdedup,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -4610,11 +4629,30 @@ def _sketch_oracle_sqls() -> dict[str, str]:
                min(vec_id) AS min_vec
         FROM af GROUP BY cluster
     """
+    # SemDeDup tail: same Lloyd-fixpoint CTE chain up to the final
+    # assignment `af`, then drop v iff ANY lower-id cluster-mate's
+    # rounded cosine reaches the threshold (non-cascading rule)
+    semdedup = kmeans.rsplit("SELECT cluster::BIGINT", 1)[0] + f"""
+        , sdrop AS (
+            SELECT DISTINCT b.vec_id
+            FROM af a JOIN af b ON a.cluster = b.cluster
+                               AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE round(list_cosine_similarity(
+                ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+                >= {_SEMDEDUP_THRESHOLD}
+        )
+        SELECT af.vec_id, af.cluster::BIGINT AS cluster
+        FROM af LEFT JOIN sdrop USING (vec_id)
+        WHERE sdrop.vec_id IS NULL
+    """
     return {
         "events_distinct_users_hll": hll,
         "events_quantiles": quantiles,
         "events_quantiles_sketch": quantiles_sketch,
         "embeddings_kmeans": kmeans,
+        "embeddings_semdedup": semdedup,
         "vocab_top_words": vocab,
         "docs_stratified_sample": strat,
     }

@@ -2055,3 +2055,50 @@ def test_contamination_pairs_empty_eval(ray_session):
         rd.from_arrow(tr), postings, k=8
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_semantic_dedup_reference(ray_session):
+    from webcollector_ray.functions.similarity import semantic_dedup
+
+    # two tight groups on orthogonal axes + one exact duplicate pair;
+    # k=2 puts each group in its own cluster, the duplicate (id 3 ~ id
+    # 0) must drop, everything else survives
+    vecs = [
+        [1.0, 0.0, 0.0],   # 0 seed cluster A
+        [0.0, 1.0, 0.0],   # 1 seed cluster B
+        [0.0, 0.95, 0.1],  # 2 near B, below 0.999 vs 1? cos ~0.994
+        [1.0, 0.001, 0.0],  # 3 near-dup of 0 -> drops
+        [0.0, 0.0, 1.0],   # 4 own direction
+    ]
+    t = pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array(vecs),
+    })
+    got = (
+        semantic_dedup(rd.from_arrow(t), k=2, iters=1, threshold=0.99)
+        .to_pandas().sort_values("vec_id")
+    )
+    kept = got["vec_id"].tolist()
+    assert 3 not in kept      # dropped by lower-id near-dup 0
+    assert 0 in kept and 1 in kept and 4 in kept
+    # reference: recompute with numpy (same rule) for every vector
+    M = np.array(vecs)
+    U = M / np.linalg.norm(M, axis=1, keepdims=True)
+    # cluster assignment after 1 Lloyd iteration, seeds = ids 0,1
+    C = M[:2].copy()
+    a = (U @ (C / np.linalg.norm(C, axis=1, keepdims=True)).T).argmax(1)
+    SCALE = float(1 << 20)
+    for c in range(2):
+        if (a == c).any():
+            C[c] = np.floor(M[a == c] * SCALE).sum(0) / (
+                (a == c).sum() * SCALE
+            )
+    a = (U @ (C / np.linalg.norm(C, axis=1, keepdims=True)).T).argmax(1)
+    ref_kept = []
+    for i in range(5):
+        mates = [j for j in range(i) if a[j] == a[i]]
+        if not any(
+            np.round(float(U[i] @ U[j]), 6) >= 0.99 for j in mates
+        ):
+            ref_kept.append(i)
+    assert kept == ref_kept

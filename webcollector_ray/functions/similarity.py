@@ -460,6 +460,52 @@ def kmeans_fixed(
     (the classic distributed-Lloyd layout); centroids travel in the
     task closure (k*D doubles). Nothing is all-to-all and no pass
     materializes the dataset."""
+    C, assign_to = _kmeans_train(
+        ds, k=k, iters=iters, emb_col=emb_col, id_col=id_col,
+        scale_bits=scale_bits,
+    )
+    afn = assign_to(C)
+
+    def final_partial(batch: pa.Table, _afn=afn) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"cluster": pa.array([], pa.int64()),
+                 "n_vecs": pa.array([], pa.int64()),
+                 "min_vec": pa.array([], pa.int64())}
+            )
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for v in batch[emb_col].to_pylist()]
+        )
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        a = _afn(V)
+        df = (
+            pd.DataFrame({"cluster": a + 1, "vec_id": ids})
+            .groupby("cluster", sort=True)
+            .agg(n_vecs=("vec_id", "size"), min_vec=("vec_id", "min"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(final_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cluster", sort=True)
+        .agg(n_vecs=("n_vecs", "sum"), min_vec=("min_vec", "min"))
+        .reset_index()
+    )
+    out["cluster"] = out["cluster"].astype("int64")
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["min_vec"] = out["min_vec"].astype("int64")
+    return out
+
+
+def _kmeans_train(ds, *, k, iters, emb_col, id_col, scale_bits):
+    """The shared Lloyd fixpoint of kmeans_fixed / semantic_dedup:
+    returns (C, assign_to) — trained float64 centroids and the
+    assignment-fn factory (argmax cosine, first-max == lowest
+    cluster). Every step cross-engine exact (see kmeans_fixed)."""
     SCALE = float(1 << scale_bits)
 
     def local_init(batch: pa.Table) -> pa.Table:
@@ -528,41 +574,99 @@ def kmeans_fixed(
         newC[nz] = S[nz] / (cnt[nz, None] * SCALE)
         C = newC
 
-    afn = assign_to(C)
+    return C, assign_to
 
-    def final_partial(batch: pa.Table, _afn=afn) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {"cluster": pa.array([], pa.int64()),
-                 "n_vecs": pa.array([], pa.int64()),
-                 "min_vec": pa.array([], pa.int64())}
-            )
-        V = np.stack(
-            [np.asarray(v, dtype=np.float64)
-             for v in batch[emb_col].to_pylist()]
-        )
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        a = _afn(V)
-        df = (
-            pd.DataFrame({"cluster": a + 1, "vec_id": ids})
-            .groupby("cluster", sort=True)
-            .agg(n_vecs=("vec_id", "size"), min_vec=("vec_id", "min"))
-            .reset_index()
-        )
-        return pa.Table.from_pandas(df, preserve_index=False)
 
-    out = (
-        ds.select_columns([id_col, emb_col])
-        .map_batches(final_partial, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("cluster", sort=True)
-        .agg(n_vecs=("n_vecs", "sum"), min_vec=("min_vec", "min"))
-        .reset_index()
+def semantic_dedup(
+    ds,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 20,
+    ndigits: int = 6,
+    strip: int = 2048,
+):
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means
+    clustering + in-cluster cosine — near-duplicates only need
+    comparing inside their cluster, turning the all-pairs O(N^2) into
+    k * O((N/k)^2). Rule (deterministic, order-free, non-cascading):
+    drop v iff ANY lower-id cluster-mate u has round(cos(u, v),
+    `ndigits`) >= threshold. Returns the survivors (id, cluster).
+
+    Shape: the Lloyd fixpoint is the shared cross-engine-exact
+    trainer (kmeans_fixed's oracle proves centroid equality), the
+    assignment pass is map-only, and each cluster's pairwise check
+    runs in its own reduce task with `strip`-row slabs bounding the
+    similarity matrix. Per-task work is the cluster size — k is the
+    scale knob (SemDeDup's own constraint: pick k so N/k fits a
+    worker)."""
+    from .joins import exchange_reduce
+
+    C, assign_to = _kmeans_train(
+        ds, k=k, iters=iters, emb_col=emb_col, id_col=id_col,
+        scale_bits=scale_bits,
     )
-    out["cluster"] = out["cluster"].astype("int64")
-    out["n_vecs"] = out["n_vecs"].astype("int64")
-    out["min_vec"] = out["min_vec"].astype("int64")
-    return out
+    afn = assign_to(C)
+    num_buckets = k
+
+    def tag(batch: pa.Table) -> pa.Table:
+        V = _to_matrix(batch[emb_col])
+        a = afn(V) if len(batch) else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array((a + 1).astype(np.int64)),
+                emb_col: batch[emb_col],
+                "__bucket": pa.array(
+                    (a % num_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return empty
+        df = t.select([id_col, "cluster"]).to_pandas()
+        V = _to_matrix(t[emb_col])
+        keep_ids, keep_cl = [], []
+        for cl, g in df.groupby("cluster", sort=True):
+            idx = g.index.to_numpy()
+            ids = g[id_col].to_numpy(np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            U = _unit(V[idx[order]])
+            n_c = len(ids)
+            drop = np.zeros(n_c, dtype=bool)
+            for s in range(0, n_c, strip):
+                e = min(s + strip, n_c)
+                S = np.round(U[s:e] @ U.T, ndigits)  # (slab, n_c)
+                cols = np.arange(n_c)[None, :]
+                rows = np.arange(s, e)[:, None]
+                hit = (S >= threshold) & (cols < rows)
+                drop[s:e] |= hit.any(axis=1)
+            keep_ids.extend(ids[~drop].tolist())
+            keep_cl.extend([int(cl)] * int((~drop).sum()))
+        return pa.table(
+            {
+                id_col: pa.array(keep_ids, pa.int64()),
+                "cluster": pa.array(keep_cl, pa.int64()),
+            }
+        )
+
+    return exchange_reduce(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        per_cluster, empty, num_buckets,
+    )
 
 
 # ------------------------------------------------------ random projection
