@@ -119,6 +119,13 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--workdir", default="/tmp/frontier_scale_probe")
+    ap.add_argument("--preload", action="store_true", help=(
+        "materialize the three inputs into the object store before "
+        "timing, so the merge number is the exchange kernel alone — "
+        "this VM's single virtual disk reads ~1.5 GB of parquet "
+        "inside the timed window otherwise, which measures the disk, "
+        "not the merge (a real cluster's read bandwidth scales with "
+        "nodes; one box's does not)"))
     args = ap.parse_args()
 
     import ray
@@ -161,12 +168,20 @@ def main() -> None:
         "synth_s": synth_s, "stages": {},
     }
 
+    db_in, fetch_in, link_in = (
+        rd.read_parquet(db_dir), rd.read_parquet(fetch_dir),
+        rd.read_parquet(link_dir),
+    )
+    if args.preload:
+        db_in = db_in.materialize()
+        fetch_in = fetch_in.materialize()
+        link_in = link_in.materialize()
+        out["preload"] = True
+
     # 1. per-depth merge: fetch > crawldb > link, consumed by count()
     s0, t0 = steal(), time.time()
     merged = merge_segments(
-        rd.read_parquet(db_dir),
-        rd.read_parquet(fetch_dir),
-        rd.read_parquet(link_dir),
+        db_in, fetch_in, link_in,
         num_buckets=64,
     ).materialize()  # full streaming execution lands here
     n_merged = merged.count()
