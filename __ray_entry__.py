@@ -484,6 +484,48 @@ def _q_docs_normalized(sf_dir: str):
     return normalize_corpus(ds)
 
 
+# deterministic C4 dirt: the single-line corpus gains line structure
+# (literal ' table '/' data ' -> sentence break) plus the three C4
+# trigger suffixes, so every cleanup rule does real work; the oracle
+# applies the identical dirtying in SQL (the docs_normalized precedent)
+_C4_JS_LINE = "click here to enable javascript in your browser."
+_C4_LOREM_LINE = "lorem ipsum dolor sit amet."
+_C4_BRACE_LINE = "if (x) { return; }"
+
+
+def _q_docs_c4_clean(sf_dir: str):
+    """C4-style line-level cleanup (Raffel et al. 2020 §2.2): drop
+    docs containing 'lorem ipsum' or '{'; keep only lines ending in
+    terminal punctuation with >= 5 words and no 'javascript'; drop
+    docs with < 3 surviving lines. Map-only — no shuffle, no state."""
+    from webcollector_ray.functions.textstats import c4_clean
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        t = pc.replace_substring(
+            batch["text"], pattern=" table ", replacement=".\ntable "
+        )
+        t = pc.replace_substring(
+            t, pattern=" data ", replacement=".\ndata "
+        )
+        parts = [t]
+        for mod, line in (
+            (5, _C4_JS_LINE), (9, _C4_LOREM_LINE), (11, _C4_BRACE_LINE)
+        ):
+            parts.append(
+                pc.if_else(
+                    pa.array(ids % mod == 0),
+                    pa.scalar("\n" + line),
+                    pa.scalar(""),
+                )
+            )
+        t = pc.binary_join_element_wise(*parts, "")
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    ds = _docs(sf_dir).map_batches(dirty, batch_format="pyarrow")
+    return c4_clean(ds, min_words=5, min_lines=3)
+
+
 # src<N> -> one of four weights: downsample / keep / fractional
 # upsample / 2.5-epoch upsample (covers every gate in mix_rebalance)
 _MIX_WEIGHT_CYCLE = (0.25, 1.0, 1.75, 2.5)
@@ -3188,6 +3230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_outliers": _q_embeddings_outliers,
         "docs_contamination_pairs": _q_docs_contamination_pairs,
         "embeddings_semdedup": _q_embeddings_semdedup,
+        "docs_c4_clean": _q_docs_c4_clean,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -5827,6 +5870,42 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT doc_id, len(tn)::BIGINT AS n_chars_norm,
                    md5(tn) AS norm_fp, (tn != t0) AS changed
             FROM norm
+        """,
+        "docs_c4_clean": f"""
+            WITH dirt AS (
+                SELECT doc_id,
+                       replace(replace(text,
+                           ' table ', '.' || chr(10) || 'table '),
+                           ' data ', '.' || chr(10) || 'data ')
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN chr(10) || '{_C4_JS_LINE}'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 9 = 0
+                               THEN chr(10) || '{_C4_LOREM_LINE}'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN chr(10) || '{_C4_BRACE_LINE}'
+                               ELSE '' END AS t
+                FROM documents
+            ),
+            gated AS (
+                SELECT doc_id, t FROM dirt
+                WHERE NOT contains(lower(t), 'lorem ipsum')
+                  AND NOT contains(t, '{{')
+            ),
+            f AS (
+                SELECT doc_id,
+                       list_filter(str_split(t, chr(10)), x ->
+                           regexp_matches(x, '[.!?"]$')
+                           AND len(regexp_split_to_array(trim(x), '\\s+')) >= 5
+                           AND NOT contains(lower(x), 'javascript')
+                       ) AS kept
+                FROM gated
+            )
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS clean_text,
+                   len(kept)::BIGINT AS n_lines_kept
+            FROM f WHERE len(kept) >= 3
         """,
         "docs_lm_head": _LM_SQL + """
             SELECT doc_id FROM lm

@@ -2102,3 +2102,39 @@ def test_semantic_dedup_reference(ray_session):
         ):
             ref_kept.append(i)
     assert kept == ref_kept
+
+
+def test_c4_clean(ray_session):
+    from webcollector_ray.functions.textstats import c4_clean
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # 4 lines, one too short -> 3 kept
+            "good line with five words here.\nshort one.\n"
+            "another good line right here ok.\n"
+            "a third fine line is here.",
+            # lorem ipsum -> whole doc dropped
+            "lorem ipsum dolor sit amet.\nx.",
+            # javascript line dropped, 3 ok lines kept
+            "enable javascript in your browser now.\n"
+            "ok line with many words here.\n"
+            "second ok line with words here.\n"
+            "third ok line with words here.",
+            # only 2 surviving lines -> doc dropped by min_lines
+            "no terminal punctuation on this line\n"
+            "only two kept lines here now.\n"
+            "second kept line with words here.",
+        ],
+    })
+    out = c4_clean(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["n_lines_kept"].tolist() == [3, 3]
+    assert "short one." not in out.iloc[0]["clean_text"]
+    assert "javascript" not in out.iloc[1]["clean_text"]
+    # brace gate drops the whole doc
+    t2 = pa.table({"doc_id": [9], "text": [
+        "fine line with many words here.\nif (x) { return; }\n"
+        "more fine words in this line.\nthird fine line with words here."
+    ]})
+    assert c4_clean(rd.from_arrow(t2)).count() == 0

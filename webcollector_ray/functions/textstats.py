@@ -1121,3 +1121,97 @@ def trigram_diversity_batch(
             "ratio": pa.array(ratio, pa.float64()),
         }
     )
+
+
+# ------------------------------------------------------------- C4 cleanup
+
+
+def c4_clean(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_lines: int = 3,
+):
+    """C4-style line-level corpus cleanup (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning", §2.2 — the public
+    heuristics behind the C4 corpus): drop whole documents containing
+    'lorem ipsum' or a '{'; within surviving docs keep only lines that
+    end in a terminal punctuation mark ('.', '!', '?', '"'), carry at
+    least `min_words` whitespace words, and don't mention 'javascript';
+    drop documents with fewer than `min_lines` surviving lines.
+
+    Map-only (the scale shape: no shuffle, no state). Fully
+    vectorized: doc gates are substring kernels; lines explode through
+    split_pattern -> list_flatten with list_parent_indices, per-line
+    predicates run on the flat array, and surviving lines reassemble
+    per doc via offsets rebuilt from a bincount + one binary_join —
+    no per-row Python anywhere.
+
+    Output: (id_col, clean_text, n_lines_kept), one row per surviving
+    document.
+    """
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "clean_text": pa.array([], pa.string()),
+            "n_lines_kept": pa.array([], pa.int64()),
+        }
+    )
+
+    def clean(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        low = pc.utf8_lower(text)
+        doc_ok = pc.and_(
+            pc.invert(pc.match_substring(low, "lorem ipsum")),
+            pc.invert(pc.match_substring(text, "{")),
+        )
+        batch = batch.filter(doc_ok)
+        if len(batch) == 0:
+            return empty
+        text = batch[text_col].combine_chunks()
+        lines = pc.split_pattern(text, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False
+        )
+        ends = pc.match_substring_regex(flat, r'[.!?"]$')
+        nw = pc.count_substring_regex(flat, r"\S+")
+        noj = pc.invert(
+            pc.match_substring(pc.utf8_lower(flat), "javascript")
+        )
+        keep = pc.and_(
+            pc.and_(ends, pc.greater_equal(nw, min_words)), noj
+        )
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        kept_flat = flat.filter(keep)
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        counts = np.bincount(
+            parents[keep_np], minlength=len(batch)
+        ).astype(np.int64)
+        # flat order is preserved by filter, so cumulative counts are
+        # exactly the per-doc list offsets of the surviving lines
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), kept_flat
+            ),
+            "\n",
+        )
+        out = pa.table(
+            {
+                id_col: batch[id_col],
+                "clean_text": joined,
+                "n_lines_kept": pa.array(counts),
+            }
+        )
+        return out.filter(
+            pc.greater_equal(out["n_lines_kept"], min_lines)
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")
