@@ -1680,6 +1680,140 @@ def _q_tpch_q14(sf_dir: str):
     )
 
 
+_Q18_MIN_QTY = 250  # ~200 qualifying orders at sf0.01 (max sum ~350)
+
+
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds a threshold, with customer name and order facts,
+    top-100 by o_totalprice. Scale shape: lineitem quantity
+    pre-aggregates per order inside map_batches (the shuffle moves
+    order partials, not line items); ONE orderkey-hash exchange fuses
+    the partial fold, the HAVING filter, and the orders attach; the
+    tiny qualifying set then hash-joins customer and finishes with
+    global_top_n — no global sort, no full-orders materialization.
+    Quantities are small integers (exact in float64 in any add order).
+    Determinism: ties on o_totalprice break by o_orderkey ASC (the
+    oracle orders identically)."""
+    from webcollector_ray.functions.joins import (
+        _bucket_ids,
+        exchange_reduce,
+        hash_join,
+    )
+    from webcollector_ray.functions.ranking import global_top_n
+
+    nb = 32
+    odate_t = pq.read_schema(f"{sf_dir}/orders.parquet").field(
+        "o_orderdate"
+    ).type
+    cols = ["o_orderkey", "sum_qty", "o_custkey", "o_totalprice",
+            "o_orderdate"]
+    types = {"o_orderkey": pa.int64(), "sum_qty": pa.float64(),
+             "o_custkey": pa.int64(), "o_totalprice": pa.float64(),
+             "o_orderdate": odate_t}
+    empty = pa.table({c: pa.nulls(0, types[c]) for c in cols})
+
+    def pad(batch: pa.Table, key: str) -> pa.Table:
+        n = len(batch)
+        out = pa.table(
+            {c: (pc.cast(batch[c], types[c]) if c in batch.column_names
+                 else pa.nulls(n, types[c])) for c in cols}
+        )
+        return out.append_column(
+            "__bucket", pa.array(_bucket_ids(batch[key], nb))
+        )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "sum_qty": batch["l_quantity"].to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        ).groupby("o_orderkey", sort=False, as_index=False)[
+            "sum_qty"
+        ].sum()
+        return pad(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(
+                        g["o_orderkey"].to_numpy(np.int64)
+                    ),
+                    "sum_qty": pa.array(
+                        g["sum_qty"].to_numpy(np.float64)
+                    ),
+                }
+            ),
+            "o_orderkey",
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(lambda b: pad(b, "o_orderkey"), batch_format="pyarrow")
+
+    def fuse(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        is_li = df["o_custkey"].isna()
+        qty = df[is_li].groupby("o_orderkey", as_index=False)[
+            "sum_qty"
+        ].sum()
+        big = qty[qty["sum_qty"] > _Q18_MIN_QTY]
+        m = big.merge(
+            df[~is_li][["o_orderkey", "o_custkey", "o_totalprice",
+                        "o_orderdate"]],
+            on="o_orderkey",
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    m["o_orderkey"].to_numpy(np.int64)
+                ),
+                "sum_qty": pa.array(m["sum_qty"].to_numpy(np.float64)),
+                "o_custkey": pa.array(
+                    m["o_custkey"].to_numpy(np.int64)
+                ),
+                "o_totalprice": pa.array(
+                    m["o_totalprice"].to_numpy(np.float64)
+                ),
+                "o_orderdate": pa.Array.from_pandas(
+                    m["o_orderdate"], type=odate_t
+                ),
+            }
+        )
+
+    big = exchange_reduce(li.union(orders), fuse, empty, nb)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    joined = hash_join(
+        big, cust, on="o_custkey", right_on="c_custkey", how="inner"
+    )
+    return global_top_n(
+        joined, order_col="o_totalprice", n=100, tie_col="o_orderkey"
+    ).map_batches(
+        # hash_join emits the LEFT key (o_custkey); Q18 names it
+        # c_custkey in its output
+        lambda b: pa.table(
+            {
+                "c_name": b["c_name"],
+                "c_custkey": b["o_custkey"],
+                "o_orderkey": b["o_orderkey"],
+                "o_orderdate": b["o_orderdate"],
+                "o_totalprice": b["o_totalprice"],
+                "sum_qty": b["sum_qty"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_top_suppliers_per_nation(sf_dir: str):
     """Top-3 suppliers by account balance per nation (cent-exact
     ordering; nation broadcast as a dim)."""
@@ -3231,6 +3365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination_pairs": _q_docs_contamination_pairs,
         "embeddings_semdedup": _q_embeddings_semdedup,
         "docs_c4_clean": _q_docs_c4_clean,
+        "tpch_q18": _q_tpch_q18,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -5870,6 +6005,19 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT doc_id, len(tn)::BIGINT AS n_chars_norm,
                    md5(tn) AS norm_fp, (tn != t0) AS changed
             FROM norm
+        """,
+        "tpch_q18": f"""
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > {_Q18_MIN_QTY}
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, b.sum_qty
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100
         """,
         "docs_c4_clean": f"""
             WITH dirt AS (
