@@ -526,6 +526,26 @@ def _q_docs_c4_clean(sf_dir: str):
     return c4_clean(ds, min_words=5, min_lines=3)
 
 
+def _q_docs_quality_lr(sf_dir: str):
+    """fastText/DCLM-style linear quality classifier as BATCHED MODEL
+    INFERENCE: the weight vector ships once via ray.put, each actor
+    loads it once in __init__, and batches score through vectorized
+    feature kernels + one fused float64 dot product (fixed evaluation
+    order, mirrored exactly by the oracle's SQL expression)."""
+    from webcollector_ray.functions.textstats import (
+        DEFAULT_LR_WEIGHTS,
+        LinearQualityScorer,
+    )
+
+    w_ref = ray.put(dict(DEFAULT_LR_WEIGHTS))
+    return _docs(sf_dir).map_batches(
+        LinearQualityScorer,
+        fn_constructor_kwargs={"weights_ref": w_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
 # src<N> -> one of four weights: downsample / keep / fractional
 # upsample / 2.5-epoch upsample (covers every gate in mix_rebalance)
 _MIX_WEIGHT_CYCLE = (0.25, 1.0, 1.75, 2.5)
@@ -3365,6 +3385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination_pairs": _q_docs_contamination_pairs,
         "embeddings_semdedup": _q_embeddings_semdedup,
         "docs_c4_clean": _q_docs_c4_clean,
+        "docs_quality_lr": _q_docs_quality_lr,
         "tpch_q18": _q_tpch_q18,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -6005,6 +6026,38 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT doc_id, len(tn)::BIGINT AS n_chars_norm,
                    md5(tn) AS norm_fp, (tn != t0) AS changed
             FROM norm
+        """,
+        "docs_quality_lr": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       CASE WHEN length(text) > 0 THEN
+                         (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+                           / length(text)::DOUBLE
+                       ELSE 0.0 END AS alpha_ratio,
+                       CASE WHEN length(text) > 0 THEN
+                         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                           / length(text)::DOUBLE
+                       ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN {_NTOK} > 0 THEN
+                         length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / ({_NTOK})::DOUBLE
+                       ELSE 0.0 END AS avg_token_len,
+                       CASE WHEN {_NTOK} > 0 THEN
+                         len(regexp_extract_all(text,
+                             '\\b(the|and|of|to|in|is|that|it|for|was|a)\\b'))::DOUBLE
+                           / ({_NTOK})::DOUBLE
+                       ELSE 0.0 END AS stop_ratio
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       2.0*alpha_ratio + 3.0*stop_ratio
+                       + (-10.0)*punct_ratio + 0.05*avg_token_len
+                       + (-2.0) AS score
+                FROM f
+            )
+            SELECT doc_id, round(score, 6) AS lr_score,
+                   (score > 0.0) AS kept
+            FROM s
         """,
         "tpch_q18": f"""
             WITH big AS (

@@ -2138,3 +2138,38 @@ def test_c4_clean(ray_session):
         "more fine words in this line.\nthird fine line with words here."
     ]})
     assert c4_clean(rd.from_arrow(t2)).count() == 0
+
+
+def test_linear_quality_scorer(ray_session):
+    import ray
+
+    from webcollector_ray.functions.textstats import (
+        DEFAULT_LR_WEIGHTS,
+        LinearQualityScorer,
+    )
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "the cat and the dog in the house for a while",  # stopword-rich
+            "zzz qqq xxx 123 456 789 000 111",               # stopword-poor
+            "",                                               # empty -> bias only
+        ],
+    })
+    w_ref = ray.put(dict(DEFAULT_LR_WEIGHTS))
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            LinearQualityScorer,
+            fn_constructor_kwargs={"weights_ref": w_ref},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["kept"].tolist() == [True, False, False]
+    # empty doc scores exactly the bias
+    assert out.iloc[2]["lr_score"] == DEFAULT_LR_WEIGHTS["bias"]
+    # stopword-rich beats stopword-poor
+    assert out.iloc[0]["lr_score"] > out.iloc[1]["lr_score"]

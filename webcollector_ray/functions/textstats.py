@@ -1215,3 +1215,102 @@ def c4_clean(
         )
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+# ------------------------------------------------- linear quality model
+
+# fastText/DCLM-style linear quality filter: fixed published-style
+# weights over cheap text features. Bias chosen so the synthetic corpus
+# splits roughly 60/40 (both classes exercised).
+DEFAULT_LR_WEIGHTS = {
+    "alpha_ratio": 2.0,
+    "stop_ratio": 3.0,
+    "punct_ratio": -10.0,
+    "avg_token_len": 0.05,
+    "bias": -2.0,
+}
+
+_LR_STOP_RE = r"\b(the|and|of|to|in|is|that|it|for|was|a)\b"
+
+
+class LinearQualityScorer:
+    """Batched linear-model inference — the quality-classifier stage of
+    a fastText/DCLM-style corpus filter, in the actor-pool model-serving
+    shape: the weight vector is fetched ONCE per actor in __init__
+    (ray.get of a ray.put ref — never re-shipped per batch), and
+    __call__ scores whole batches with vectorized Arrow feature kernels
+    plus one fused float64 dot product.
+
+    score = w_alpha*alpha_ratio + w_stop*stop_ratio
+          + w_punct*punct_ratio + w_avg*avg_token_len + bias,
+    evaluated in that FIXED left-to-right order so the float64 result
+    is bit-identical to the oracle's same-order SQL expression, then
+    rounded to 6dp (repo float convention). kept = score > threshold.
+    """
+
+    def __init__(
+        self,
+        weights_ref=None,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.0,
+    ):
+        if weights_ref is None:
+            w = DEFAULT_LR_WEIGHTS
+        elif isinstance(weights_ref, dict):
+            w = weights_ref
+        else:
+            import ray
+
+            w = ray.get(weights_ref)
+        self.w = w
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n_alpha = pc.count_substring_regex(text, r"[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n_punct = pc.count_substring_regex(text, r"[.,!?;:]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n_nonspace = pc.count_substring_regex(text, r"\S").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n_stop = pc.count_substring_regex(text, _LR_STOP_RE).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        trimmed = pc.utf8_trim_whitespace(text)
+        nt = pc.list_value_length(
+            pc.split_pattern_regex(trimmed, r"\s+")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = np.where(
+            pc.equal(trimmed, "").to_numpy(zero_copy_only=False), 0, nt
+        ).astype(np.float64)
+        has_c = n_chars > 0
+        has_t = nt > 0
+        alpha = np.where(has_c, n_alpha / np.where(has_c, n_chars, 1), 0.0)
+        punct = np.where(has_c, n_punct / np.where(has_c, n_chars, 1), 0.0)
+        avg_tok = np.where(has_t, n_nonspace / np.where(has_t, nt, 1), 0.0)
+        stop = np.where(has_t, n_stop / np.where(has_t, nt, 1), 0.0)
+        w = self.w
+        score = (
+            w["alpha_ratio"] * alpha
+            + w["stop_ratio"] * stop
+            + w["punct_ratio"] * punct
+            + w["avg_token_len"] * avg_tok
+            + w["bias"]
+        )
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "lr_score": pa.array(np.round(score, 6), pa.float64()),
+                "kept": pa.array(score > self.threshold),
+            }
+        )
