@@ -526,6 +526,38 @@ def _q_docs_c4_clean(sf_dir: str):
     return c4_clean(ds, min_words=5, min_lines=3)
 
 
+def _q_crawl_delta(sf_dir: str):
+    """Two-crawl snapshot diff for recrawl scheduling: snapshot A =
+    docs with doc_id % 10 != 0, snapshot B = docs with doc_id % 7 != 0
+    whose text is 'updated ' + text when doc_id % 3 == 0 (deterministic
+    change injection, oracle identical). Every key classifies as
+    added / removed / changed / unchanged through ONE id-hash exchange
+    of (id, md5) rows — page bodies never travel."""
+    from webcollector_ray.functions.dedup import snapshot_delta
+    from webcollector_ray.functions.textstats import md5_fingerprint_batch
+
+    def snap(pred_mod: int, mutate: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            b = batch.filter(pa.array(ids % pred_mod != 0))
+            if mutate:
+                ids2 = b["doc_id"].to_numpy()
+                t = pc.if_else(
+                    pa.array(ids2 % 3 == 0),
+                    pc.binary_join_element_wise(
+                        pa.scalar("updated "), b["text"], ""
+                    ),
+                    b["text"],
+                )
+                b = pa.table({"doc_id": b["doc_id"], "text": t})
+            return md5_fingerprint_batch(b).select(["doc_id", "fp"])
+        return f
+
+    old = _docs(sf_dir).map_batches(snap(10, False), batch_format="pyarrow")
+    new = _docs(sf_dir).map_batches(snap(7, True), batch_format="pyarrow")
+    return snapshot_delta(old, new)
+
+
 def _q_docs_quality_lr(sf_dir: str):
     """fastText/DCLM-style linear quality classifier as BATCHED MODEL
     INFERENCE: the weight vector ships once via ray.put, each actor
@@ -3386,6 +3418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_semdedup": _q_embeddings_semdedup,
         "docs_c4_clean": _q_docs_c4_clean,
         "docs_quality_lr": _q_docs_quality_lr,
+        "crawl_delta": _q_crawl_delta,
         "tpch_q18": _q_tpch_q18,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -6026,6 +6059,25 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT doc_id, len(tn)::BIGINT AS n_chars_norm,
                    md5(tn) AS norm_fp, (tn != t0) AS changed
             FROM norm
+        """,
+        "crawl_delta": """
+            WITH a AS (
+                SELECT doc_id, md5(text) AS h FROM documents
+                WHERE doc_id % 10 != 0
+            ),
+            b AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 3 = 0
+                                THEN 'updated ' || text
+                                ELSE text END) AS h
+                FROM documents WHERE doc_id % 7 != 0
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.h != b.h THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         """,
         "docs_quality_lr": f"""
             WITH f AS (

@@ -2173,3 +2173,17 @@ def test_linear_quality_scorer(ray_session):
     assert out.iloc[2]["lr_score"] == DEFAULT_LR_WEIGHTS["bias"]
     # stopword-rich beats stopword-poor
     assert out.iloc[0]["lr_score"] > out.iloc[1]["lr_score"]
+
+
+def test_snapshot_delta(ray_session):
+    from webcollector_ray.functions.dedup import snapshot_delta
+
+    old = pa.table({"doc_id": [1, 2, 3], "fp": ["a", "b", "c"]})
+    new = pa.table({"doc_id": [2, 3, 4], "fp": ["b", "X", "d"]})
+    out = (
+        snapshot_delta(rd.from_arrow(old), rd.from_arrow(new))
+        .to_pandas().sort_values("doc_id")
+    )
+    assert dict(zip(out["doc_id"], out["status"])) == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "added",
+    }

@@ -1641,3 +1641,73 @@ def dup_rate_by_group(ds, *, group_col: str = "source",
         )
 
     return agg.map_batches(rate, batch_format="pyarrow")
+
+
+def snapshot_delta(old_ds, new_ds, *, id_col: str = "doc_id",
+                   fp_col: str = "fp", num_buckets: int = 32):
+    """Crawl-snapshot diff — the recrawl-scheduling primitive: given
+    two snapshots of a page set keyed by `id_col`, each carrying a
+    content fingerprint `fp_col`, classify every key as 'added' (new
+    only), 'removed' (old only), 'changed' (both, fingerprints differ)
+    or 'unchanged'. This is the per-crawl change census a revisit
+    scheduler (WebCollector's crawldb update loop; Cho & Garcia-Molina
+    2000's change-rate estimators) feeds on.
+
+    Scale shape: both snapshots move through ONE id-hash exchange
+    carrying only (id, fingerprint) — page bodies never travel; the
+    per-bucket compare is a vectorized pandas outer merge + np.select.
+    Returns (id_col, status)."""
+    from .joins import _bucket_ids, exchange_reduce
+
+    id_type = None
+    for nm, t in zip(old_ds.schema().names, old_ds.schema().types):
+        if nm == id_col:
+            id_type = t
+    if id_type is None:
+        id_type = pa.int64()
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: batch[id_col].cast(id_type),
+                    fp_col: batch[fp_col],
+                    "__side": pa.array([side] * len(batch), pa.string()),
+                    "__bucket": pa.array(
+                        _bucket_ids(batch[id_col], num_buckets)
+                    ),
+                }
+            )
+        return f
+
+    empty = pa.table(
+        {id_col: pa.nulls(0, id_type), "status": pa.nulls(0, pa.string())}
+    )
+
+    def diff_bucket(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["__side"], "O")
+        old = t.filter(mask).select([id_col, fp_col]).to_pandas()
+        new = t.filter(pc.invert(mask)).select(
+            [id_col, fp_col]
+        ).to_pandas()
+        m = old.merge(
+            new, on=id_col, how="outer", suffixes=("_o", "_n")
+        )
+        o, n = m[f"{fp_col}_o"], m[f"{fp_col}_n"]
+        status = np.select(
+            [o.isna(), n.isna(), o != n],
+            ["added", "removed", "changed"],
+            default="unchanged",
+        )
+        out = pa.table(
+            {
+                id_col: pa.Array.from_pandas(m[id_col], type=id_type),
+                "status": pa.array(status, pa.string()),
+            }
+        )
+        return out
+
+    tagged = old_ds.map_batches(tag("O"), batch_format="pyarrow").union(
+        new_ds.map_batches(tag("N"), batch_format="pyarrow")
+    )
+    return exchange_reduce(tagged, diff_bucket, empty, num_buckets)
