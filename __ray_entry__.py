@@ -526,6 +526,33 @@ def _q_docs_c4_clean(sf_dir: str):
     return c4_clean(ds, min_words=5, min_lines=3)
 
 
+def _q_orders_bloom_semi(sf_dir: str):
+    """Semi-join with a bloom prefilter on the probe side: orders of
+    BUILDING-segment customers. The build side's keys fold into one
+    bounded m/8-byte bitmap broadcast once; probe rows failing the
+    two-lane test drop BEFORE the exchange, the exact in-bucket
+    membership test removes the bloom's false positives — result is
+    exactly the plain semi-join (the oracle), the bloom only cuts
+    exchange volume."""
+    from webcollector_ray.functions.joins import bloom_semi_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["c_mktsegment"], "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    return bloom_semi_join(
+        orders, cust, on="o_custkey", right_on="c_custkey"
+    )
+
+
 def _q_crawl_delta(sf_dir: str):
     """Two-crawl snapshot diff for recrawl scheduling: snapshot A =
     docs with doc_id % 10 != 0, snapshot B = docs with doc_id % 7 != 0
@@ -3419,6 +3446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_c4_clean": _q_docs_c4_clean,
         "docs_quality_lr": _q_docs_quality_lr,
         "crawl_delta": _q_crawl_delta,
+        "orders_bloom_semi": _q_orders_bloom_semi,
         "tpch_q18": _q_tpch_q18,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -6059,6 +6087,13 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT doc_id, len(tn)::BIGINT AS n_chars_norm,
                    md5(tn) AS norm_fp, (tn != t0) AS changed
             FROM norm
+        """,
+        "orders_bloom_semi": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            )
         """,
         "crawl_delta": """
             WITH a AS (

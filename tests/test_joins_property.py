@@ -220,3 +220,42 @@ def test_range_join_mega_key_bounded(ray_session):
         lower=0, upper=1, num_buckets=4,
     )
     assert out.count() == 2 * n - 1
+
+
+def test_bloom_semi_join_equals_exact_semi(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webcollector_ray.functions.joins import bloom_semi_join, hash_join
+
+    rng = np.random.default_rng(7)
+    left = pa.table({
+        "k": rng.integers(0, 1000, 5000).astype("int64"),
+        "v": np.arange(5000, dtype="int64"),
+    })
+    right = pa.table({"rk": rng.integers(0, 300, 400).astype("int64")})
+    got = (
+        bloom_semi_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            on="k", right_on="rk", m_bits=1 << 14,
+        )
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    want = (
+        hash_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            on="k", right_on="rk", how="semi",
+        )
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # string keys take the siphash path
+    ls = pa.table({"k": pa.array([f"u{i%50}" for i in range(500)]),
+                   "v": pa.array(list(range(500)), pa.int64())})
+    rs = pa.table({"rk": pa.array([f"u{i}" for i in range(0, 50, 3)])})
+    got_s = bloom_semi_join(
+        rd.from_arrow(ls), rd.from_arrow(rs), on="k", right_on="rk",
+        m_bits=1 << 12,
+    ).to_pandas()
+    assert set(got_s["k"].unique()) == {f"u{i}" for i in range(0, 50, 3)}

@@ -428,3 +428,90 @@ def df_or_empty(ds, empty: pa.Table) -> "pd.DataFrame":
     to the declared empty schema."""
     df = ds.to_pandas()
     return df if len(df.columns) else empty.to_pandas()
+
+
+# ------------------------------------------------- bloom-prefiltered semi
+
+
+def _key_hash64(col) -> np.ndarray:
+    """Deterministic 64-bit key hash (same kernels as _bucket_ids,
+    full width instead of mod-bucket)."""
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return v * np.uint64(0x9E3779B97F4A7C15)
+    return pd.util.hash_array(
+        np.asarray(col.to_pylist(), dtype=object), categorize=False
+    )
+
+
+@ray.remote
+def _key_bloom_block(key: str, m_bits: int, block):
+    bits = np.zeros(m_bits, dtype=bool)
+    if block is not None and len(block):
+        h = _key_hash64(block[key])
+        bits[(h & np.uint64(0xFFFFFFFF)) % m_bits] = True
+        bits[(h >> np.uint64(32)) % m_bits] = True
+    return np.packbits(bits)
+
+
+@ray.remote
+def _key_bloom_or(*packed) -> np.ndarray:
+    out = packed[0].copy()
+    for p in packed[1:]:
+        np.bitwise_or(out, p, out=out)
+    return out
+
+
+def bloom_semi_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: Optional[str] = None,
+    m_bits: int = 1 << 22,
+    num_buckets: int = 64,
+):
+    """Semi-join with a BLOOM PREFILTER on the probe side — result is
+    EXACTLY hash_join(..., how='semi'); the bloom only cuts exchange
+    volume. Build: per-block partial bitmaps over the build side's
+    keys OR-fold in one task (each m_bits/8 bytes, bounded no matter
+    how large the build side); the packed bloom broadcasts once and
+    each probe-side worker unpacks it once in __init__. Probe rows
+    whose two bloom lanes aren't both set drop BEFORE the exchange —
+    at 100 TB a selective semi-join ships only ~selectivity x probe
+    rows (plus the bloom's false-positive margin, removed by the exact
+    in-bucket membership test that follows)."""
+    ron = right_on or on
+    keys_only = right.map_batches(
+        lambda b, _c=ron: b.select([_c]), batch_format="pyarrow"
+    )
+    parts = [
+        _key_bloom_block.remote(ron, m_bits, r)
+        for r in keys_only.to_arrow_refs()
+    ]
+    if not parts:
+        bloom_ref = ray.put(np.packbits(np.zeros(m_bits, dtype=bool)))
+    else:
+        bloom_ref = _key_bloom_or.remote(*parts)
+
+    class Prefilter:
+        def __init__(self):
+            self._bits = np.unpackbits(ray.get(bloom_ref)).astype(bool)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return batch
+            h = _key_hash64(batch[on])
+            hit = (
+                self._bits[(h & np.uint64(0xFFFFFFFF)) % m_bits]
+                & self._bits[(h >> np.uint64(32)) % m_bits]
+            )
+            return batch.filter(pa.array(hit))
+
+    survivors = left.map_batches(
+        Prefilter, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    return hash_join(
+        survivors, right, on=on, right_on=ron, how="semi",
+        num_buckets=num_buckets,
+    )
