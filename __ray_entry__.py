@@ -526,6 +526,23 @@ def _q_docs_c4_clean(sf_dir: str):
     return c4_clean(ds, min_words=5, min_lines=3)
 
 
+def _q_cheapest_supplier_per_part(sf_dir: str):
+    """Distributed ARGMIN join (TPC-H Q2's core idiom): per part, the
+    supplier row with the minimum extended price (ties by suppkey).
+    Local per-key argmin inside map_batches first, so the key exchange
+    moves <= one row per (part, block) — never the fact table."""
+    from webcollector_ray.functions.ranking import argmin_by
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    return argmin_by(
+        li, key_col="l_partkey", order_col="l_extendedprice",
+        tie_col="l_suppkey",
+    )
+
+
 def _q_orders_bloom_semi(sf_dir: str):
     """Semi-join with a bloom prefilter on the probe side: orders of
     BUILDING-segment customers. The build side's keys fold into one
@@ -3447,6 +3464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_lr": _q_docs_quality_lr,
         "crawl_delta": _q_crawl_delta,
         "orders_bloom_semi": _q_orders_bloom_semi,
+        "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
         "tpch_q18": _q_tpch_q18,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -6087,6 +6105,18 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT doc_id, len(tn)::BIGINT AS n_chars_norm,
                    md5(tn) AS norm_fp, (tn != t0) AS changed
             FROM norm
+        """,
+        "cheapest_supplier_per_part": """
+            WITH r AS (
+                SELECT l_partkey, l_suppkey, l_extendedprice,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY l_extendedprice ASC, l_suppkey ASC
+                       ) AS rn
+                FROM lineitem
+            )
+            SELECT l_partkey, l_suppkey, l_extendedprice
+            FROM r WHERE rn = 1
         """,
         "orders_bloom_semi": """
             SELECT o_orderkey, o_custkey FROM orders

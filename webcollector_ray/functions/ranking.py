@@ -111,3 +111,57 @@ def top_n_per_group(
         ds.map_batches(add_bucket, batch_format="pyarrow"),
         bucket_topn, empty, num_buckets,
     )
+
+
+def argmin_by(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    num_buckets: int = 32,
+):
+    """Distributed ARGMIN join: for every key, the full row holding the
+    minimum of order_col (ties broken by tie_col ascending — required
+    for a deterministic result). The SQL shape is
+    `row_number() OVER (PARTITION BY key ORDER BY order_col, tie_col)
+    = 1`, the classic min-cost-supplier-per-part idiom (TPC-H Q2's
+    core).
+
+    Scale shape: each batch keeps its LOCAL per-key argmin first
+    (vectorized pandas sort + drop_duplicates), so the key-hash
+    exchange moves at most one row per (key, block) — never the full
+    fact table; one per-bucket reduce repeats the same fold."""
+    schema = ds.schema()
+    empty = pa.table(
+        {nm: pa.nulls(0, t) for nm, t in zip(schema.names, schema.types)}
+    )
+    sort_cols = [key_col, order_col, tie_col]
+
+    def local_argmin(batch: pa.Table) -> pa.Table:
+        from .joins import _bucket_ids
+
+        df = batch.to_pandas().sort_values(sort_cols, kind="mergesort")
+        out = df.drop_duplicates(key_col, keep="first")
+        t = pa.Table.from_pandas(out, preserve_index=False).cast(
+            empty.schema
+        )
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t[key_col], num_buckets))
+        )
+
+    def bucket_argmin(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["__bucket"]).to_pandas().sort_values(
+            sort_cols, kind="mergesort"
+        )
+        return pa.Table.from_pandas(
+            df.drop_duplicates(key_col, keep="first"),
+            preserve_index=False,
+        ).cast(empty.schema)
+
+    from .joins import exchange_reduce
+
+    return exchange_reduce(
+        ds.map_batches(local_argmin, batch_format="pyarrow"),
+        bucket_argmin, empty, num_buckets,
+    )
