@@ -446,6 +446,20 @@ def _q_embeddings_outliers(sf_dir: str):
     return label_outliers(ds, k=10)
 
 
+def _q_docs_zscore_by_lang(sf_dir: str):
+    """Per-group z-score normalization: every document's length
+    standardized against its language's population mean/stddev. Exact
+    integer moments per lang move through one tiny exchange; the fact
+    table streams twice with ZERO shuffles (moments broadcast via
+    ray.put)."""
+    from webcollector_ray.functions.stats import zscore_by
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return zscore_by(ds, key_col="lang", val_col="n_chars", out_col="z")
+
+
 def _q_vocab_bpe_pairs(sf_dir: str):
     """First BPE-training iteration: top-50 adjacent character pairs
     within words, weighted by word frequency — the corpus collapses to
@@ -454,6 +468,16 @@ def _q_vocab_bpe_pairs(sf_dir: str):
     from webcollector_ray.functions.textstats import bpe_pair_counts
 
     return bpe_pair_counts(_docs(sf_dir), n=50)
+
+
+def _q_vocab_bpe_merges(sf_dir: str):
+    """Iterative BPE training: the first 6 learned merge rules (step,
+    pair, count). Each iteration is one pair-hash exchange over the
+    vocab-sized symbol table plus a top-1 tree reduce; the corpus is
+    touched exactly once (word_counts)."""
+    from webcollector_ray.functions.textstats import bpe_train
+
+    return bpe_train(_docs(sf_dir), merges=6)
 
 
 def _q_docs_normalized(sf_dir: str):
@@ -3465,6 +3489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": _q_crawl_delta,
         "orders_bloom_semi": _q_orders_bloom_semi,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "docs_zscore_by_lang": _q_docs_zscore_by_lang,
+        "vocab_bpe_merges": _q_vocab_bpe_merges,
         "tpch_q18": _q_tpch_q18,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -6062,6 +6088,123 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT vec_id, label, centroid_cosine, rank
             FROM ranked WHERE rank <= 10
         """,
+        "vocab_bpe_merges": r"""
+            WITH docs AS (
+                SELECT regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                           '\s+') AS words
+                FROM documents
+            ),
+            tok AS (SELECT unnest(words) AS w FROM docs),
+            wc AS (
+                SELECT w, count(*)::BIGINT AS n FROM tok
+                WHERE w != '' AND w NOT LIKE '%' || chr(31) || '%'
+                GROUP BY w
+            ),
+            v0 AS (
+                SELECT chr(31) || array_to_string(
+                           regexp_split_to_array(w, ''), chr(31)
+                       ) || chr(31) AS t, n
+                FROM wc
+            ),
+            p0 AS (
+                SELECT list_extract(s, j) || ' ' || list_extract(s, j+1) AS pair,
+                       sum(n)::BIGINT AS n
+                FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
+                      FROM v0),
+                     UNNEST(range(1, len(s))) u(j)
+                GROUP BY 1
+            ),
+            b0 AS (SELECT pair, n FROM p0 ORDER BY n DESC, pair ASC LIMIT 1),
+            v1 AS (
+                SELECT replace(t,
+                    chr(31) || replace((SELECT pair FROM b0), ' ', chr(31)) || chr(31),
+                    chr(31) || replace((SELECT pair FROM b0), ' ', '') || chr(31)) AS t, n
+                FROM v0
+            ),
+            p1 AS (
+                SELECT list_extract(s, j) || ' ' || list_extract(s, j+1) AS pair,
+                       sum(n)::BIGINT AS n
+                FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
+                      FROM v1),
+                     UNNEST(range(1, len(s))) u(j)
+                GROUP BY 1
+            ),
+            b1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair ASC LIMIT 1),
+            v2 AS (
+                SELECT replace(t,
+                    chr(31) || replace((SELECT pair FROM b1), ' ', chr(31)) || chr(31),
+                    chr(31) || replace((SELECT pair FROM b1), ' ', '') || chr(31)) AS t, n
+                FROM v1
+            ),
+            p2 AS (
+                SELECT list_extract(s, j) || ' ' || list_extract(s, j+1) AS pair,
+                       sum(n)::BIGINT AS n
+                FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
+                      FROM v2),
+                     UNNEST(range(1, len(s))) u(j)
+                GROUP BY 1
+            ),
+            b2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair ASC LIMIT 1),
+            v3 AS (
+                SELECT replace(t,
+                    chr(31) || replace((SELECT pair FROM b2), ' ', chr(31)) || chr(31),
+                    chr(31) || replace((SELECT pair FROM b2), ' ', '') || chr(31)) AS t, n
+                FROM v2
+            ),
+            p3 AS (
+                SELECT list_extract(s, j) || ' ' || list_extract(s, j+1) AS pair,
+                       sum(n)::BIGINT AS n
+                FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
+                      FROM v3),
+                     UNNEST(range(1, len(s))) u(j)
+                GROUP BY 1
+            ),
+            b3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair ASC LIMIT 1),
+            v4 AS (
+                SELECT replace(t,
+                    chr(31) || replace((SELECT pair FROM b3), ' ', chr(31)) || chr(31),
+                    chr(31) || replace((SELECT pair FROM b3), ' ', '') || chr(31)) AS t, n
+                FROM v3
+            ),
+            p4 AS (
+                SELECT list_extract(s, j) || ' ' || list_extract(s, j+1) AS pair,
+                       sum(n)::BIGINT AS n
+                FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
+                      FROM v4),
+                     UNNEST(range(1, len(s))) u(j)
+                GROUP BY 1
+            ),
+            b4 AS (SELECT pair, n FROM p4 ORDER BY n DESC, pair ASC LIMIT 1),
+            v5 AS (
+                SELECT replace(t,
+                    chr(31) || replace((SELECT pair FROM b4), ' ', chr(31)) || chr(31),
+                    chr(31) || replace((SELECT pair FROM b4), ' ', '') || chr(31)) AS t, n
+                FROM v4
+            ),
+            p5 AS (
+                SELECT list_extract(s, j) || ' ' || list_extract(s, j+1) AS pair,
+                       sum(n)::BIGINT AS n
+                FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
+                      FROM v5),
+                     UNNEST(range(1, len(s))) u(j)
+                GROUP BY 1
+            ),
+            b5 AS (SELECT pair, n FROM p5 ORDER BY n DESC, pair ASC LIMIT 1),
+            v6 AS (
+                SELECT replace(t,
+                    chr(31) || replace((SELECT pair FROM b5), ' ', chr(31)) || chr(31),
+                    chr(31) || replace((SELECT pair FROM b5), ' ', '') || chr(31)) AS t, n
+                FROM v5
+            )
+            SELECT 1::BIGINT AS step, pair, n FROM b0
+            UNION ALL SELECT 2::BIGINT AS step, pair, n FROM b1
+            UNION ALL SELECT 3::BIGINT AS step, pair, n FROM b2
+            UNION ALL SELECT 4::BIGINT AS step, pair, n FROM b3
+            UNION ALL SELECT 5::BIGINT AS step, pair, n FROM b4
+            UNION ALL SELECT 6::BIGINT AS step, pair, n FROM b5
+            ORDER BY step
+        """,
         "vocab_bpe_pairs": r"""
             WITH docs AS (
                 SELECT regexp_split_to_array(
@@ -6117,6 +6260,12 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT l_partkey, l_suppkey, l_extendedprice
             FROM r WHERE rn = 1
+        """,
+        "docs_zscore_by_lang": """
+            SELECT doc_id, lang, n_chars,
+                   (n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                   / stddev_pop(n_chars) OVER (PARTITION BY lang) AS z
+            FROM documents
         """,
         "orders_bloom_semi": """
             SELECT o_orderkey, o_custkey FROM orders

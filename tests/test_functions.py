@@ -2187,3 +2187,94 @@ def test_snapshot_delta(ray_session):
     assert dict(zip(out["doc_id"], out["status"])) == {
         1: "removed", 2: "unchanged", 3: "changed", 4: "added",
     }
+
+
+def test_argmin_by(ray_session):
+    from webcollector_ray.functions.ranking import argmin_by
+
+    t = pa.table(
+        {
+            "k": [1, 1, 2, 2, 2, 3],
+            "v": [5.0, 3.0, 7.0, 7.0, 9.0, 1.0],
+            "tie": [10, 20, 31, 30, 32, 40],
+        }
+    )
+    out = (
+        argmin_by(rd.from_arrow(t), key_col="k", order_col="v",
+                  tie_col="tie", num_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # per key: min v, ties by tie ascending (k=2 has two v=7.0 rows)
+    assert out["v"].tolist() == [3.0, 7.0, 1.0]
+    assert out["tie"].tolist() == [20, 30, 40]
+
+
+def test_zscore_by_matches_pandas(ray_session):
+    from webcollector_ray.functions.stats import zscore_by
+
+    rng = np.random.default_rng(7)
+    k = rng.choice(["a", "b", "c"], 200).tolist() + ["solo"]
+    v = rng.integers(10, 5000, 201)
+    t = pa.table({"k": k, "v": pa.array(v, pa.int64()),
+                  "i": pa.array(range(201), pa.int64())})
+    out = (
+        zscore_by(rd.from_arrow(t), key_col="k", val_col="v")
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    exp = df.groupby("k")["v"].transform(
+        lambda s: (s - s.mean()) / s.std(ddof=0)
+    )
+    got = out["z"].to_numpy()
+    # singleton group (zero variance) must be NULL, matching SQL x/0.0
+    assert np.isnan(got[-1]) and np.isnan(exp.to_numpy()[-1])
+    np.testing.assert_allclose(got[:-1], exp.to_numpy()[:-1], rtol=1e-9)
+
+
+def _ref_bpe(word_counts: dict, merges: int):
+    """Independent sequential BPE reference (Sennrich-style, with the
+    engine's single-pass left-to-right merge-apply semantics)."""
+    from collections import Counter
+
+    vocab = {("\x1f".join(w)): n for w, n in word_counts.items()}
+    out = []
+    for step in range(1, merges + 1):
+        c = Counter()
+        for tok, n in vocab.items():
+            syms = tok.split("\x1f")
+            for a, b in zip(syms, syms[1:]):
+                c[a + " " + b] += n
+        if not c:
+            break
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((step, best[0], best[1]))
+        l, r = best[0].split(" ", 1)
+        pat, repl = "\x1f" + l + "\x1f" + r + "\x1f", "\x1f" + l + r + "\x1f"
+        vocab = {
+            ("\x1f" + tok + "\x1f").replace(pat, repl).strip("\x1f"): n
+            for tok, n in vocab.items()
+        }
+    return out
+
+
+def test_bpe_train_matches_sequential_reference(ray_session):
+    from collections import Counter
+
+    from webcollector_ray.functions.textstats import bpe_train
+
+    docs = [
+        "the theme of the anthem",
+        "there then the other brother",
+        "hello hello help hemp",
+        "aaaa aa a banana bandana",
+    ] * 3
+    wc = Counter()
+    for d in docs:
+        wc.update(d.lower().split())
+    exp = _ref_bpe(dict(wc), merges=5)
+
+    t = pa.table({"doc_id": list(range(len(docs))),
+                  "text": pa.array(docs, pa.string())})
+    got = bpe_train(rd.from_arrow(t), merges=5, num_buckets=4,
+                    pair_buckets=2).to_pandas()
+    assert list(zip(got["step"], got["pair"], got["n"])) == exp

@@ -1,0 +1,133 @@
+"""Grouped moment statistics with broadcast normalization.
+
+The shape: per-block integer partial moments (count / sum / sum-of-
+squares) -> ONE tiny key exchange over the partials -> the per-key
+moments table (rows = #groups, not #rows) is collected and broadcast
+via ray.put -> a second streaming pass normalizes every row against
+its group's moments. The fact table itself is never shuffled; only
+#groups x 4 integers move. This is the `x - AVG(x) OVER (PARTITION BY
+k)` window shape without a window sort.
+
+Partitioning assumption: the number of DISTINCT groups fits in one
+task / the driver (thousands, not billions) — the same knee as every
+broadcast join in this repo. Above it, swap the ray.put for a key-hash
+exchange carrying the moments alongside the rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def grouped_moments(ds, *, key_col: str, val_col: str,
+                    num_buckets: int = 16):
+    """Per-key (cnt, sum, sumsq) over an INTEGER value column, exact.
+
+    Partials are int64 per block; the cross-block fold sums as Python
+    ints via pandas object dtype only at the final reduce, so a 100 TB
+    sumsq cannot silently wrap (int64 partials per block are safe: a
+    block holds << 2^63 / max(val)^2 rows; shift values by a per-group
+    anchor before squaring if that ever stops holding)."""
+    from .joins import exchange_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": batch[key_col].to_pandas(),
+                "v": batch[val_col].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        df["v2"] = df["v"] * df["v"]
+        g = df.groupby("k", sort=False).agg(
+            cnt=("v", "size"), s=("v", "sum"), s2=("v2", "sum")
+        ).reset_index()
+        b = (
+            pd.util.hash_array(
+                g["k"].to_numpy(object), categorize=False
+            ) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                key_col: pa.Array.from_pandas(g["k"]),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+                "s": pa.array(g["s"].to_numpy(np.int64)),
+                "s2": pa.array(g["s2"].to_numpy(np.int64)),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    sch = ds.schema()
+    key_type = dict(zip(sch.names, sch.types))[key_col]
+    empty = pa.table(
+        {
+            key_col: pa.nulls(0, key_type),
+            "cnt": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "s2": pa.array([], pa.int64()),
+        }
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, "cnt", "s", "s2"]).to_pandas()
+        # object dtype => Python-int addition, no wraparound
+        for c in ("cnt", "s", "s2"):
+            df[c] = df[c].astype(object)
+        g = df.groupby(key_col, sort=False, as_index=False).sum()
+        return pa.table(
+            {
+                key_col: pa.Array.from_pandas(g[key_col], type=key_type),
+                "cnt": pa.array([int(x) for x in g["cnt"]], pa.int64()),
+                "s": pa.array([int(x) for x in g["s"]], pa.int64()),
+                "s2": pa.array([int(x) for x in g["s2"]], pa.int64()),
+            }
+        )
+
+    return exchange_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        fold, empty, num_buckets,
+    )
+
+
+def zscore_by(ds, *, key_col: str, val_col: str, out_col: str = "z",
+              keep_cols=None, num_buckets: int = 16):
+    """Population z-score of val_col within each key_col group:
+    `(v - avg(v) OVER (PARTITION BY k)) / stddev_pop(v) OVER (...)`.
+    A zero-variance group yields NULL (matching SQL's x / 0.0e0).
+
+    Two streaming passes over the fact table, zero fact shuffles: the
+    exact integer moments are broadcast once (ray.put) and every batch
+    normalizes against the in-heap dict."""
+    import ray
+
+    moments = grouped_moments(
+        ds, key_col=key_col, val_col=val_col, num_buckets=num_buckets
+    )
+    mt = moments.to_pandas()
+    stats = {}
+    for k, cnt, s, s2 in zip(mt[key_col], mt["cnt"], mt["s"], mt["s2"]):
+        cnt, s, s2 = int(cnt), int(s), int(s2)
+        mean = s / cnt
+        # exact integer numerator: cnt*s2 - s^2 = cnt^2 * variance
+        var = (cnt * s2 - s * s) / (cnt * cnt)
+        stats[k] = (mean, float(np.sqrt(var)))
+    stats_ref = ray.put(stats)
+    cols = list(keep_cols) if keep_cols is not None else ds.schema().names
+
+    def norm(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        keys = batch[key_col].to_pylist()
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = np.fromiter((st[k][0] for k in keys), np.float64, len(keys))
+        std = np.fromiter((st[k][1] for k in keys), np.float64, len(keys))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - mean) / std
+        out = batch.select(cols)
+        return out.append_column(
+            out_col, pa.array(np.where(std == 0.0, np.nan, z), pa.float64(),
+                              mask=(std == 0.0)),
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
