@@ -470,6 +470,35 @@ def _q_vocab_bpe_pairs(sf_dir: str):
     return bpe_pair_counts(_docs(sf_dir), n=50)
 
 
+def _q_docs_rollup(sf_dir: str):
+    """ANSI ROLLUP(lang, source): doc count + char sum at every prefix
+    level of the hierarchy. The fact table collapses to the finest
+    grouping through ONE exchange; coarser levels derive from that
+    tiny aggregate."""
+    from webcollector_ray.functions.stats import rollup_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return rollup_counts(
+        ds, keys=["lang", "source"], val_col="n_chars",
+        n_name="n_docs", sum_name="sum_chars",
+    )
+
+
+def _q_docs_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement (A-ES with
+    md5-derived uniforms): 50 docs drawn proportional to length.
+    Reproducible across runs and block layouts; one streaming pass +
+    a top-k tree reduce."""
+    from webcollector_ray.functions.stats import weighted_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample(ds, id_col="doc_id", weight_col="n_chars", k=50)
+
+
 def _q_vocab_bpe_merges(sf_dir: str):
     """Iterative BPE training: the first 6 learned merge rules (step,
     pair, count). Each iteration is one pair-hash exchange over the
@@ -3491,6 +3520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
         "docs_zscore_by_lang": _q_docs_zscore_by_lang,
         "vocab_bpe_merges": _q_vocab_bpe_merges,
+        "docs_rollup": _q_docs_rollup,
+        "docs_weighted_sample": _q_docs_weighted_sample,
         "tpch_q18": _q_tpch_q18,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -6260,6 +6291,22 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT l_partkey, l_suppkey, l_extendedprice
             FROM r WHERE rn = 1
+        """,
+        "docs_rollup": """
+            SELECT lang, source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents
+            GROUP BY ROLLUP(lang, source)
+        """,
+        "docs_weighted_sample": """
+            SELECT doc_id, n_chars,
+                   ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                       )::UBIGINT + 1) / 4503599627370497.0)
+                   / n_chars AS priority
+            FROM documents
+            WHERE n_chars > 0
+            ORDER BY priority DESC, doc_id ASC
+            LIMIT 50
         """,
         "docs_zscore_by_lang": """
             SELECT doc_id, lang, n_chars,

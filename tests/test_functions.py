@@ -2278,3 +2278,59 @@ def test_bpe_train_matches_sequential_reference(ray_session):
     got = bpe_train(rd.from_arrow(t), merges=5, num_buckets=4,
                     pair_buckets=2).to_pandas()
     assert list(zip(got["step"], got["pair"], got["n"])) == exp
+
+
+def test_rollup_counts_matches_duckdb(ray_session):
+    import duckdb
+
+    from webcollector_ray.functions.stats import rollup_counts
+
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {
+            "a": rng.choice(["x", "y"], 100).tolist(),
+            "b": rng.choice(["p", "q", "r"], 100).tolist(),
+            "v": pa.array(rng.integers(1, 100, 100), pa.int64()),
+        }
+    )
+    got = (
+        rollup_counts(rd.from_arrow(t), keys=["a", "b"], val_col="v",
+                      num_buckets=4)
+        .to_pandas().sort_values(["a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.execute(
+        "SELECT a, b, count(*)::BIGINT AS n_rows, sum(v)::BIGINT AS "
+        "sum_val FROM t GROUP BY ROLLUP(a, b) "
+        "ORDER BY a NULLS LAST, b NULLS LAST"
+    ).fetchdf()
+    assert got["n_rows"].tolist() == exp["n_rows"].tolist()
+    assert got["sum_val"].tolist() == exp["sum_val"].tolist()
+    assert len(got) == 2 * 3 + 2 + 1
+
+
+def test_weighted_sample_deterministic_and_weighted(ray_session):
+    from webcollector_ray.functions.stats import weighted_sample
+
+    t = pa.table(
+        {
+            "id": pa.array(range(1000), pa.int64()),
+            # ids < 100 get 100x the weight of the rest; 0-weight excluded
+            "w": pa.array(
+                [0] + [10000] * 99 + [100] * 900, pa.int64()
+            ),
+        }
+    )
+    a = weighted_sample(rd.from_arrow(t), id_col="id", weight_col="w",
+                        k=50).to_pandas()
+    b = weighted_sample(
+        rd.from_arrow(t).repartition(7), id_col="id", weight_col="w",
+        k=50,
+    ).to_pandas()
+    # block-layout independent
+    assert a["id"].tolist() == b["id"].tolist()
+    assert 0 not in set(a["id"])
+    # heavy ids dominate the sample
+    assert (a["id"] < 100).mean() > 0.5

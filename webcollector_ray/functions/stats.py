@@ -91,6 +91,122 @@ def grouped_moments(ds, *, key_col: str, val_col: str,
     )
 
 
+def rollup_counts(ds, *, keys, val_col: str, num_buckets: int = 16,
+                  n_name: str = "n_rows", sum_name: str = "sum_val"):
+    """GROUP BY ROLLUP(k1, k2, ...): count + sum at every prefix level
+    of the key hierarchy, coarser levels NULL-padded (ANSI ROLLUP
+    semantics). Ray Data has no grouping-sets primitive; the shape
+    here: per-block partials collapse the fact table to the FINEST
+    grouping through one hash exchange, and every coarser level is
+    derived from that (tiny) aggregate — the fact table is read once
+    and never re-shuffled per level.
+
+    Partitioning assumption: the finest group count fits in one task
+    (product of key cardinalities — thousands/millions, not the row
+    count); above that, derive each level with its own exchange."""
+    keys = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [val_col]).to_pandas()
+        g = df.groupby(keys, sort=False, dropna=False).agg(
+            __n=(val_col, "size"), __s=(val_col, "sum")
+        ).reset_index()
+        kh = pd.util.hash_pandas_object(g[keys], index=False).to_numpy()
+        g["__bucket"] = (kh % np.uint64(num_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sch = dict(zip(ds.schema().names, ds.schema().types))
+    empty = pa.table(
+        {
+            **{k: pa.nulls(0, sch[k]) for k in keys},
+            "__n": pa.array([], pa.int64()),
+            "__s": pa.array([], pa.int64()),
+        }
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select(keys + ["__n", "__s"]).to_pandas()
+        g = df.groupby(keys, sort=False, dropna=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    from .joins import exchange_reduce
+
+    finest = exchange_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        fold, empty, num_buckets,
+    ).to_pandas()
+
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        lvl_keys = keys[:depth]
+        if lvl_keys:
+            g = finest.groupby(
+                lvl_keys, sort=False, dropna=False, as_index=False
+            )[["__n", "__s"]].sum()
+        else:
+            g = pd.DataFrame(
+                {"__n": [finest["__n"].sum()], "__s": [finest["__s"].sum()]}
+            )
+        for k in keys[depth:]:
+            g[k] = None
+        levels.append(g[keys + ["__n", "__s"]])
+    out = pd.concat(levels, ignore_index=True)
+    return pa.table(
+        {
+            **{
+                k: pa.Array.from_pandas(out[k], type=sch[k])
+                for k in keys
+            },
+            n_name: pa.array(out["__n"].to_numpy(np.int64)),
+            sum_name: pa.array(out["__s"].to_numpy(np.int64)),
+        }
+    )
+
+
+def weighted_sample(ds, *, id_col: str, weight_col: str, k: int):
+    """Deterministic weighted sample WITHOUT replacement, k rows:
+    A-ES / exponential-clocks (Efraimidis & Spirakis 2006) with the
+    uniform derived from md5(id) instead of an RNG — priority =
+    ln(u) / w, top-k by priority. Fully reproducible across runs,
+    cluster sizes and block layouts (no seed state, no RNG order
+    dependence), and oracle-checkable since the SQL side derives the
+    identical uniforms from the same md5.
+
+    Shape: one streaming pass computes priorities per batch; top-k
+    survives per block then one tree reduce — never a global sort.
+    Rows with weight <= 0 are excluded (zero draw probability)."""
+    import hashlib
+
+    DEN = 16 ** 13 + 1
+
+    def prio(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+                for i in ids
+            ),
+            np.float64, len(ids),
+        )
+        u = (h + 1.0) / DEN
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = np.log(u) / w
+        t = batch.append_column("priority", pa.array(p, pa.float64()))
+        return t.filter(pa.array(w > 0))
+
+    from .ranking import global_top_n
+
+    return global_top_n(
+        ds.map_batches(prio, batch_format="pyarrow"),
+        order_col="priority", n=k, tie_col=id_col,
+    )
+
+
 def zscore_by(ds, *, key_col: str, val_col: str, out_col: str = "z",
               keep_cols=None, num_buckets: int = 16):
     """Population z-score of val_col within each key_col group:
