@@ -499,6 +499,36 @@ def _q_docs_weighted_sample(sf_dir: str):
     return weighted_sample(ds, id_col="doc_id", weight_col="n_chars", k=50)
 
 
+def _q_events_running_value(sf_dir: str):
+    """Per-user running cumulative value in event order — the ordered
+    window `sum(value) OVER (PARTITION BY user ORDER BY ts, event_id)`
+    via one key-hash exchange + per-bucket vectorized cumsum (no
+    global sort)."""
+    from webcollector_ray.functions.stats import grouped_running_sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = grouped_running_sum(
+        ds, key_col="user_id", order_cols=["ts", "event_id"],
+        val_col="value", out_col="running_value",
+    )
+    return _round_cols(out, {"running_value": 6})
+
+
+def _q_events_user_mode(sf_dir: str):
+    """Per-user modal event type (ties alphabetically): partial
+    (user, type) counts collapse the fact table, one key exchange
+    folds and argmaxes in the same task."""
+    from webcollector_ray.functions.stats import grouped_mode
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return grouped_mode(ds, key_col="user_id", val_col="event_type")
+
+
 def _q_vocab_bpe_merges(sf_dir: str):
     """Iterative BPE training: the first 6 learned merge rules (step,
     pair, count). Each iteration is one pair-hash exchange over the
@@ -3521,6 +3551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zscore_by_lang": _q_docs_zscore_by_lang,
         "vocab_bpe_merges": _q_vocab_bpe_merges,
         "docs_rollup": _q_docs_rollup,
+        "events_running_value": _q_events_running_value,
+        "events_user_mode": _q_events_user_mode,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "tpch_q18": _q_tpch_q18,
         "media_features": _q_media_features,
@@ -6291,6 +6323,28 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT l_partkey, l_suppkey, l_extendedprice
             FROM r WHERE rn = 1
+        """,
+        "events_running_value": """
+            SELECT event_id, user_id, ts, value,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ), 6) AS running_value
+            FROM events
+        """,
+        "events_user_mode": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT user_id, event_type, n,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY n DESC, event_type ASC
+                       ) AS rn
+                FROM c
+            )
+            SELECT user_id, event_type, n FROM r WHERE rn = 1
         """,
         "docs_rollup": """
             SELECT lang, source, count(*)::BIGINT AS n_docs,

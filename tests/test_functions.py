@@ -2334,3 +2334,48 @@ def test_weighted_sample_deterministic_and_weighted(ray_session):
     assert 0 not in set(a["id"])
     # heavy ids dominate the sample
     assert (a["id"] < 100).mean() > 0.5
+
+
+def test_grouped_running_sum_matches_pandas(ray_session):
+    from webcollector_ray.functions.stats import grouped_running_sum
+
+    rng = np.random.default_rng(11)
+    n = 300
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 9, n), pa.int64()),
+            "o": pa.array(rng.permutation(n), pa.int64()),
+            "v": pa.array(rng.normal(0, 10, n), pa.float64()),
+        }
+    )
+    out = (
+        grouped_running_sum(
+            rd.from_arrow(t).repartition(5), key_col="k",
+            order_cols=["o"], val_col="v", num_buckets=4,
+        )
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    df["running"] = df.groupby("k")["v"].cumsum()
+    np.testing.assert_allclose(
+        out["running"].to_numpy(), df["running"].to_numpy(), rtol=1e-12
+    )
+
+
+def test_grouped_mode_deterministic_ties(ray_session):
+    from webcollector_ray.functions.stats import grouped_mode
+
+    t = pa.table(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            "v": ["b", "b", "a", "a", "z", "y"],
+        }
+    )
+    out = (
+        grouped_mode(rd.from_arrow(t).repartition(3), key_col="k",
+                     val_col="v", num_buckets=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # k=1: a/b tie at 2 -> 'a' (ascending); k=2: y/z tie at 1 -> 'y'
+    assert out["v"].tolist() == ["a", "y"]
+    assert out["n"].tolist() == [2, 1]

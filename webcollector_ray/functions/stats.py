@@ -207,6 +207,108 @@ def weighted_sample(ds, *, id_col: str, weight_col: str, k: int):
     )
 
 
+def grouped_mode(ds, *, key_col: str, val_col: str,
+                 num_buckets: int = 16):
+    """Per-key MODE with deterministic ties (most frequent val, ties
+    by val ascending) — the `row_number() OVER (PARTITION BY k ORDER
+    BY n DESC, v ASC) = 1` shape over a count table.
+
+    One exchange total: per-block (key, val) partial counts collapse
+    the fact table first, the key-hash exchange folds partials and
+    picks each key's argmax inside the same reduce task — the count
+    table never makes a second hop."""
+    from .joins import exchange_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        g = df.groupby([key_col, val_col], sort=False).size().rename(
+            "n"
+        ).reset_index()
+        kh = pd.util.hash_array(
+            g[key_col].to_numpy(object), categorize=False
+        )
+        g["__bucket"] = (kh % np.uint64(num_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sch = dict(zip(ds.schema().names, ds.schema().types))
+    empty = pa.table(
+        {
+            key_col: pa.nulls(0, sch[key_col]),
+            val_col: pa.nulls(0, sch[val_col]),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def fold_argmax(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, val_col, "n"]).to_pandas()
+        g = df.groupby([key_col, val_col], sort=False, as_index=False)[
+            "n"
+        ].sum()
+        g = g.sort_values(
+            [key_col, "n", val_col], ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(key_col, keep="first")
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    return exchange_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        fold_argmax, empty, num_buckets,
+    )
+
+
+def grouped_running_sum(ds, *, key_col: str, order_cols, val_col: str,
+                        out_col: str = "running", num_buckets: int = 32):
+    """Running cumulative sum per key in event order — `sum(v) OVER
+    (PARTITION BY k ORDER BY o1, o2)`. Ray Data has no ordered-window
+    primitive; the shape: ONE key-hash exchange co-locates each key's
+    rows, then a vectorized per-bucket sort + groupby-cumsum. No
+    global sort — ordering is only ever established within a bucket,
+    and additions run per-key in event order, so any float divergence
+    from a SQL engine's window implementation (e.g. a segment-tree
+    fold) stays far inside the oracle's 6-decimal rounding."""
+    from .joins import exchange_reduce
+
+    order_cols = list(order_cols)
+    sch = dict(zip(ds.schema().names, ds.schema().types))
+    names = ds.schema().names
+    empty = pa.table(
+        {
+            **{c: pa.nulls(0, sch[c]) for c in names},
+            out_col: pa.array([], pa.float64()),
+        }
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if pa.types.is_integer(k.type):
+            v = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = v * np.uint64(0x9E3779B97F4A7C15)
+        else:
+            h = pd.util.hash_array(
+                np.asarray(k.to_pylist(), dtype=object), categorize=False
+            )
+        return batch.append_column(
+            "__bucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+        )
+
+    def cumsum(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["__bucket"]).to_pandas().sort_values(
+            [key_col] + order_cols, kind="mergesort"
+        )
+        df[out_col] = df.groupby(key_col, sort=False)[val_col].cumsum()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            empty.schema
+        )
+
+    return exchange_reduce(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        cumsum, empty, num_buckets,
+    )
+
+
 def zscore_by(ds, *, key_col: str, val_col: str, out_col: str = "z",
               keep_cols=None, num_buckets: int = 16):
     """Population z-score of val_col within each key_col group:
