@@ -499,6 +499,38 @@ def _q_docs_weighted_sample(sf_dir: str):
     return weighted_sample(ds, id_col="doc_id", weight_col="n_chars", k=50)
 
 
+def _q_orders_price_rank(sf_dir: str):
+    """Exact global row_number over (price desc, key asc) via range
+    partitioning + prefix-sum offsets — never a full distributed
+    sort."""
+    from webcollector_ray.functions.ranking import global_rank
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return global_rank(
+        ds,
+        order_cols=[("o_totalprice", "descending"),
+                    ("o_orderkey", "ascending")],
+        rank_col="rnk",
+    )
+
+
+def _q_lineitem_corr(sf_dir: str):
+    """Per-returnflag Pearson corr(quantity, extendedprice) from exact
+    integer moments (cents) riding one tiny key exchange."""
+    from webcollector_ray.functions.stats import grouped_corr
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_corr(
+        ds, key_col="l_returnflag", x_col="l_quantity",
+        y_col="l_extendedprice", x_scale=100, y_scale=100,
+    )
+
+
 def _q_events_running_value(sf_dir: str):
     """Per-user running cumulative value in event order — the ordered
     window `sum(value) OVER (PARTITION BY user ORDER BY ts, event_id)`
@@ -3552,6 +3584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_bpe_merges": _q_vocab_bpe_merges,
         "docs_rollup": _q_docs_rollup,
         "events_running_value": _q_events_running_value,
+        "orders_price_rank": _q_orders_price_rank,
+        "lineitem_corr": _q_lineitem_corr,
         "events_user_mode": _q_events_user_mode,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "tpch_q18": _q_tpch_q18,
@@ -6323,6 +6357,19 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT l_partkey, l_suppkey, l_extendedprice
             FROM r WHERE rn = 1
+        """,
+        "orders_price_rank": """
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rnk
+            FROM orders
+        """,
+        "lineitem_corr": """
+            SELECT l_returnflag, count(*)::BIGINT AS n,
+                   corr(l_quantity, l_extendedprice) AS corr_xy
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "events_running_value": """
             SELECT event_id, user_id, ts, value,

@@ -2379,3 +2379,57 @@ def test_grouped_mode_deterministic_ties(ray_session):
     # k=1: a/b tie at 2 -> 'a' (ascending); k=2: y/z tie at 1 -> 'y'
     assert out["v"].tolist() == ["a", "y"]
     assert out["n"].tolist() == [2, 1]
+
+
+def test_global_rank_exact_and_layout_invariant(ray_session):
+    from webcollector_ray.functions.ranking import global_rank
+
+    rng = np.random.default_rng(5)
+    n = 500
+    # heavy ties on v to exercise the equal-values-same-bucket rule
+    t = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "v": pa.array(rng.integers(0, 40, n), pa.int64()),
+        }
+    )
+    exp = (
+        t.to_pandas().sort_values(["v", "id"],
+                                  ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    exp["rnk"] = np.arange(1, n + 1)
+    for parts in (2, 9):
+        out = (
+            global_rank(
+                rd.from_arrow(t).repartition(parts),
+                order_cols=[("v", "descending"), ("id", "ascending")],
+                num_buckets=5,
+            )
+            .to_pandas().sort_values("rnk").reset_index(drop=True)
+        )
+        assert out["id"].tolist() == exp["id"].tolist()
+        assert out["rnk"].tolist() == exp["rnk"].tolist()
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    from webcollector_ray.functions.stats import grouped_corr
+
+    rng = np.random.default_rng(13)
+    n = 400
+    k = rng.choice(["a", "b"], n)
+    x = rng.integers(1, 50, n).astype(np.float64)
+    y = np.round(x * 3.5 + rng.normal(0, 20, n), 2)
+    t = pa.table({"k": k.tolist(), "x": x, "y": y})
+    out = (
+        grouped_corr(rd.from_arrow(t).repartition(6), key_col="k",
+                     x_col="x", y_col="y", x_scale=1, y_scale=100,
+                     num_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    for i, key in enumerate(["a", "b"]):
+        sub = df[df["k"] == key]
+        exp = np.corrcoef(sub["x"], np.round(sub["y"] * 100))[0, 1]
+        assert abs(out["corr_xy"][i] - exp) < 1e-12
+        assert out["n"][i] == len(sub)

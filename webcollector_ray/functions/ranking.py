@@ -165,3 +165,125 @@ def argmin_by(
         ds.map_batches(local_argmin, batch_format="pyarrow"),
         bucket_argmin, empty, num_buckets,
     )
+
+
+def _rank_nrows_and_add(refs, rank_col, descending_total=None):
+    """Prefix-sum offsets over range buckets, then stamp ranks."""
+    import ray
+
+    @ray.remote
+    def _nrows(t):
+        return 0 if t is None else len(t)
+
+    @ray.remote
+    def _stamp(t, off):
+        if t is None or len(t) == 0:
+            return t
+        return t.append_column(
+            rank_col,
+            pa.array(np.arange(off + 1, off + len(t) + 1), pa.int64()),
+        )
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+
+
+def global_rank(
+    ds,
+    *,
+    order_cols,
+    rank_col: str = "rnk",
+    num_buckets: int = 32,
+    sample_per_block: int = 64,
+):
+    """EXACT global row_number over a total order — `row_number() OVER
+    (ORDER BY c1 [DESC], c2, ...)` — without a driver-side sort and
+    without Ray Data's sort operator. order_cols is a list of
+    (name, 'ascending'|'descending'); include a unique tiebreaker so
+    the order is total.
+
+    Shape: a sampling pass picks num_buckets-1 range boundaries on the
+    FIRST order column (broadcast, tiny); every row is tagged with its
+    range bucket via one vectorized searchsorted — rows with EQUAL
+    first-column values always land in the same bucket, so cross-bucket
+    order never depends on the tiebreaker; ONE order-preserving
+    exchange sorts each bucket locally; per-bucket row counts (tiny)
+    prefix-sum into offsets and a final stamp adds offset + local
+    position. Hot-value skew concentrates one value's rows in one
+    bucket — the correctness trade for exact ties; salt-free by design.
+    Output ranks are block-layout-independent (pinned by test)."""
+    import ray
+
+    from .joins import exchange_reduce
+
+    order_cols = [
+        (c, "ascending") if isinstance(c, str) else tuple(c)
+        for c in order_cols
+    ]
+    first_col, first_dir = order_cols[0]
+    desc_first = first_dir == "descending"
+
+    def sample(batch: pa.Table) -> pa.Table:
+        v = np.sort(
+            batch[first_col].to_numpy(zero_copy_only=False)
+        )
+        if len(v) > sample_per_block:
+            idx = np.linspace(
+                0, len(v) - 1, sample_per_block
+            ).astype(np.int64)
+            v = v[idx]
+        return pa.table({"v": pa.array(v, type=batch[first_col].type)})
+
+    cand = np.sort(
+        ds.map_batches(sample, batch_format="pyarrow")
+        .to_pandas()["v"].to_numpy()
+    )
+    if len(cand) == 0:
+        num_boundaries = 0
+        bounds = cand
+    else:
+        pos = np.linspace(0, len(cand) - 1, num_buckets + 1).astype(
+            np.int64
+        )[1:-1]
+        bounds = np.unique(cand[pos])
+        num_boundaries = len(bounds)
+    nb = num_boundaries + 1
+    bounds_ref = ray.put(bounds)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        v = batch[first_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(b, v, side="right") if len(b) else (
+            np.zeros(len(v), np.int64)
+        )
+        if desc_first:
+            idx = (nb - 1) - idx
+        return batch.append_column(
+            "__bucket", pa.array(idx.astype(np.int32))
+        )
+
+    sch = ds.schema()
+    empty = pa.table(
+        {nm: pa.nulls(0, t) for nm, t in zip(sch.names, sch.types)}
+    )
+
+    def sort_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.drop_columns(["__bucket"])
+        return t.take(pc.sort_indices(t, sort_keys=order_cols))
+
+    ranked = exchange_reduce(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        sort_bucket, empty, nb,
+    )
+    import ray.data as rd
+
+    refs = list(ranked.to_arrow_refs())
+    assert len(refs) == nb, (
+        f"bucket layout broken: {len(refs)} blocks != {nb} buckets"
+    )
+    return rd.from_arrow_refs(
+        _rank_nrows_and_add(refs, rank_col)
+    )

@@ -309,6 +309,83 @@ def grouped_running_sum(ds, *, key_col: str, order_cols, val_col: str,
     )
 
 
+def grouped_corr(ds, *, key_col: str, x_col: str, y_col: str,
+                 x_scale: int = 1, y_scale: int = 1,
+                 num_buckets: int = 16):
+    """Pearson correlation of two fixed-point numeric columns per key,
+    from EXACT integer moments: x/y are scaled to integers (x_scale /
+    y_scale, e.g. 100 for cents), per-block partial sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) ride ONE tiny key exchange, the final fold adds as
+    Python ints (no wraparound), and corr is evaluated once per group
+    in float64. Correlation is scale-invariant, so the result equals
+    corr() over the raw values — distributed-summation float drift is
+    structurally impossible, not just unlikely."""
+    from .joins import exchange_reduce
+
+    mom = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_pandas()
+        x = np.rint(
+            batch[x_col].to_numpy(zero_copy_only=False) * x_scale
+        ).astype(np.int64)
+        y = np.rint(
+            batch[y_col].to_numpy(zero_copy_only=False) * y_scale
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"k": k, "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+             "syy": y * y}
+        )
+        df["n"] = 1
+        g = df.groupby("k", sort=False, as_index=False)[mom].sum()
+        kh = pd.util.hash_array(
+            g["k"].to_numpy(object), categorize=False
+        )
+        g["__bucket"] = (kh % np.uint64(num_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(
+            g.rename(columns={"k": key_col}), preserve_index=False
+        )
+
+    sch = dict(zip(ds.schema().names, ds.schema().types))
+    empty = pa.table(
+        {
+            key_col: pa.nulls(0, sch[key_col]),
+            "n": pa.array([], pa.int64()),
+            "corr_xy": pa.array([], pa.float64()),
+        }
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select([key_col] + mom).to_pandas()
+        for c in mom:
+            df[c] = df[c].astype(object)  # Python-int fold
+        g = df.groupby(key_col, sort=False, as_index=False).sum()
+        corrs = []
+        for _, r in g.iterrows():
+            n, sx, sy, sxy, sxx, syy = (int(r[c]) for c in mom)
+            cov = n * sxy - sx * sy
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            corrs.append(
+                float(cov) / float(np.sqrt(float(vx) * float(vy)))
+                if vx > 0 and vy > 0 else None
+            )
+        return pa.table(
+            {
+                key_col: pa.Array.from_pandas(
+                    g[key_col], type=sch[key_col]
+                ),
+                "n": pa.array([int(x) for x in g["n"]], pa.int64()),
+                "corr_xy": pa.array(corrs, pa.float64()),
+            }
+        )
+
+    return exchange_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        fold, empty, num_buckets,
+    )
+
+
 def zscore_by(ds, *, key_col: str, val_col: str, out_col: str = "z",
               keep_cols=None, num_buckets: int = 16):
     """Population z-score of val_col within each key_col group:
