@@ -499,6 +499,150 @@ def _q_docs_weighted_sample(sf_dir: str):
     return weighted_sample(ds, id_col="doc_id", weight_col="n_chars", k=50)
 
 
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+
+
+def _q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 (volume shipping): revenue between two nations per
+    direction per ship year. Scale shape: lineitem pre-aggregates
+    fixed-point revenue per (orderkey, suppkey, year) BEFORE its first
+    exchange; three generic bucketed hash_joins chain orderkey ->
+    custkey -> suppkey with the nation filters pushed into the dim-side
+    reads; the final fold is 2x2xYEARS rows through a width-1
+    exchange."""
+    import datetime as _dt
+
+    from webcollector_ray.functions.joins import exchange_reduce, hash_join
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = {
+        k: n for k, n in zip(
+            nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()
+        ) if n in (_Q7_N1, _Q7_N2)
+    }
+    keys = pa.array(sorted(nmap), pa.int64())
+    nmap_ref = ray.put(nmap)
+    lo, hi = _dt.datetime(1995, 1, 1), _dt.datetime(1997, 1, 1)
+
+    def li_part(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                pc.less(batch["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        rev = (
+            np.round(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            * (100 - np.round(
+                b["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64))
+        )
+        yr = b["l_shipdate"].to_pandas().dt.year.to_numpy(np.int64)
+        g = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "l_suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                "l_year": yr, "rev": rev,
+            }
+        ).groupby(
+            ["l_orderkey", "l_suppkey", "l_year"], sort=False,
+            as_index=False,
+        )["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema(
+                [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+                 ("l_year", pa.int64()), ("rev", pa.int64())]
+            )
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_part, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_in(b["c_nationkey"], value_set=keys)),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_in(b["s_nationkey"], value_set=keys)),
+        batch_format="pyarrow",
+    )
+
+    # join order: orders x (nation-filtered) customers FIRST — orders
+    # shrink ~12x before the expensive orderkey exchange with lineitem
+    oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                   num_buckets=16)
+    j = hash_join(li, oc, on="l_orderkey", right_on="o_orderkey",
+                  num_buckets=32)
+    j = hash_join(j, supp, on="l_suppkey", right_on="s_suppkey",
+                  num_buckets=16)
+
+    def final_part(batch: pa.Table) -> pa.Table:
+        nm = ray.get(nmap_ref)
+        df = batch.select(
+            ["s_nationkey", "c_nationkey", "l_year", "rev"]
+        ).to_pandas()
+        sn = df["s_nationkey"].map(nm)
+        cn = df["c_nationkey"].map(nm)
+        df = df[(sn != cn)]
+        df["supp_nation"] = sn[sn != cn]
+        df["cust_nation"] = cn[sn != cn]
+        g = df.groupby(
+            ["supp_nation", "cust_nation", "l_year"], sort=False,
+            as_index=False,
+        )["rev"].sum()
+        g["__bucket"] = np.int32(0)
+        # cast keeps empty batches on the declared schema (a schemaless
+        # empty pandas table would trip Ray Data's schema-mismatch check)
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema(
+                [("supp_nation", pa.string()), ("cust_nation", pa.string()),
+                 ("l_year", pa.int64()), ("rev", pa.int64()),
+                 ("__bucket", pa.int32())]
+            )
+        )
+
+    empty = pa.table(
+        {
+            "supp_nation": pa.array([], pa.string()),
+            "cust_nation": pa.array([], pa.string()),
+            "l_year": pa.array([], pa.int64()),
+            "revenue_fp": pa.array([], pa.int64()),
+        }
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select(
+            ["supp_nation", "cust_nation", "l_year", "rev"]
+        ).to_pandas()
+        g = df.groupby(
+            ["supp_nation", "cust_nation", "l_year"], sort=False,
+            as_index=False,
+        )["rev"].sum()
+        g = g.rename(columns={"rev": "revenue_fp"})
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    return exchange_reduce(
+        j.map_batches(final_part, batch_format="pyarrow"), fold, empty, 1
+    )
+
+
 def _q_orders_price_rank(sf_dir: str):
     """Exact global row_number over (price desc, key asc) via range
     partitioning + prefix-sum offsets — never a full distributed
@@ -3585,6 +3729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": _q_docs_rollup,
         "events_running_value": _q_events_running_value,
         "orders_price_rank": _q_orders_price_rank,
+        "tpch_q7": _q_tpch_q7,
         "lineitem_corr": _q_lineitem_corr,
         "events_user_mode": _q_events_user_mode,
         "docs_weighted_sample": _q_docs_weighted_sample,
@@ -6357,6 +6502,25 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT l_partkey, l_suppkey, l_extendedprice
             FROM r WHERE rn = 1
+        """,
+        "tpch_q7": f"""
+            SELECT ns.n_name AS supp_nation,
+                   nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   )::BIGINT AS revenue_fp
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            WHERE l.l_shipdate >= DATE '1995-01-01'
+              AND l.l_shipdate < DATE '1997-01-01'
+              AND ((ns.n_name = '{_Q7_N1}' AND nc.n_name = '{_Q7_N2}')
+                OR (ns.n_name = '{_Q7_N2}' AND nc.n_name = '{_Q7_N1}'))
+            GROUP BY 1, 2, 3
         """,
         "orders_price_rank": """
             SELECT o_orderkey, o_totalprice,
