@@ -643,6 +643,564 @@ def _q_tpch_q7(sf_dir: str):
     )
 
 
+_Q1_CUTOFF = "1998-09-01"
+
+
+def _q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 (pricing summary report): full aggregate set — sums,
+    exact-ratio averages, row counts — per (returnflag, linestatus).
+    Scale shape: pure map-side partial aggregation over a ~6-group
+    universe (each batch collapses to <=6 rows before the tiny
+    groupby), fixed-point int64 sums (cents / cents*pct / cents*pct²),
+    averages derived as exact-int ratios so the doubles match the
+    oracle bit-for-bit. No shuffle moves more than #groups x #blocks
+    rows."""
+    import datetime as _dt
+
+    cutoff = _dt.datetime(1998, 9, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff))
+        )
+        price = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.round(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        tax = np.round(
+            b["l_tax"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_pandas(),
+                "l_linestatus": b["l_linestatus"].to_pandas(),
+                "sum_qty": qty,
+                "sum_base_fp": price,
+                "sum_disc_fp": price * (100 - disc),
+                "sum_charge_fp": price * (100 - disc) * (100 + tax),
+                "sum_disc_pct": disc,
+                "n_rows": np.ones(len(b), np.int64),
+            }
+        ).groupby(
+            ["l_returnflag", "l_linestatus"], sort=False, as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    combined = li.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_fp", alias_name="sum_base_fp"),
+        Sum("sum_disc_fp", alias_name="sum_disc_fp"),
+        Sum("sum_charge_fp", alias_name="sum_charge_fp"),
+        Sum("sum_disc_pct", alias_name="sum_disc_pct"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = df["n_rows"].to_numpy(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(df["l_returnflag"], pa.string()),
+                "l_linestatus": pa.array(df["l_linestatus"], pa.string()),
+                "sum_qty": pa.array(df["sum_qty"], pa.int64()),
+                "sum_base_fp": pa.array(df["sum_base_fp"], pa.int64()),
+                "sum_disc_fp": pa.array(df["sum_disc_fp"], pa.int64()),
+                "sum_charge_fp": pa.array(
+                    df["sum_charge_fp"], pa.int64()
+                ),
+                "avg_qty": pa.array(
+                    df["sum_qty"].to_numpy(np.float64) / n, pa.float64()
+                ),
+                "avg_price_fp": pa.array(
+                    df["sum_base_fp"].to_numpy(np.float64) / n,
+                    pa.float64(),
+                ),
+                "avg_disc_pct": pa.array(
+                    df["sum_disc_pct"].to_numpy(np.float64) / n,
+                    pa.float64(),
+                ),
+                "count_order": pa.array(df["n_rows"], pa.int64()),
+            }
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change): one fixed-point scalar
+    over a triple-filtered lineitem scan. Scale shape: map-only — each
+    batch folds to ONE partial int64, the width-1 reduce sums #blocks
+    rows; nothing else moves."""
+    import datetime as _dt
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = np.round(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = (
+            (batch["l_shipdate"].to_numpy(zero_copy_only=False)
+             >= np.datetime64(lo))
+            & (batch["l_shipdate"].to_numpy(zero_copy_only=False)
+               < np.datetime64(hi))
+            & (disc >= 5) & (disc <= 7)
+            & (batch["l_quantity"].to_numpy(zero_copy_only=False) < 24)
+        )
+        price = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"revenue_fp": pa.array(
+                [int((price * disc[keep]).sum())], pa.int64()
+            )}
+        )
+
+    total = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("revenue_fp", alias_name="revenue_fp")
+    )
+    return pa.table(
+        {"revenue_fp": pa.array([total["revenue_fp"]], pa.int64())}
+    )
+
+
+def _q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (order-priority census with EXISTS semi-join),
+    adapted to this schema: orders placed in 1996-Q3 that have at
+    least one lineitem shipped AFTER the order date (the reference
+    Q4's commit<receipt columns don't exist here), counted per
+    priority. Scale shape: lineitem collapses to per-order MAX
+    shipdate inside map_batches (the exchange moves order partials,
+    not line items); ONE orderkey-hash exchange fuses the partial
+    max-fold, the EXISTS test against the attached order date, and
+    the priority partial counts; the final fold is a 5-row width-1
+    exchange."""
+    import datetime as _dt
+
+    from webcollector_ray.functions.joins import _bucket_ids, exchange_reduce
+
+    nb = 32
+    lo, hi = _dt.datetime(1996, 7, 1), _dt.datetime(1996, 10, 1)
+    ts_t = pa.timestamp("us")
+    cols = ["o_orderkey", "max_ship", "o_orderdate", "o_orderpriority"]
+    types = {"o_orderkey": pa.int64(), "max_ship": ts_t,
+             "o_orderdate": ts_t, "o_orderpriority": pa.string()}
+
+    def pad(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = pa.table(
+            {c: (pc.cast(batch[c], types[c]) if c in batch.column_names
+                 else pa.nulls(n, types[c])) for c in cols}
+        )
+        return out.append_column(
+            "__bucket", pa.array(_bucket_ids(batch["o_orderkey"], nb))
+        )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "max_ship": batch["l_shipdate"].to_pandas().to_numpy(),
+            }
+        ).groupby("o_orderkey", sort=False, as_index=False)[
+            "max_ship"
+        ].max()
+        return pad(pa.Table.from_pandas(g, preserve_index=False))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pad(
+            b.filter(
+                pc.and_(
+                    pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    empty = pa.table(
+        {"o_orderpriority": pa.array([], pa.string()),
+         "order_count": pa.array([], pa.int64())}
+    )
+
+    def fuse(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        is_li = df["o_orderpriority"].isna()
+        ship = df[is_li].groupby("o_orderkey", as_index=False)[
+            "max_ship"
+        ].max()
+        m = df[~is_li][
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ].merge(ship, on="o_orderkey")
+        m = m[m["max_ship"] > m["o_orderdate"]]
+        g = m.groupby("o_orderpriority", sort=False, as_index=False).agg(
+            order_count=("o_orderkey", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    per_bucket = exchange_reduce(li.union(orders), fuse, empty, nb)
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.select(
+            ["o_orderpriority", "order_count"]
+        ).to_pandas().groupby(
+            "o_orderpriority", sort=False, as_index=False
+        )["order_count"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    def tag1(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", pa.array(np.zeros(len(batch), np.int32))
+        )
+
+    return exchange_reduce(
+        per_bucket.map_batches(tag1, batch_format="pyarrow"),
+        fold, empty, 1,
+    )
+
+
+_Q19_BANDS = (
+    ("Brand#1", 1, 10, 1, 20),
+    ("Brand#2", 11, 20, 10, 30),
+    ("Brand#3", 21, 30, 20, 40),
+)
+
+
+def _q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive brand/size/quantity revenue),
+    adapted to this schema's part columns. Scale shape: the part side
+    is filtered to the disjuncts' candidate set AT THE SCAN (selective
+    by construction) and broadcast ONCE via ray.put as three parallel
+    numpy arrays (partkey -> band); lineitem is map-only — searchsorted
+    membership + per-band quantity range check + fixed-point partial
+    sum per batch; the width-1 fold sums #blocks rows. Documented
+    assumption: the filtered part set stays broadcast-small (it is a
+    brand x size slice, ~1/25 x ~1/5 of parts); if a workload widened
+    the disjuncts past broadcast size this becomes tpch_q14's
+    partkey-hash exchange."""
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    brand = np.asarray(part["p_brand"].to_pylist())
+    size = part["p_size"].to_numpy(zero_copy_only=False)
+    band = np.full(len(pk), -1, np.int64)
+    for i, (b, s_lo, s_hi, _, _) in enumerate(_Q19_BANDS):
+        band[(brand == b) & (size >= s_lo) & (size <= s_hi)] = i
+    keep = band >= 0
+    order = np.argsort(pk[keep], kind="stable")
+    cand_ref = ray.put((pk[keep][order], band[keep][order]))
+    qlo = np.array([b[3] for b in _Q19_BANDS], np.float64)
+    qhi = np.array([b[4] for b in _Q19_BANDS], np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cand_pk, cand_band = ray.get(cand_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cand_pk, lpk)
+        pos = np.clip(pos, 0, len(cand_pk) - 1)
+        hit = cand_pk[pos] == lpk if len(cand_pk) else np.zeros(
+            len(lpk), bool
+        )
+        b = cand_band[pos]
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        hit &= (qty >= qlo[b]) & (qty <= qhi[b])
+        price = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+            * 100
+        ).astype(np.int64)
+        disc = np.round(
+            batch["l_discount"].to_numpy(zero_copy_only=False)[hit] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"revenue_fp": pa.array(
+                [int((price * (100 - disc)).sum())], pa.int64()
+            )}
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+    total = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("revenue_fp", alias_name="revenue_fp")
+    )
+    return pa.table(
+        {"revenue_fp": pa.array([total["revenue_fp"]], pa.int64())}
+    )
+
+
+def _q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global-balance cutoff + anti-join census),
+    adapted to this schema (nationkey stands in for the phone-prefix
+    country code). Scale shape: pass 1 computes the positive-balance
+    average as two int64 partials (map-only, exact cents ratio —
+    broadcast as plain Python floats); pass 2 filters customers above
+    the cutoff at the scan, anti-joins RECENT orders (no order since
+    1999 — this synthetic data has no order-less customers) through
+    the bucketed hash exchange, and folds a 25-row census. The cutoff
+    compare is int-cents vs exact-ratio double on BOTH sides, so the
+    oracle matches bit-for-bit."""
+    import datetime as _dt
+    from webcollector_ray.functions.joins import hash_join
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pos = cents > 0
+        return pa.table(
+            {"s": pa.array([int(cents[pos].sum())], pa.int64()),
+             "n": pa.array([int(pos.sum())], pa.int64())}
+        )
+
+    agg = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_acctbal"]
+    ).map_batches(bal_partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+    avg_cents = float(agg["s"]) / float(agg["n"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = cents.astype(np.float64) > avg_cents
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].filter(pa.array(keep)),
+                "c_nationkey": pc.cast(
+                    batch["c_nationkey"].filter(pa.array(keep)),
+                    pa.int64(),
+                ),
+                "bal_cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=cust_cols
+    ).map_batches(rich, batch_format="pyarrow")
+    recent = pa.scalar(_dt.datetime(1999, 1, 1))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b["o_orderdate"], recent)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    no_orders = hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", how="anti",
+        num_buckets=16,
+    )
+
+    def census(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "c_nationkey": batch["c_nationkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "bal_cents": batch["bal_cents"].to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        ).groupby("c_nationkey", sort=False, as_index=False).agg(
+            numcust=("bal_cents", "size"), bal=("bal_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema([("c_nationkey", pa.int64()),
+                       ("numcust", pa.int64()), ("bal", pa.int64())])
+        )
+
+    out = no_orders.map_batches(
+        census, batch_format="pyarrow"
+    ).groupby("c_nationkey").aggregate(
+        Sum("numcust", alias_name="numcust"),
+        Sum("bal", alias_name="bal_cents_sum"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+                "numcust": pc.cast(batch["numcust"], pa.int64()),
+                "totacctbal": pc.divide(
+                    pc.cast(batch["bal_cents_sum"], pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_part_copurchase(sf_dir: str):
+    """Market-basket pair mining: top-25 co-purchased part pairs
+    across orders (the a-priori first-pass / co-occurrence census
+    shape). Scale shape: ONE orderkey-hash exchange groups each
+    order's lines in one bucket; per-bucket pair expansion is a
+    vectorized self-merge over DISTINCT (order, part) rows — bounded
+    by per-order basket size, never a global cross product — and
+    collapses to partial pair counts before leaving the bucket; a
+    second pair-hash exchange folds the counts; global_top_n finishes
+    without a full sort (ties break on the packed (p1,p2) key)."""
+    from webcollector_ray.functions.joins import _bucket_ids, exchange_reduce
+    from webcollector_ray.functions.ranking import global_top_n
+
+    nb = 32
+    empty = pa.table(
+        {"p1": pa.array([], pa.int64()), "p2": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", pa.array(_bucket_ids(batch["l_orderkey"], nb))
+        )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        df = t.select(["l_orderkey", "l_partkey"]).to_pandas(
+        ).drop_duplicates()
+        m = df.merge(df, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        g = m.groupby(
+            ["l_partkey_a", "l_partkey_b"], sort=False, as_index=False
+        ).agg(n=("l_orderkey", "size")).rename(
+            columns={"l_partkey_a": "p1", "l_partkey_b": "p2"}
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(tag, batch_format="pyarrow")
+    pairs = exchange_reduce(li, bucket_pairs, empty, nb)
+
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        key = (
+            batch["p1"].to_numpy(zero_copy_only=False) << np.int64(32)
+        ) | batch["p2"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bucket", pa.array(_bucket_ids(pa.array(key), nb))
+        )
+
+    def fold_counts(t: pa.Table) -> pa.Table:
+        g = t.select(["p1", "p2", "n"]).to_pandas().groupby(
+            ["p1", "p2"], sort=False, as_index=False
+        )["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    counts = exchange_reduce(
+        pairs.map_batches(tag_pair, batch_format="pyarrow"),
+        fold_counts, empty, nb,
+    )
+
+    def add_tie(batch: pa.Table) -> pa.Table:
+        key = (
+            batch["p1"].to_numpy(zero_copy_only=False) << np.int64(32)
+        ) | batch["p2"].to_numpy(zero_copy_only=False)
+        return batch.append_column("pk", pa.array(key, pa.int64()))
+
+    top = global_top_n(
+        counts.map_batches(add_tie, batch_format="pyarrow"),
+        order_col="n", n=25, tie_col="pk",
+    )
+    return top.map_batches(
+        lambda b: b.select(["p1", "p2", "n"]), batch_format="pyarrow"
+    )
+
+
+def _q_docs_per_source_cap(sf_dir: str):
+    """Per-domain document cap (web-corpus mix control): keep at most
+    the 5 longest documents per source, deterministic on doc_id ties.
+    Scale shape: top_n_per_group's local-top-n-then-one-exchange — at
+    most n rows per (source, block) cross the wire, never the corpus."""
+    from webcollector_ray.functions.ranking import top_n_per_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return top_n_per_group(
+        ds, key_col="source", order_col="n_chars", n=5, tie_col="doc_id"
+    )
+
+
+def _q_events_props_k(sf_dir: str):
+    """Typed JSON field extraction over the events `props` column
+    (the reference's JsonUtils/typed-extraction surface — see
+    SURVEY.md §2 X4 — applied table-wide): pull `$.k` as int64 and
+    aggregate per event_type. Scale shape: map-only Arrow
+    extract_regex (vectorized, no per-row json.loads) + a ~5-group
+    partial before the tiny groupby."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        g = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "sum_k": k.to_pandas(),
+                "max_k": k.to_pandas(),
+                "n_k": k.is_valid().to_pandas().astype(np.int64),
+            }
+        ).groupby("event_type", sort=False, as_index=False).agg(
+            sum_k=("sum_k", "sum"), max_k=("max_k", "max"),
+            n_k=("n_k", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema([("event_type", pa.string()),
+                       ("sum_k", pa.int64()), ("max_k", pa.int64()),
+                       ("n_k", pa.int64())])
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(
+        Sum("sum_k", alias_name="sum_k"),
+        Max("max_k", alias_name="max_k"),
+        Sum("n_k", alias_name="n_k"),
+    )
+
+
 def _q_orders_price_rank(sf_dir: str):
     """Exact global row_number over (price desc, key asc) via range
     partitioning + prefix-sum offsets — never a full distributed
@@ -3733,6 +4291,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": _q_lineitem_corr,
         "events_user_mode": _q_events_user_mode,
         "docs_weighted_sample": _q_docs_weighted_sample,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q22": _q_tpch_q22,
+        "part_copurchase": _q_part_copurchase,
+        "docs_per_source_cap": _q_docs_per_source_cap,
+        "events_props_k": _q_events_props_k,
         "tpch_q18": _q_tpch_q18,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -6502,6 +7068,123 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT l_partkey, l_suppkey, l_extendedprice
             FROM r WHERE rn = 1
+        """,
+        "tpch_q1": f"""
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity) AS BIGINT))::BIGINT
+                       AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   )::BIGINT AS sum_base_fp,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   )::BIGINT AS sum_disc_fp,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       * (100 + CAST(round(l_tax * 100) AS BIGINT))
+                   )::BIGINT AS sum_charge_fp,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                       / count(*) AS avg_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS DOUBLE) / count(*) AS avg_price_fp,
+                   CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                       AS DOUBLE) / count(*) AS avg_disc_pct,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '{_Q1_CUTOFF}'
+            GROUP BY 1, 2
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*)::BIGINT AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= DATE '1996-07-01'
+              AND o.o_orderdate <  DATE '1996-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate
+              )
+            GROUP BY 1
+        """,
+        "tpch_q6": """
+            SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)
+                   )::BIGINT AS revenue_fp
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate <  DATE '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "tpch_q19": """
+            SELECT coalesce(sum(
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   ), 0)::BIGINT AS revenue_fp
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 20
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 21 AND 30
+                   AND l.l_quantity BETWEEN 20 AND 40)
+        """,
+        "tpch_q22": """
+            WITH cutoff AS (
+                SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                            AS DOUBLE) / count(*) AS avg_cents
+                FROM customer
+                WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+            )
+            SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+                   count(*)::BIGINT AS numcust,
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS totacctbal
+            FROM customer c, cutoff
+            WHERE CAST(CAST(round(c.c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                      > cutoff.avg_cents
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '1999-01-01'
+              )
+            GROUP BY 1
+        """,
+        "part_copurchase": """
+            WITH pairs AS (
+                SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                       count(*)::BIGINT AS n
+                FROM (SELECT DISTINCT l_orderkey, l_partkey
+                      FROM lineitem) a
+                JOIN (SELECT DISTINCT l_orderkey, l_partkey
+                      FROM lineitem) b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            )
+            SELECT p1, p2, n FROM pairs
+            ORDER BY n DESC, p1 ASC, p2 ASC
+            LIMIT 25
+        """,
+        "docs_per_source_cap": """
+            SELECT doc_id, source, n_chars, rank FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                       )::BIGINT AS rank
+                FROM documents
+            ) WHERE rank <= 5
+        """,
+        "events_props_k": """
+            SELECT event_type,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)
+                   )::BIGINT AS sum_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)
+                   )::BIGINT AS max_k,
+                   count(CAST(json_extract(props, '$.k') AS BIGINT)
+                   )::BIGINT AS n_k
+            FROM events
+            GROUP BY 1
         """,
         "tpch_q7": f"""
             SELECT ns.n_name AS supp_nation,
