@@ -1201,6 +1201,343 @@ def _q_events_props_k(sf_dir: str):
     )
 
 
+def _q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution): histogram of
+    per-customer order counts, zero-order customers included. Scale
+    shape: orders pre-count per custkey inside map_batches; ONE
+    custkey-hash exchange folds the counts AND collapses each bucket
+    to its local (c_count -> custdist) histogram, so the second
+    exchange moves only histogram rows (bounded by max order count);
+    the zero bucket is customer-row-count minus customers-with-orders
+    — two metadata-cheap scalars, no customer-side join at all."""
+    from webcollector_ray.functions.joins import _bucket_ids, exchange_reduce
+
+    nb = 32
+    n_cust = pq.ParquetFile(
+        f"{sf_dir}/customer.parquet"
+    ).metadata.num_rows
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {"o_custkey": batch["o_custkey"].to_numpy(
+                zero_copy_only=False
+            )}
+        ).groupby("o_custkey", sort=False, as_index=False).agg(
+            c_count=("o_custkey", "size")
+        )
+        t = pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema([("o_custkey", pa.int64()), ("c_count", pa.int64())])
+        )
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t["o_custkey"], nb))
+        )
+
+    empty = pa.table(
+        {"c_count": pa.array([], pa.int64()),
+         "custdist": pa.array([], pa.int64())}
+    )
+
+    def bucket_hist(t: pa.Table) -> pa.Table:
+        per_cust = t.select(["o_custkey", "c_count"]).to_pandas(
+        ).groupby("o_custkey", sort=False, as_index=False)[
+            "c_count"
+        ].sum()
+        g = per_cust.groupby("c_count", sort=False, as_index=False).agg(
+            custdist=("c_count", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(o_partial, batch_format="pyarrow")
+    hist = exchange_reduce(orders, bucket_hist, empty, nb)
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select(["c_count", "custdist"]).to_pandas().groupby(
+            "c_count", sort=False, as_index=False
+        )["custdist"].sum()
+        zero = n_cust - int(df["custdist"].sum())
+        if zero > 0:
+            df = pd.concat(
+                [df, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+                ignore_index=True,
+            )
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            empty.schema
+        )
+
+    return exchange_reduce(
+        hist.map_batches(
+            lambda b: b.append_column(
+                "__bucket", pa.array(np.zeros(len(b), np.int32))
+            ),
+            batch_format="pyarrow",
+        ),
+        fold, empty, 1,
+    )
+
+
+def _q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 (top supplier): supplier(s) achieving the MAX total
+    revenue in 1996-Q1, ties all kept (the reference query's
+    view + WHERE total = MAX(total) semantics). Scale shape: lineitem
+    pre-aggregates fixed-point revenue per suppkey inside map_batches;
+    ONE suppkey-hash exchange folds the partials; the global max is a
+    tree-reduce over per-supplier rows (bounded by supplier count, not
+    lineitem count); the winner set (tiny by construction) hash-joins
+    the supplier dimension for names."""
+    import datetime as _dt
+
+    from webcollector_ray.functions.joins import (
+        _bucket_ids,
+        exchange_reduce,
+        hash_join,
+    )
+
+    nb = 32
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1996, 4, 1)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                pc.less(batch["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        rev = (
+            np.round(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            * (100 - np.round(
+                b["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64))
+        )
+        g = pd.DataFrame(
+            {
+                "s_suppkey": b["l_suppkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "total_revenue_fp": rev,
+            }
+        ).groupby("s_suppkey", sort=False, as_index=False)[
+            "total_revenue_fp"
+        ].sum()
+        t = pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema([("s_suppkey", pa.int64()),
+                       ("total_revenue_fp", pa.int64())])
+        )
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t["s_suppkey"], nb))
+        )
+
+    empty = pa.table(
+        {"s_suppkey": pa.array([], pa.int64()),
+         "total_revenue_fp": pa.array([], pa.int64())}
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.select(["s_suppkey", "total_revenue_fp"]).to_pandas(
+        ).groupby("s_suppkey", sort=False, as_index=False)[
+            "total_revenue_fp"
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+    per_supp = exchange_reduce(li, fold, empty, nb)
+    best = per_supp.max("total_revenue_fp")
+    winners = per_supp.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["total_revenue_fp"], pa.scalar(best, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    return hash_join(
+        winners, supp, on="s_suppkey", right_on="s_suppkey",
+        num_buckets=4,
+    )
+
+
+_Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+
+
+def _q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape (supplier-count census), adapted: the reference
+    partsupp table doesn't exist here, so the part-supplier
+    association is the DISTINCT (l_partkey, l_suppkey) set observed in
+    lineitem. Parts are filtered (not Brand#1, not STANDARD, 8 sizes)
+    at the scan; distinct suppliers per (brand, type, size). Scale
+    shape: per-batch local distinct before the partkey-hash join
+    exchange (the wire carries at most one row per (pair, block)); the
+    (brand,type,size)-hash exchange then folds exact nunique per group
+    — group universe is bounded (brands x types x sizes), never the
+    pair count."""
+    from webcollector_ray.functions.joins import (
+        _bucket_ids,
+        exchange_reduce,
+        hash_join,
+    )
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.and_(
+                    pc.not_equal(b["p_brand"], pa.scalar("Brand#1")),
+                    pc.not_equal(b["p_type"], pa.scalar("STANDARD")),
+                ),
+                pc.is_in(
+                    b["p_size"],
+                    value_set=pa.array(_Q16_SIZES, pa.int32()),
+                ),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(
+        lambda b: pa.Table.from_pandas(
+            b.to_pandas().drop_duplicates(), preserve_index=False
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(
+        pairs, part, on="l_partkey", right_on="p_partkey",
+        num_buckets=16,
+    )
+
+    nb = 8
+    empty = pa.table(
+        {"p_brand": pa.array([], pa.string()),
+         "p_type": pa.array([], pa.string()),
+         "p_size": pa.array([], pa.int32()),
+         "supplier_cnt": pa.array([], pa.int64())}
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        key = pd.util.hash_array(
+            (batch["p_brand"].to_pandas() + "|"
+             + batch["p_type"].to_pandas() + "|"
+             + batch["p_size"].to_pandas().astype(str)).to_numpy()
+        )
+        return batch.append_column(
+            "__bucket", pa.array((key % nb).astype(np.int32))
+        )
+
+    def nunique(t: pa.Table) -> pa.Table:
+        df = t.select(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]
+        ).to_pandas().drop_duplicates()
+        g = df.groupby(
+            ["p_brand", "p_type", "p_size"], sort=False, as_index=False
+        ).agg(supplier_cnt=("l_suppkey", "nunique"))
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    return exchange_reduce(
+        j.map_batches(tag, batch_format="pyarrow"), nunique, empty, nb
+    )
+
+
+def _q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue): revenue from Brand#5
+    lines whose quantity is below 20% of that part's average quantity
+    — the classic correlated-subquery-per-key shape. Scale shape: the
+    Brand#5 partkey set is scan-filtered and broadcast once (selective
+    by construction); lineitem is filtered map-side to those parts;
+    ONE partkey-hash exchange computes each part's exact (sum_qty, n)
+    AND applies the qty_i * 5 * n < sum_qty integer test to its own
+    lines in the same bucket pass — the correlated average never
+    leaves the bucket; the width-1 fold sums #buckets partials."""
+    from webcollector_ray.functions.joins import _bucket_ids, exchange_reduce
+
+    nb = 32
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    mask = pc.equal(part["p_brand"], pa.scalar("Brand#5"))
+    cand = np.sort(
+        part.filter(mask)["p_partkey"].to_numpy(zero_copy_only=False)
+    )
+    cand_ref = ray.put(cand)
+
+    def li_filter(batch: pa.Table) -> pa.Table:
+        ck = ray.get(cand_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck, lpk)
+        pos = np.clip(pos, 0, max(len(ck) - 1, 0))
+        hit = (ck[pos] == lpk) if len(ck) else np.zeros(len(lpk), bool)
+        qty = np.round(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)[hit]
+        ).astype(np.int64)
+        price = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+            * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {"l_partkey": pa.array(lpk[hit], pa.int64()),
+             "qty_i": pa.array(qty), "price_cents": pa.array(price)}
+        )
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t["l_partkey"], nb))
+        )
+
+    empty = pa.table({"revenue_fp": pa.array([], pa.int64())})
+
+    def bucket_small(t: pa.Table) -> pa.Table:
+        df = t.select(["l_partkey", "qty_i", "price_cents"]).to_pandas()
+        agg = df.groupby("l_partkey", sort=False).agg(
+            s=("qty_i", "sum"), n=("qty_i", "size")
+        )
+        m = df.join(agg, on="l_partkey")
+        small = m[m["qty_i"] * 5 * m["n"] < m["s"]]
+        return pa.table(
+            {"revenue_fp": pa.array(
+                [int(small["price_cents"].sum())], pa.int64()
+            )}
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_filter, batch_format="pyarrow")
+    partials = exchange_reduce(li, bucket_small, empty, nb)
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"revenue_fp": pa.array(
+                [int(t["revenue_fp"].to_numpy(
+                    zero_copy_only=False
+                ).sum())],
+                pa.int64(),
+            )}
+        )
+
+    return exchange_reduce(
+        partials.map_batches(
+            lambda b: b.append_column(
+                "__bucket", pa.array(np.zeros(len(b), np.int32))
+            ),
+            batch_format="pyarrow",
+        ),
+        fold, empty, 1,
+    )
+
+
 def _q_orders_price_rank(sf_dir: str):
     """Exact global row_number over (price desc, key asc) via range
     partitioning + prefix-sum offsets — never a full distributed
@@ -4296,6 +4633,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": _q_tpch_q6,
         "tpch_q19": _q_tpch_q19,
         "tpch_q22": _q_tpch_q22,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
         "part_copurchase": _q_part_copurchase,
         "docs_per_source_cap": _q_docs_per_source_cap,
         "events_props_k": _q_events_props_k,
@@ -7148,6 +7489,60 @@ def _oracle_sql_static() -> dict[str, str]:
                   AND o.o_orderdate >= DATE '1999-01-01'
               )
             GROUP BY 1
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*)::BIGINT AS custdist FROM (
+                SELECT c.c_custkey,
+                       count(o.o_orderkey)::BIGINT AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY 1
+            ) GROUP BY 1
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))
+                       )::BIGINT AS total_revenue_fp
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate <  DATE '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT r.s_suppkey, r.total_revenue_fp, s.s_name
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE r.total_revenue_fp = (
+                SELECT max(total_revenue_fp) FROM rev
+            )
+        """,
+        "tpch_q16": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   count(DISTINCT a.l_suppkey)::BIGINT AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+            JOIN part p ON p.p_partkey = a.l_partkey
+            WHERE p.p_brand <> 'Brand#1'
+              AND p.p_type <> 'STANDARD'
+              AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q17": """
+            WITH pq AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_quantity) AS BIGINT))::BIGINT
+                           AS s,
+                       count(*)::BIGINT AS n
+                FROM lineitem GROUP BY 1
+            )
+            SELECT coalesce(sum(
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   ), 0)::BIGINT AS revenue_fp
+            FROM lineitem l
+            JOIN pq ON pq.l_partkey = l.l_partkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#5'
+              AND CAST(round(l.l_quantity) AS BIGINT) * 5 * pq.n < pq.s
         """,
         "part_copurchase": """
             WITH pairs AS (
