@@ -1719,8 +1719,11 @@ def _q_orders_bloom_semi(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
+    # buckets ∝ survivor volume (the post-bloom set is ~selectivity x
+    # probe); at corpus scale raise with the data, like every exchange
     return bloom_semi_join(
-        orders, cust, on="o_custkey", right_on="c_custkey"
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        num_buckets=16,
     )
 
 

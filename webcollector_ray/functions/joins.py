@@ -433,6 +433,11 @@ def df_or_empty(ds, empty: pa.Table) -> "pd.DataFrame":
 # ------------------------------------------------- bloom-prefiltered semi
 
 
+# per-worker-process unpacked-bloom cache for bloom_semi_join's
+# stateless prefilter tasks (at most one live bloom per worker)
+_BLOOM_UNPACK_CACHE: dict = {}
+
+
 def _key_hash64(col) -> np.ndarray:
     """Deterministic 64-bit key hash (same kernels as _bucket_ids,
     full width instead of mod-bucket)."""
@@ -445,12 +450,13 @@ def _key_hash64(col) -> np.ndarray:
 
 
 @ray.remote
-def _key_bloom_block(key: str, m_bits: int, block):
+def _key_bloom_block(key: str, m_bits: int, *blocks):
     bits = np.zeros(m_bits, dtype=bool)
-    if block is not None and len(block):
-        h = _key_hash64(block[key])
-        bits[(h & np.uint64(0xFFFFFFFF)) % m_bits] = True
-        bits[(h >> np.uint64(32)) % m_bits] = True
+    for block in blocks:
+        if block is not None and len(block):
+            h = _key_hash64(block[key])
+            bits[(h & np.uint64(0xFFFFFFFF)) % m_bits] = True
+            bits[(h >> np.uint64(32)) % m_bits] = True
     return np.packbits(bits)
 
 
@@ -485,32 +491,40 @@ def bloom_semi_join(
     keys_only = right.map_batches(
         lambda b, _c=ron: b.select([_c]), batch_format="pyarrow"
     )
+    refs = list(keys_only.to_arrow_refs())
+    # group blocks per build task (exchange_reduce precedent): the
+    # per-task cost is the m_bits bool array, so fewer/larger tasks
+    # beat one 4 MB alloc per block
+    ngroups = max(1, min(len(refs), 16))
     parts = [
-        _key_bloom_block.remote(ron, m_bits, r)
-        for r in keys_only.to_arrow_refs()
+        _key_bloom_block.remote(ron, m_bits, *refs[g::ngroups])
+        for g in range(ngroups)
     ]
     if not parts:
         bloom_ref = ray.put(np.packbits(np.zeros(m_bits, dtype=bool)))
     else:
         bloom_ref = _key_bloom_or.remote(*parts)
 
-    class Prefilter:
-        def __init__(self):
-            self._bits = np.unpackbits(ray.get(bloom_ref)).astype(bool)
+    def prefilter(batch: pa.Table) -> pa.Table:
+        # stateless task + per-process cache (crawler precedent): the
+        # packed bloom unpacks ONCE per worker process, with none of
+        # the actor-pool spin-up an actor stage would pay per call
+        if len(batch) == 0:
+            return batch
+        key = bloom_ref.hex()
+        bits = _BLOOM_UNPACK_CACHE.get(key)
+        if bits is None:
+            bits = np.unpackbits(ray.get(bloom_ref)).astype(bool)
+            _BLOOM_UNPACK_CACHE.clear()  # one live bloom per worker
+            _BLOOM_UNPACK_CACHE[key] = bits
+        h = _key_hash64(batch[on])
+        hit = (
+            bits[(h & np.uint64(0xFFFFFFFF)) % m_bits]
+            & bits[(h >> np.uint64(32)) % m_bits]
+        )
+        return batch.filter(pa.array(hit))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(batch) == 0:
-                return batch
-            h = _key_hash64(batch[on])
-            hit = (
-                self._bits[(h & np.uint64(0xFFFFFFFF)) % m_bits]
-                & self._bits[(h >> np.uint64(32)) % m_bits]
-            )
-            return batch.filter(pa.array(hit))
-
-    survivors = left.map_batches(
-        Prefilter, batch_format="pyarrow", concurrency=(1, 8)
-    )
+    survivors = left.map_batches(prefilter, batch_format="pyarrow")
     return hash_join(
         survivors, right, on=on, right_on=ron, how="semi",
         num_buckets=num_buckets,
