@@ -259,3 +259,50 @@ def test_bloom_semi_join_equals_exact_semi(ray_session):
         m_bits=1 << 12,
     ).to_pandas()
     assert set(got_s["k"].unique()) == {f"u{i}" for i in range(0, 50, 3)}
+
+
+def test_bloom_semi_join_grouped_build_path(ray_session):
+    """Pin the grouped bloom-build stripes (many build blocks per
+    _key_bloom_block task): a >max_build_tasks build side must fold
+    every block — a striping bug (skipped/overlapping refs) would drop
+    keys and shrink the result below the exact semi-join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from webcollector_ray.functions.joins import bloom_semi_join, hash_join
+
+    rng = np.random.default_rng(11)
+    left = pa.table({
+        "k": rng.integers(0, 2000, 8000).astype("int64"),
+        "v": np.arange(8000, dtype="int64"),
+    })
+    rk = rng.integers(0, 600, 900).astype("int64")
+    # 45 single-block refs -> ngroups = max_build_tasks(8) with stripes
+    # of 5-6 blocks, exercising the varargs multi-block fold
+    right_refs = [
+        ray.put(pa.table({"rk": pa.array(rk[i::45])})) for i in range(45)
+    ]
+    right = rd.from_arrow_refs(right_refs)
+    got = (
+        bloom_semi_join(
+            rd.from_arrow(left), right, on="k", right_on="rk",
+            m_bits=1 << 14, max_build_tasks=8,
+        )
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    want = (
+        hash_join(
+            rd.from_arrow(left), rd.from_arrow(pa.table({"rk": rk})),
+            on="k", right_on="rk", how="semi",
+        )
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # empty build side: early-guard all-zero bloom, empty result
+    empty_right = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    assert bloom_semi_join(
+        rd.from_arrow(left), empty_right, on="k", right_on="rk",
+        m_bits=1 << 12,
+    ).count() == 0

@@ -468,6 +468,31 @@ def _key_bloom_or(*packed) -> np.ndarray:
     return out
 
 
+def _bloom_prefilter(batch: pa.Table, *, on: str, m_bits: int,
+                     bloom_ref) -> pa.Table:
+    """Stateless probe-side prefilter task (crawler's task +
+    per-process-cache precedent). Top-level on purpose: a module-level
+    function pickles BY REFERENCE, so on the worker its __globals__ is
+    the real joins module and _BLOOM_UNPACK_CACHE is genuinely
+    per-process — a closure would be pickled by value and get a
+    private dict per task."""
+    if len(batch) == 0:
+        return batch
+    key = bloom_ref.hex()
+    bits = _BLOOM_UNPACK_CACHE.get(key)
+    if bits is None:
+        bits = np.unpackbits(ray.get(bloom_ref)).astype(bool)
+        if len(_BLOOM_UNPACK_CACHE) >= 4:  # bound concurrent blooms
+            _BLOOM_UNPACK_CACHE.pop(next(iter(_BLOOM_UNPACK_CACHE)))
+        _BLOOM_UNPACK_CACHE[key] = bits
+    h = _key_hash64(batch[on])
+    hit = (
+        bits[(h & np.uint64(0xFFFFFFFF)) % m_bits]
+        & bits[(h >> np.uint64(32)) % m_bits]
+    )
+    return batch.filter(pa.array(hit))
+
+
 def bloom_semi_join(
     left,
     right,
@@ -476,55 +501,44 @@ def bloom_semi_join(
     right_on: Optional[str] = None,
     m_bits: int = 1 << 22,
     num_buckets: int = 64,
+    max_build_tasks: int = 32,
 ):
     """Semi-join with a BLOOM PREFILTER on the probe side — result is
     EXACTLY hash_join(..., how='semi'); the bloom only cuts exchange
-    volume. Build: per-block partial bitmaps over the build side's
-    keys OR-fold in one task (each m_bits/8 bytes, bounded no matter
-    how large the build side); the packed bloom broadcasts once and
-    each probe-side worker unpacks it once in __init__. Probe rows
-    whose two bloom lanes aren't both set drop BEFORE the exchange —
-    at 100 TB a selective semi-join ships only ~selectivity x probe
-    rows (plus the bloom's false-positive margin, removed by the exact
-    in-bucket membership test that follows)."""
+    volume. Build: build-side key blocks stripe over at most
+    max_build_tasks grouped partial-bitmap tasks (each holds ONE
+    m_bits-bool working array regardless of how many blocks it folds;
+    raise max_build_tasks with cluster width), then one OR-fold over
+    the m_bits/8-byte partials. The packed bloom broadcasts once and
+    each probe-side WORKER PROCESS unpacks it once (stateless tasks +
+    the module-level _BLOOM_UNPACK_CACHE — no actor-pool spin-up).
+    Probe rows whose two bloom lanes aren't both set drop BEFORE the
+    exchange — at 100 TB a selective semi-join ships only
+    ~selectivity x probe rows (plus the bloom's false-positive margin,
+    removed by the exact in-bucket membership test that follows)."""
+    import functools
+
     ron = right_on or on
     keys_only = right.map_batches(
         lambda b, _c=ron: b.select([_c]), batch_format="pyarrow"
     )
     refs = list(keys_only.to_arrow_refs())
-    # group blocks per build task (exchange_reduce precedent): the
-    # per-task cost is the m_bits bool array, so fewer/larger tasks
-    # beat one 4 MB alloc per block
-    ngroups = max(1, min(len(refs), 16))
-    parts = [
-        _key_bloom_block.remote(ron, m_bits, *refs[g::ngroups])
-        for g in range(ngroups)
-    ]
-    if not parts:
+    if not refs:  # empty build side: nothing can match the bloom
         bloom_ref = ray.put(np.packbits(np.zeros(m_bits, dtype=bool)))
     else:
+        ngroups = min(len(refs), max_build_tasks)
+        parts = [
+            _key_bloom_block.remote(ron, m_bits, *refs[g::ngroups])
+            for g in range(ngroups)
+        ]
         bloom_ref = _key_bloom_or.remote(*parts)
 
-    def prefilter(batch: pa.Table) -> pa.Table:
-        # stateless task + per-process cache (crawler precedent): the
-        # packed bloom unpacks ONCE per worker process, with none of
-        # the actor-pool spin-up an actor stage would pay per call
-        if len(batch) == 0:
-            return batch
-        key = bloom_ref.hex()
-        bits = _BLOOM_UNPACK_CACHE.get(key)
-        if bits is None:
-            bits = np.unpackbits(ray.get(bloom_ref)).astype(bool)
-            _BLOOM_UNPACK_CACHE.clear()  # one live bloom per worker
-            _BLOOM_UNPACK_CACHE[key] = bits
-        h = _key_hash64(batch[on])
-        hit = (
-            bits[(h & np.uint64(0xFFFFFFFF)) % m_bits]
-            & bits[(h >> np.uint64(32)) % m_bits]
-        )
-        return batch.filter(pa.array(hit))
-
-    survivors = left.map_batches(prefilter, batch_format="pyarrow")
+    survivors = left.map_batches(
+        functools.partial(
+            _bloom_prefilter, on=on, m_bits=m_bits, bloom_ref=bloom_ref
+        ),
+        batch_format="pyarrow",
+    )
     return hash_join(
         survivors, right, on=on, right_on=ron, how="semi",
         num_buckets=num_buckets,
