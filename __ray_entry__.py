@@ -1213,9 +1213,11 @@ def _q_tpch_q13(sf_dir: str):
     from webcollector_ray.functions.joins import _bucket_ids, exchange_reduce
 
     nb = 32
-    n_cust = pq.ParquetFile(
-        f"{sf_dir}/customer.parquet"
-    ).metadata.num_rows
+    import pyarrow.dataset as _pds
+
+    # metadata-only row count; dataset() also accepts a partitioned
+    # directory (the at-scale layout), unlike pq.ParquetFile
+    n_cust = _pds.dataset(f"{sf_dir}/customer.parquet").count_rows()
 
     def o_partial(batch: pa.Table) -> pa.Table:
         g = pd.DataFrame(
@@ -2956,7 +2958,10 @@ def _q_tpch_q18(sf_dir: str):
     from webcollector_ray.functions.ranking import global_top_n
 
     nb = 32
-    odate_t = pq.read_schema(f"{sf_dir}/orders.parquet").field(
+    import pyarrow.dataset as _pds
+
+    # dataset() reads the schema from a file OR a partitioned directory
+    odate_t = _pds.dataset(f"{sf_dir}/orders.parquet").schema.field(
         "o_orderdate"
     ).type
     cols = ["o_orderkey", "sum_qty", "o_custkey", "o_totalprice",
