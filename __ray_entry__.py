@@ -657,11 +657,17 @@ def _q_tpch_q1(sf_dir: str):
     rows."""
     import datetime as _dt
 
-    cutoff = _dt.datetime(1998, 9, 1)
+    cutoff = _dt.datetime.strptime(_Q1_CUTOFF, "%Y-%m-%d")
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+    part_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+         ("sum_qty", pa.int64()), ("sum_base_fp", pa.int64()),
+         ("sum_disc_fp", pa.int64()), ("sum_charge_fp", pa.int64()),
+         ("sum_disc_pct", pa.int64()), ("n_rows", pa.int64())]
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -694,7 +700,11 @@ def _q_tpch_q1(sf_dir: str):
         ).groupby(
             ["l_returnflag", "l_linestatus"], sort=False, as_index=False
         ).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pin the schema: an all-filtered batch would otherwise emit
+        # null-typed key columns into the string-keyed groupby
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            part_schema
+        )
 
     combined = li.map_batches(partial, batch_format="pyarrow").groupby(
         ["l_returnflag", "l_linestatus"]
@@ -879,15 +889,22 @@ def _q_tpch_q4(sf_dir: str):
             empty.schema
         )
 
-    def tag1(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__bucket", pa.array(np.zeros(len(batch), np.int32))
-        )
+    from webcollector_ray.functions.joins import fold_single
 
-    return exchange_reduce(
-        per_bucket.map_batches(tag1, batch_format="pyarrow"),
-        fold, empty, 1,
-    )
+    return fold_single(per_bucket, fold, empty)
+
+
+def _in_sorted(cand: np.ndarray, values: np.ndarray):
+    """Vectorized membership of `values` in the SORTED broadcast
+    candidate array (the Q17/Q19 scan-filter idiom): returns
+    (hit_mask, clipped_positions). Positions are always in-range for a
+    non-empty cand; for an empty cand the mask is all-False and
+    positions must not be used to gather payload (guard on len)."""
+    if len(cand) == 0:
+        return (np.zeros(len(values), bool),
+                np.zeros(len(values), np.int64))
+    pos = np.clip(np.searchsorted(cand, values), 0, len(cand) - 1)
+    return cand[pos] == values, pos
 
 
 _Q19_BANDS = (
@@ -927,14 +944,11 @@ def _q_tpch_q19(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         cand_pk, cand_band = ray.get(cand_ref)
         lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(cand_pk, lpk)
-        pos = np.clip(pos, 0, len(cand_pk) - 1)
-        hit = cand_pk[pos] == lpk if len(cand_pk) else np.zeros(
-            len(lpk), bool
-        )
-        b = cand_band[pos]
-        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        hit &= (qty >= qlo[b]) & (qty <= qhi[b])
+        hit, pos = _in_sorted(cand_pk, lpk)
+        if len(cand_pk):  # empty candidate set => hit stays all-False
+            b = cand_band[pos]
+            qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+            hit &= (qty >= qlo[b]) & (qty <= qhi[b])
         price = np.round(
             batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
             * 100
@@ -992,6 +1006,12 @@ def _q_tpch_q22(sf_dir: str):
     ).map_batches(bal_partial, batch_format="pyarrow").aggregate(
         Sum("s", alias_name="s"), Sum("n", alias_name="n")
     )
+    if not agg["n"]:  # no positive balance: NULL cutoff => empty result
+        return pa.table(
+            {"c_nationkey": pa.array([], pa.int64()),
+             "numcust": pa.array([], pa.int64()),
+             "totacctbal": pa.array([], pa.float64())}
+        )
     avg_cents = float(agg["s"]) / float(agg["n"])
 
     def rich(batch: pa.Table) -> pa.Table:
@@ -1074,8 +1094,9 @@ def _q_part_copurchase(sf_dir: str):
     vectorized self-merge over DISTINCT (order, part) rows — bounded
     by per-order basket size, never a global cross product — and
     collapses to partial pair counts before leaving the bucket; a
-    second pair-hash exchange folds the counts; global_top_n finishes
-    without a full sort (ties break on the packed (p1,p2) key)."""
+    second pair-hash exchange folds the counts (the packed key is used
+    ONLY for routing, where collisions are harmless); global_top_n
+    finishes without a full sort, ties lexicographic on (p1, p2)."""
     from webcollector_ray.functions.joins import _bucket_ids, exchange_reduce
     from webcollector_ray.functions.ranking import global_top_n
 
@@ -1130,18 +1151,8 @@ def _q_part_copurchase(sf_dir: str):
         fold_counts, empty, nb,
     )
 
-    def add_tie(batch: pa.Table) -> pa.Table:
-        key = (
-            batch["p1"].to_numpy(zero_copy_only=False) << np.int64(32)
-        ) | batch["p2"].to_numpy(zero_copy_only=False)
-        return batch.append_column("pk", pa.array(key, pa.int64()))
-
-    top = global_top_n(
-        counts.map_batches(add_tie, batch_format="pyarrow"),
-        order_col="n", n=25, tie_col="pk",
-    )
-    return top.map_batches(
-        lambda b: b.select(["p1", "p2", "n"]), batch_format="pyarrow"
+    return global_top_n(
+        counts, order_col="n", n=25, tie_col=["p1", "p2"],
     )
 
 
@@ -1192,13 +1203,25 @@ def _q_events_props_k(sf_dir: str):
                        ("n_k", pa.int64())])
         )
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "event_type"
     ).aggregate(
         Sum("sum_k", alias_name="sum_k"),
         Max("max_k", alias_name="max_k"),
         Sum("n_k", alias_name="n_k"),
     )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # SQL sum() over an all-NULL group is NULL; the partial's
+        # pandas sum yields 0 there — n_k==0 identifies those groups
+        none = pc.equal(batch["n_k"], pa.scalar(0, pa.int64()))
+        return batch.set_column(
+            batch.column_names.index("sum_k"), "sum_k",
+            pc.if_else(none, pa.scalar(None, pa.int64()),
+                       pc.cast(batch["sum_k"], pa.int64())),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_tpch_q13(sf_dir: str):
@@ -1270,15 +1293,17 @@ def _q_tpch_q13(sf_dir: str):
             empty.schema
         )
 
-    return exchange_reduce(
-        hist.map_batches(
-            lambda b: b.append_column(
-                "__bucket", pa.array(np.zeros(len(b), np.int32))
-            ),
-            batch_format="pyarrow",
-        ),
-        fold, empty, 1,
-    )
+    from webcollector_ray.functions.joins import fold_single
+
+    out = fold_single(hist, fold, empty)
+    if out.count() == 0 and n_cust > 0:
+        # zero orders at all: fold never ran, but the LEFT JOIN
+        # semantics still owe the (c_count=0, custdist=n_cust) row
+        return pa.table(
+            {"c_count": pa.array([0], pa.int64()),
+             "custdist": pa.array([n_cust], pa.int64())}
+        )
+    return out
 
 
 def _q_tpch_q15(sf_dir: str):
@@ -1480,9 +1505,7 @@ def _q_tpch_q17(sf_dir: str):
     def li_filter(batch: pa.Table) -> pa.Table:
         ck = ray.get(cand_ref)
         lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ck, lpk)
-        pos = np.clip(pos, 0, max(len(ck) - 1, 0))
-        hit = (ck[pos] == lpk) if len(ck) else np.zeros(len(lpk), bool)
+        hit, _ = _in_sorted(ck, lpk)
         qty = np.round(
             batch["l_quantity"].to_numpy(zero_copy_only=False)[hit]
         ).astype(np.int64)
@@ -1529,15 +1552,9 @@ def _q_tpch_q17(sf_dir: str):
             )}
         )
 
-    return exchange_reduce(
-        partials.map_batches(
-            lambda b: b.append_column(
-                "__bucket", pa.array(np.zeros(len(b), np.int32))
-            ),
-            batch_format="pyarrow",
-        ),
-        fold, empty, 1,
-    )
+    from webcollector_ray.functions.joins import fold_single
+
+    return fold_single(partials, fold, empty)
 
 
 def _q_orders_price_rank(sf_dir: str):
@@ -7464,18 +7481,19 @@ def _oracle_sql_static() -> dict[str, str]:
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24
         """,
-        "tpch_q19": """
+        # disjuncts generated from _Q19_BANDS so query and oracle can
+        # never drift
+        "tpch_q19": f"""
             SELECT coalesce(sum(
                        CAST(round(l.l_extendedprice * 100) AS BIGINT)
                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
                    ), 0)::BIGINT AS revenue_fp
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
-                   AND l.l_quantity BETWEEN 1 AND 20)
-               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 20
-                   AND l.l_quantity BETWEEN 10 AND 30)
-               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 21 AND 30
-                   AND l.l_quantity BETWEEN 20 AND 40)
+            WHERE {" OR ".join(
+                f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+                f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+                for b, slo, shi, qlo, qhi in _Q19_BANDS
+            )}
         """,
         "tpch_q22": """
             WITH cutoff AS (
@@ -7525,14 +7543,14 @@ def _oracle_sql_static() -> dict[str, str]:
                 SELECT max(total_revenue_fp) FROM rev
             )
         """,
-        "tpch_q16": """
+        "tpch_q16": f"""
             SELECT p.p_brand, p.p_type, p.p_size,
                    count(DISTINCT a.l_suppkey)::BIGINT AS supplier_cnt
             FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
             JOIN part p ON p.p_partkey = a.l_partkey
             WHERE p.p_brand <> 'Brand#1'
               AND p.p_type <> 'STANDARD'
-              AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+              AND p.p_size IN ({", ".join(str(s) for s in _Q16_SIZES)})
             GROUP BY 1, 2, 3
         """,
         "tpch_q17": """

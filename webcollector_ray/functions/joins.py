@@ -79,6 +79,22 @@ def exchange_reduce(ds, reduce_fn, empty: pa.Table, num_buckets: int,
     return rd.from_arrow_refs(out_refs)
 
 
+def fold_single(ds, reduce_fn, empty: pa.Table):
+    """Width-1 final fold: tag every row bucket 0 and run ONE reduce
+    task over all blocks — the standard last step after a per-bucket
+    partial pass (inputs are already bucket-bounded, so one task sees
+    at most #buckets rows)."""
+    import numpy as np
+
+    tagged = ds.map_batches(
+        lambda b: b.append_column(
+            "__bucket", pa.array(np.zeros(len(b), np.int32))
+        ),
+        batch_format="pyarrow",
+    )
+    return exchange_reduce(tagged, reduce_fn, empty, 1)
+
+
 def _exchange_join(lt, rt, join_bucket, empty: pa.Table, num_buckets: int,
                    max_split_tasks: int = 32):
     """The joins' physical shuffle: both tagged sides through ONE

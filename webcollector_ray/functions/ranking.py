@@ -20,16 +20,22 @@ def global_top_n(
     order_col: str,
     n: int,
     descending: bool = True,
-    tie_col: str | None = None,
+    tie_col: str | list[str] | None = None,
 ):
     """Global top-n WITHOUT a full sort: each batch keeps its local
     top-n (vectorized pandas sort-head), then one final reduce over the
     n x num_blocks survivors. At 10^10 rows this moves n rows per block
     instead of shuffling the entire dataset through a distributed sort.
-    Deterministic: ties on order_col break by tie_col ascending."""
-    keys = [(order_col, "descending" if descending else "ascending")] + (
-        [(tie_col, "ascending")] if tie_col else []
+    Deterministic: ties on order_col break by tie_col ascending —
+    a list of tie columns breaks ties lexicographically (no need to
+    pack a composite key into one int, which overflows past 2^32
+    keys)."""
+    ties = (
+        [tie_col] if isinstance(tie_col, str) else list(tie_col or [])
     )
+    keys = [(order_col, "descending" if descending else "ascending")] + [
+        (t, "ascending") for t in ties
+    ]
 
     def local_topn(batch: pa.Table) -> pa.Table:
         # Arrow-native sort+take: preserves the input schema EXACTLY
