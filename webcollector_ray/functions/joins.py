@@ -555,7 +555,23 @@ def bloom_semi_join(
         ),
         batch_format="pyarrow",
     )
+    # the exact membership pass reuses the ALREADY-MATERIALIZED key
+    # blocks (a semi-join only needs the key column) — re-passing
+    # `right` would re-run its whole lineage a second time
+    import ray.data as rd
+
+    keys_ds = rd.from_arrow_refs(refs) if refs else None
+    if keys_ds is None or keys_ds.schema() is None:
+        # no refs, or every block empty (Ray infers no schema from
+        # 0-row executed blocks): synthesize a typed empty key table —
+        # the key type comes from the build side, else the probe side
+        rsch = right.schema()
+        src = rsch if rsch is not None else left.schema()
+        rtype = dict(zip(src.names, src.types))[
+            ron if rsch is not None else on
+        ]
+        keys_ds = rd.from_arrow(pa.table({ron: pa.nulls(0, rtype)}))
     return hash_join(
-        survivors, right, on=on, right_on=ron, how="semi",
+        survivors, keys_ds, on=on, right_on=ron, how="semi",
         num_buckets=num_buckets,
     )

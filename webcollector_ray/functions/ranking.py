@@ -173,7 +173,7 @@ def argmin_by(
     )
 
 
-def _rank_nrows_and_add(refs, rank_col, descending_total=None):
+def _rank_nrows_and_add(refs, rank_col):
     """Prefix-sum offsets over range buckets, then stamp ranks."""
     import ray
 
@@ -183,8 +183,8 @@ def _rank_nrows_and_add(refs, rank_col, descending_total=None):
 
     @ray.remote
     def _stamp(t, off):
-        if t is None or len(t) == 0:
-            return t
+        # empty buckets (low-cardinality first column) must still gain
+        # the rank column or the output dataset has mixed block schemas
         return t.append_column(
             rank_col,
             pa.array(np.arange(off + 1, off + len(t) + 1), pa.int64()),

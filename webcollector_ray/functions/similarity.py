@@ -613,8 +613,12 @@ def semantic_dedup(
     num_buckets = k
 
     def tag(batch: pa.Table) -> pa.Table:
-        V = _to_matrix(batch[emb_col])
-        a = afn(V) if len(batch) else np.zeros(0, dtype=np.int64)
+        # guard BEFORE _to_matrix: an empty variable-size list column
+        # has no width to infer and np.stack([]) raises
+        a = (
+            afn(_to_matrix(batch[emb_col])) if len(batch)
+            else np.zeros(0, dtype=np.int64)
+        )
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -810,6 +814,12 @@ def label_outliers(
     cent_ref = ray.put(cent)
 
     def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # _to_matrix cannot infer an empty width
+            return pa.table(
+                {id_col: batch[id_col],
+                 label_col: batch[label_col],
+                 "centroid_cosine": pa.array([], pa.float64())}
+            )
         cmap = ray.get(cent_ref)
         m = _to_matrix(batch[emb_col]).astype(np.float64)
         labels = np.asarray(batch[label_col].to_pylist())

@@ -41,7 +41,7 @@ def grouped_moments(ds, *, key_col: str, val_col: str,
             }
         )
         df["v2"] = df["v"] * df["v"]
-        g = df.groupby("k", sort=False).agg(
+        g = df.groupby("k", sort=False, dropna=False).agg(
             cnt=("v", "size"), s=("v", "sum"), s2=("v2", "sum")
         ).reset_index()
         b = (
@@ -75,7 +75,9 @@ def grouped_moments(ds, *, key_col: str, val_col: str,
         # object dtype => Python-int addition, no wraparound
         for c in ("cnt", "s", "s2"):
             df[c] = df[c].astype(object)
-        g = df.groupby(key_col, sort=False, as_index=False).sum()
+        g = df.groupby(
+            key_col, sort=False, dropna=False, as_index=False
+        ).sum()
         return pa.table(
             {
                 key_col: pa.Array.from_pandas(g[key_col], type=key_type),
@@ -221,7 +223,7 @@ def grouped_mode(ds, *, key_col: str, val_col: str,
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([key_col, val_col]).to_pandas()
-        g = df.groupby([key_col, val_col], sort=False).size().rename(
+        g = df.groupby([key_col, val_col], sort=False, dropna=False).size().rename(
             "n"
         ).reset_index()
         kh = pd.util.hash_array(
@@ -241,7 +243,8 @@ def grouped_mode(ds, *, key_col: str, val_col: str,
 
     def fold_argmax(t: pa.Table) -> pa.Table:
         df = t.select([key_col, val_col, "n"]).to_pandas()
-        g = df.groupby([key_col, val_col], sort=False, as_index=False)[
+        g = df.groupby([key_col, val_col], sort=False, dropna=False,
+                       as_index=False)[
             "n"
         ].sum()
         g = g.sort_values(
@@ -281,24 +284,20 @@ def grouped_running_sum(ds, *, key_col: str, order_cols, val_col: str,
     )
 
     def tag(batch: pa.Table) -> pa.Table:
-        k = batch[key_col]
-        if pa.types.is_integer(k.type):
-            v = k.to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = v * np.uint64(0x9E3779B97F4A7C15)
-        else:
-            h = pd.util.hash_array(
-                np.asarray(k.to_pylist(), dtype=object), categorize=False
-            )
+        from .joins import _bucket_ids
+
+        # the shared int/string dtype branch lives in ONE place
         return batch.append_column(
-            "__bucket",
-            pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+            "__bucket", pa.array(_bucket_ids(batch[key_col], num_buckets))
         )
 
     def cumsum(t: pa.Table) -> pa.Table:
         df = t.drop_columns(["__bucket"]).to_pandas().sort_values(
             [key_col] + order_cols, kind="mergesort"
         )
-        df[out_col] = df.groupby(key_col, sort=False)[val_col].cumsum()
+        df[out_col] = df.groupby(
+            key_col, sort=False, dropna=False
+        )[val_col].cumsum()
         return pa.Table.from_pandas(df, preserve_index=False).cast(
             empty.schema
         )
@@ -337,7 +336,7 @@ def grouped_corr(ds, *, key_col: str, x_col: str, y_col: str,
              "syy": y * y}
         )
         df["n"] = 1
-        g = df.groupby("k", sort=False, as_index=False)[mom].sum()
+        g = df.groupby("k", sort=False, dropna=False, as_index=False)[mom].sum()
         kh = pd.util.hash_array(
             g["k"].to_numpy(object), categorize=False
         )
@@ -359,7 +358,7 @@ def grouped_corr(ds, *, key_col: str, x_col: str, y_col: str,
         df = t.select([key_col] + mom).to_pandas()
         for c in mom:
             df[c] = df[c].astype(object)  # Python-int fold
-        g = df.groupby(key_col, sort=False, as_index=False).sum()
+        g = df.groupby(key_col, sort=False, dropna=False, as_index=False).sum()
         corrs = []
         for _, r in g.iterrows():
             n, sx, sy, sxy, sxx, syy = (int(r[c]) for c in mom)
@@ -415,8 +414,15 @@ def zscore_by(ds, *, key_col: str, val_col: str, out_col: str = "z",
         st = ray.get(stats_ref)
         keys = batch[key_col].to_pylist()
         v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        mean = np.fromiter((st[k][0] for k in keys), np.float64, len(keys))
-        std = np.fromiter((st[k][1] for k in keys), np.float64, len(keys))
+        # .get: a NULL int key reaches the moments dict as NaN but
+        # to_pylist as None — degrade to NaN z instead of KeyError
+        nan2 = (np.nan, np.nan)
+        mean = np.fromiter(
+            (st.get(k, nan2)[0] for k in keys), np.float64, len(keys)
+        )
+        std = np.fromiter(
+            (st.get(k, nan2)[1] for k in keys), np.float64, len(keys)
+        )
         with np.errstate(divide="ignore", invalid="ignore"):
             z = (v - mean) / std
         out = batch.select(cols)
