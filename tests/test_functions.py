@@ -2209,6 +2209,31 @@ def test_argmin_by(ray_session):
     assert out["tie"].tolist() == [20, 30, 40]
 
 
+def test_global_top_n_multi_tie_cols(ray_session):
+    """tie_col as a LIST breaks ties lexicographically — the packed-
+    int-key alternative overflows past 2^32 keys (review finding)."""
+    from webcollector_ray.functions.ranking import global_top_n
+
+    t = pa.table(
+        {
+            "n": [5, 5, 5, 5, 3],
+            "a": [2, 1, 1, 2, 9],
+            "b": [9, 7, 3, 1, 9],
+        }
+    )
+    out = global_top_n(
+        rd.from_arrow(t), order_col="n", n=3, tie_col=["a", "b"]
+    ).to_pandas()
+    assert out[["n", "a", "b"]].values.tolist() == [
+        [5, 1, 3], [5, 1, 7], [5, 2, 1],
+    ]
+    # single-string tie_col keeps working
+    out1 = global_top_n(
+        rd.from_arrow(t), order_col="n", n=2, tie_col="b"
+    ).to_pandas()
+    assert out1[["n", "b"]].values.tolist() == [[5, 1], [5, 3]]
+
+
 def test_zscore_by_matches_pandas(ray_session):
     from webcollector_ray.functions.stats import zscore_by
 
