@@ -643,6 +643,186 @@ def _q_tpch_q7(sf_dir: str):
     )
 
 
+_Q8_NATION, _Q8_REGION, _Q8_TYPE = "NATION_1", "AMERICA", "ECONOMY"
+
+
+def _q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 (national market share): the target nation's share of
+    region revenue for one part type per order year. Scale shape: the
+    type-filtered part keys semi-join lineitem through a bucketed
+    partkey exchange (1/6 selectivity cuts lineitem before any wide
+    join); volume partials pre-aggregate per (orderkey, suppkey); the
+    date-filtered orders join the region-filtered customers FIRST
+    (small side) before the big orderkey exchange; nation/region are
+    broadcast dims; the fold is YEARSx1 rows through a width-1
+    exchange, and mkt_share is a ratio of exact fixed-point int64 sums
+    so the double matches the oracle bit-for-bit."""
+    import datetime as _dt
+
+    from webcollector_ray.functions.joins import exchange_reduce, hash_join
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    regkeys = {
+        k for k, n in zip(
+            reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()
+        ) if n == _Q8_REGION
+    }
+    region_nations = pa.array(
+        sorted(
+            k for k, rk in zip(
+                nat["n_nationkey"].to_pylist(),
+                nat["n_regionkey"].to_pylist(),
+            ) if rk in regkeys
+        ),
+        pa.int64(),
+    )
+    target_keys = {
+        k for k, n in zip(
+            nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()
+        ) if n == _Q8_NATION
+    }
+    tk_ref = ray.put(target_keys)
+    lo, hi = _dt.datetime(1995, 1, 1), _dt.datetime(1997, 1, 1)
+
+    part_f = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["p_type"], pa.scalar(_Q8_TYPE))
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    # exchange 1 (partkey): type semi-join prunes lineitem ~6x before
+    # anything wide; volume partials collapse per (orderkey, suppkey)
+    # right after so the orderkey exchange moves pre-aggregated rows
+    lp = hash_join(li, part_f, on="l_partkey", right_on="p_partkey",
+                   num_buckets=32)
+
+    def li_part(batch: pa.Table) -> pa.Table:
+        vol = (
+            np.round(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * 100
+            ).astype(np.int64)
+            * (100 - np.round(
+                batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64))
+        )
+        g = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "l_suppkey": batch["l_suppkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "vol": vol,
+            }
+        ).groupby(["l_orderkey", "l_suppkey"], sort=False,
+                  as_index=False)["vol"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema(
+                [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+                 ("vol", pa.int64())]
+            )
+        )
+
+    lp = lp.map_batches(li_part, batch_format="pyarrow")
+
+    def orders_f(b: pa.Table) -> pa.Table:
+        f = b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        yr = f["o_orderdate"].to_pandas().dt.year.to_numpy(np.int64)
+        return pa.table(
+            {"o_orderkey": pc.cast(f["o_orderkey"], pa.int64()),
+             "o_custkey": pc.cast(f["o_custkey"], pa.int64()),
+             "o_year": pa.array(yr, pa.int64())}
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_f, batch_format="pyarrow")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["c_nationkey"], value_set=region_nations)
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                   num_buckets=16)
+    j = hash_join(lp, oc, on="l_orderkey", right_on="o_orderkey",
+                  num_buckets=32)
+    j = hash_join(j, supp, on="l_suppkey", right_on="s_suppkey",
+                  num_buckets=16)
+
+    empty = pa.table(
+        {
+            "o_year": pa.array([], pa.int64()),
+            "nation_fp": pa.array([], pa.int64()),
+            "total_fp": pa.array([], pa.int64()),
+            "mkt_share": pa.array([], pa.float64()),
+        }
+    )
+    part_schema = pa.schema(
+        [("o_year", pa.int64()), ("nation_fp", pa.int64()),
+         ("total_fp", pa.int64()), ("__bucket", pa.int32())]
+    )
+
+    def final_part(batch: pa.Table) -> pa.Table:
+        tk = ray.get(tk_ref)
+        vol = batch["vol"].to_numpy(zero_copy_only=False)
+        sn = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        is_t = np.isin(sn, np.fromiter(tk, np.int64, len(tk))) if tk \
+            else np.zeros(len(batch), bool)
+        g = pd.DataFrame(
+            {
+                "o_year": batch["o_year"].to_numpy(zero_copy_only=False),
+                "nation_fp": np.where(is_t, vol, 0),
+                "total_fp": vol,
+            }
+        ).groupby("o_year", sort=False, as_index=False).sum()
+        g["__bucket"] = np.int32(0)
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            part_schema
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.select(["o_year", "nation_fp", "total_fp"]).to_pandas()
+        g = df.groupby("o_year", sort=False, as_index=False).sum()
+        g["mkt_share"] = g["nation_fp"].to_numpy(np.float64) / g[
+            "total_fp"
+        ].to_numpy(np.float64)
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    return exchange_reduce(
+        j.map_batches(final_part, batch_format="pyarrow"), fold, empty, 1
+    )
+
+
 _Q1_CUTOFF = "1998-09-01"
 
 
@@ -4632,6 +4812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         # round-5 additions (inside the 50-row driver window so they
         # get a record the round they land)
+        "tpch_q8": _q_tpch_q8,
         "docs_dsir_selected": _q_docs_dsir_selected,
         "source_kl": _q_source_kl,
         "docs_normalized": _q_docs_normalized,
@@ -7625,6 +7806,34 @@ def _oracle_sql_static() -> dict[str, str]:
               AND ((ns.n_name = '{_Q7_N1}' AND nc.n_name = '{_Q7_N2}')
                 OR (ns.n_name = '{_Q7_N2}' AND nc.n_name = '{_Q7_N1}'))
             GROUP BY 1, 2, 3
+        """,
+        "tpch_q8": f"""
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   sum(CASE WHEN n2.n_name = '{_Q8_NATION}'
+                            THEN vol ELSE 0 END)::BIGINT AS nation_fp,
+                   sum(vol)::BIGINT AS total_fp,
+                   sum(CASE WHEN n2.n_name = '{_Q8_NATION}'
+                            THEN vol ELSE 0 END)::BIGINT
+                     / sum(vol)::BIGINT AS mkt_share
+            FROM (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       AS vol
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_type = '{_Q8_TYPE}'
+            ) l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n1.n_regionkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+            WHERE r.r_name = '{_Q8_REGION}'
+              AND o.o_orderdate >= DATE '1995-01-01'
+              AND o.o_orderdate < DATE '1997-01-01'
+            GROUP BY 1
         """,
         "orders_price_rank": """
             SELECT o_orderkey, o_totalprice,
