@@ -4272,6 +4272,32 @@ def _q_events_hll_by_type(sf_dir: str):
     )
 
 
+def _q_docs_editdist_pairs(sf_dir: str):
+    """Edit-distance similarity self-join: same-lang doc pairs whose
+    64-char prefixes are within 2 edits — PassJoin segment-index
+    candidates + exact DP verify, never a per-group cross product."""
+    from webcollector_ray.functions.dedup import editdist_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return editdist_pairs(ds, prefix_len=64, max_dist=2)
+
+
+def _q_events_kmv_distinct(sf_dir: str):
+    """Per-type KMV (bottom-k) distinct-user estimates — the third
+    distinct-estimator next to exact and HLL; exact below k distinct,
+    (k-1)/h_k above it, same md5-le64 hash as the HLL family."""
+    from webcollector_ray.functions.sketches import kmv_distinct_by_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return kmv_distinct_by_key(
+        ds, key_col="event_type", col="user_id", k=64
+    )
+
+
 def _q_events_winsorized(sf_dir: str):
     """Outlier clipping: each event's value capped at its type's p99
     (exact quantile, 6dp-rounded identically on both sides) — the
@@ -4813,6 +4839,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 additions (inside the 50-row driver window so they
         # get a record the round they land)
         "tpch_q8": _q_tpch_q8,
+        "events_kmv_distinct": _q_events_kmv_distinct,
+        "docs_editdist_pairs": _q_docs_editdist_pairs,
         "docs_dsir_selected": _q_docs_dsir_selected,
         "source_kl": _q_source_kl,
         "docs_normalized": _q_docs_normalized,
@@ -7834,6 +7862,37 @@ def _oracle_sql_static() -> dict[str, str]:
               AND o.o_orderdate >= DATE '1995-01-01'
               AND o.o_orderdate < DATE '1997-01-01'
             GROUP BY 1
+        """,
+        "docs_editdist_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(
+                       left(a.text, 64), left(b.text, 64)
+                   )::BIGINT AS dist
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE levenshtein(left(a.text, 64), left(b.text, 64)) <= 2
+        """,
+        "events_kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       md5_number_upper(user_id::VARCHAR) AS h
+                FROM events
+            ), rk AS (
+                SELECT event_type, h,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY h
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS nd
+                FROM h
+            )
+            SELECT event_type,
+                   least(max(nd), 64)::BIGINT AS n_hashes,
+                   CASE WHEN max(nd) < 64 THEN max(nd)::DOUBLE
+                        ELSE 63.0 / (
+                            max(CASE WHEN rn = 64 THEN h END)::DOUBLE
+                            / 18446744073709551616.0)
+                   END AS estimate
+            FROM rk GROUP BY event_type
         """,
         "orders_price_rank": """
             SELECT o_orderkey, o_totalprice,

@@ -117,3 +117,65 @@ def test_quantiles_sketch_partition_invariant_and_bounded_error(ray_session):
             exact = float(np.quantile(sub, q))
             est = float(a.set_index("k").loc[key, col])
             assert abs(est - exact) <= 2 * binw
+
+
+def test_kmv_exact_below_k_and_estimator_above(ray_session):
+    from webcollector_ray.functions.sketches import (
+        _md5le64,
+        kmv_distinct_by_key,
+    )
+
+    # "small": 10 distinct users (< k=16) -> exact; "big": 500 distinct
+    small = pd.DataFrame({"k": "small", "u": [i % 10 for i in range(200)]})
+    big = pd.DataFrame({"k": "big", "u": range(500)})
+    df = pd.concat([small, big], ignore_index=True)
+    out = (
+        kmv_distinct_by_key(
+            rd.from_pandas(df).repartition(7), key_col="k", col="u", k=16
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    assert out.loc["small", "n_hashes"] == 10
+    assert out.loc["small", "estimate"] == 10.0
+    # reference: bottom-16 of all distinct hashes computed directly
+    h = np.unique(
+        np.array([_md5le64(str(u)) for u in range(500)], dtype=np.uint64)
+    )
+    ref = 15.0 / (float(h[15]) / float(2**64))
+    assert out.loc["big", "n_hashes"] == 16
+    assert out.loc["big", "estimate"] == ref
+    # 1/sqrt(k-2) relative error bound, generous factor
+    assert abs(ref - 500) / 500 < 3 / np.sqrt(14)
+
+
+def test_kmv_partition_invariant(ray_session):
+    from webcollector_ray.functions.sketches import kmv_distinct_by_key
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "k": np.where(rng.rand(3000) < 0.5, "a", "b"),
+            "u": rng.randint(0, 800, 3000),
+        }
+    )
+    a = (
+        kmv_distinct_by_key(
+            rd.from_pandas(df).repartition(2), key_col="k", col="u", k=32
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    b = (
+        kmv_distinct_by_key(
+            rd.from_pandas(df.iloc[::-1]).repartition(13),
+            key_col="k",
+            col="u",
+            k=32,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

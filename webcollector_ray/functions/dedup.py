@@ -1711,3 +1711,223 @@ def snapshot_delta(old_ds, new_ds, *, id_col: str = "doc_id",
         new_ds.map_batches(tag("N"), batch_format="pyarrow")
     )
     return exchange_reduce(tagged, diff_bucket, empty, num_buckets)
+
+
+# ------------------------------------- edit-distance similarity join
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Exact unit-cost Levenshtein distance (DuckDB/PostgreSQL
+    `levenshtein` semantics), one numpy DP row per character of `a`.
+    The sequential insertion term cur[j] = min(cur[j], cur[j-1]+1) is
+    vectorized with the running-min identity
+    cur[j] = arange[j] + cummin(cur - arange)[j]."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    A = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    B = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    cur = np.empty(lb + 1, dtype=np.int64)
+    for i in range(la):
+        cur[0] = i + 1
+        np.minimum(prev[1:] + 1, prev[:-1] + (B != A[i]), out=cur[1:])
+        cur -= idx
+        np.minimum.accumulate(cur, out=cur)
+        cur += idx
+        prev, cur = cur, prev
+    return int(prev[lb])
+
+
+def _ed_segments(L: int, k: int):
+    """PassJoin even partition of a length-L string into k+1 segments
+    (longer segments last). Returns [(start, length), ...]."""
+    nseg = k + 1
+    base, rem = divmod(L, nseg)
+    lens = [base] * (nseg - rem) + [base + 1] * rem
+    out, p = [], 0
+    for ln in lens:
+        out.append((p, ln))
+        p += ln
+    return out
+
+
+def editdist_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   group_col: str = "lang", prefix_len: int = 64,
+                   max_dist: int = 2, num_buckets: int = 32,
+                   broadcast_limit: int = 100_000):
+    """String-similarity self-join: all same-group pairs whose
+    prefix_len-char prefixes are within `max_dist` unit-cost edits —
+    the PassJoin candidate scheme (Li/Deng/Feng, VLDB'11) followed by
+    an exact DP verify, never the O(n^2) per-group cross product.
+
+    Candidate generation (guaranteed superset): each string's prefix
+    is evenly partitioned into k+1 segments; with <= k edits, at least
+    one segment of A is untouched and therefore appears verbatim in B,
+    shifted by at most k positions (pigeonhole + shift bound). A emits
+    k+1 positional INDEX keys (group, |A|, seg_no, substring); B emits
+    PROBE keys for every source length in [|B|-k, |B|+k] and every
+    in-window shift — a constant <= (2k+1)^2*(k+1) keys per string.
+    ONE key-hash exchange crosses index x probe per key; pairs are
+    globally deduped, then verified with the exact `levenshtein`
+    kernel on candidate-only texts (broadcast below
+    `broadcast_limit` candidates, bucketed text-attach joins above —
+    the verify_pairs_exact_jaccard hybrid).
+
+    Hot segments (a common phrase at the same position) fan out as
+    df_index x df_probe within their key; at corpus scale cap or salt
+    such keys the way minhash band buckets are. Returns
+    Dataset[id_a < id_b, dist]."""
+    import ray as _ray
+
+    from .joins import exchange_reduce, hash_join
+
+    k = max_dist
+
+    def gen_keys(batch: pa.Table) -> pa.Table:
+        keys, ids, roles = [], [], []
+        for i, g, t in zip(
+            batch[id_col].to_pylist(),
+            batch[group_col].to_pylist(),
+            batch[text_col].to_pylist(),
+        ):
+            s = (t or "")[:prefix_len]
+            L = len(s)
+            seen = set()
+            for j, (p, ln) in enumerate(_ed_segments(L, k)):
+                seen.add((0, f"{g}\x00{L}\x00{j}\x00{s[p:p + ln]}"))
+            for L2 in range(max(0, L - k), L + k + 1):
+                for j, (p, ln) in enumerate(_ed_segments(L2, k)):
+                    for q in range(max(0, p - k), min(L - ln, p + k) + 1):
+                        seen.add(
+                            (1, f"{g}\x00{L2}\x00{j}\x00{s[q:q + ln]}")
+                        )
+            for role, key in seen:
+                keys.append(key)
+                ids.append(i)
+                roles.append(role)
+        bk = (
+            pd.util.hash_array(
+                np.asarray(keys, dtype=object), categorize=False
+            ) % np.uint64(num_buckets)
+        ).astype(np.int32) if keys else np.zeros(0, dtype=np.int32)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "id": pa.array(ids, pa.int64()),
+                "role": pa.array(roles, pa.int8()),
+                "__bucket": pa.array(bk),
+            }
+        )
+
+    pair_empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def cross(t: pa.Table) -> pa.Table:
+        df = t.select(["key", "id", "role"]).to_pandas()
+        outs_a, outs_b = [], []
+        for _, grp in df.groupby("key", sort=False):
+            ai = grp.loc[grp["role"] == 0, "id"].to_numpy(np.int64)
+            bi = grp.loc[grp["role"] == 1, "id"].to_numpy(np.int64)
+            if not len(ai) or not len(bi):
+                continue
+            xa = np.repeat(ai, len(bi))
+            xb = np.tile(bi, len(ai))
+            m = xa != xb
+            outs_a.append(np.minimum(xa[m], xb[m]))
+            outs_b.append(np.maximum(xa[m], xb[m]))
+        if not outs_a:
+            return pair_empty
+        pairs = pd.DataFrame(
+            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(pairs, preserve_index=False)
+
+    cands = _distinct_pairs(
+        exchange_reduce(
+            ds.map_batches(gen_keys, batch_format="pyarrow"),
+            cross, pair_empty, num_buckets,
+        ),
+        num_buckets,
+    ).materialize()
+
+    @_ray.remote
+    def _collect_ids(*blocks):
+        ids = set()
+        for t in blocks:
+            if t is None or len(t) == 0:
+                continue
+            ids.update(t["id_a"].to_pylist())
+            ids.update(t["id_b"].to_pylist())
+        return ids
+
+    ids_ref = _collect_ids.remote(*cands.to_arrow_refs())
+
+    def cand_filter(batch: pa.Table) -> pa.Table:
+        cand = _ray.get(ids_ref)
+        mask = pa.array([i in cand for i in batch[id_col].to_pylist()])
+        return batch.filter(mask).select([id_col, text_col])
+
+    docs_cand = ds.map_batches(
+        cand_filter, batch_format="pyarrow"
+    ).materialize()
+
+    def verify_batch(batch: pa.Table, ta, tb) -> pa.Table:
+        d = [
+            levenshtein((a or "")[:prefix_len], (b or "")[:prefix_len])
+            for a, b in zip(ta, tb)
+        ]
+        out = batch.select(["id_a", "id_b"]).append_column(
+            "dist", pa.array(d, pa.int64())
+        )
+        return out.filter(pc.less_equal(out["dist"], k))
+
+    if docs_cand.count() <= broadcast_limit:
+        @_ray.remote
+        def _text_map(*blocks):
+            m = {}
+            for t in blocks:
+                for i, txt in zip(
+                    t[id_col].to_pylist(), t[text_col].to_pylist()
+                ):
+                    m[i] = txt
+            return m
+
+        tmap_ref = _text_map.remote(*docs_cand.to_arrow_refs())
+
+        def verify_bc(batch: pa.Table) -> pa.Table:
+            m = _ray.get(tmap_ref)
+            ta = [m.get(i, "") for i in batch["id_a"].to_pylist()]
+            tb = [m.get(i, "") for i in batch["id_b"].to_pylist()]
+            return verify_batch(batch, ta, tb)
+
+        return cands.map_batches(verify_bc, batch_format="pyarrow")
+
+    def renamed(suffix):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"id_{suffix}": batch[id_col],
+                    f"text_{suffix}": batch[text_col],
+                }
+            )
+
+        return f
+
+    docs_a = docs_cand.map_batches(renamed("a"), batch_format="pyarrow")
+    docs_b = docs_cand.map_batches(renamed("b"), batch_format="pyarrow")
+    with_a = hash_join(
+        cands, docs_a, on="id_a", num_buckets=num_buckets
+    ).materialize()
+    with_ab = hash_join(with_a, docs_b, on="id_b", num_buckets=num_buckets)
+
+    def verify_join(batch: pa.Table) -> pa.Table:
+        return verify_batch(
+            batch, batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
+        )
+
+    return with_ab.map_batches(verify_join, batch_format="pyarrow")

@@ -814,3 +814,99 @@ def approx_distinct_hll_by_key(ds, *, key_col: str, col: str,
         ds.map_batches(partial, batch_format="pyarrow"),
         reduce_fn, empty, num_buckets,
     )
+
+
+# ----------------------------------------------------------------- KMV
+
+
+def kmv_distinct_by_key(ds, *, key_col: str, col: str, k: int = 64,
+                        num_buckets: int = 8):
+    """Per-key KMV (k-minimum-values / bottom-k) distinct-count sketch
+    (Bar-Yossef et al. 2002; the Theta-sketch base case) — the third
+    member of the repo's distinct-estimator family next to exact and
+    HLL: O(k) state per key, mergeable by unioning hash sets and
+    re-truncating to the k smallest, and (unlike HLL) it doubles as a
+    uniform distinct-value sample supporting set operations.
+
+    Hash: md5-le64 of str(value) — identical to the HLL family, so the
+    SQL oracle reuses md5_number_upper. Estimator: if a key holds
+    fewer than k distinct hashes the count is EXACT (= n_hashes);
+    otherwise estimate = (k-1) / (h_k / 2^64) with h_k the k-th
+    smallest distinct hash, both sides computing the same two exactly-
+    rounded double ops (one uint64->double convert, two divisions).
+
+    Scale shape: each batch contributes at most k hashes per key (a
+    batch's k smallest distinct hashes are a superset of its
+    contribution to the global bottom-k), ONE key-hash exchange
+    union-merges and truncates per key. Per-key state is 8k bytes
+    regardless of row count."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    two64 = float(2**64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_pylist(),
+                "__v": batch[col].to_pylist(),
+            }
+        )
+        keys, hrows = [], []
+        for kk, g in df.groupby(key_col, sort=False):
+            h = np.unique(
+                np.array(
+                    [_md5le64(str(v)) for v in set(g["__v"].tolist())],
+                    dtype=np.uint64,
+                )
+            )
+            keys.append(kk)
+            hrows.append(h[:k].tolist())
+        bk = (
+            pd.util.hash_array(
+                np.asarray(keys, dtype=object), categorize=False
+            ) % np.uint64(num_buckets)
+        ).astype(np.int32) if keys else np.zeros(0, dtype=np.int32)
+        return pa.table(
+            {
+                key_col: pa.array(keys, pa.string()),
+                "hashes": pa.array(hrows, pa.list_(pa.uint64())),
+                "__bucket": pa.array(bk),
+            }
+        )
+
+    empty = pa.table(
+        {
+            key_col: pa.array([], pa.string()),
+            "n_hashes": pa.array([], pa.int64()),
+            "estimate": pa.array([], pa.float64()),
+        }
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, "hashes"]).to_pandas()
+        keys, nh, est = [], [], []
+        for kk, g in df.groupby(key_col, sort=False):
+            h = np.unique(
+                np.concatenate(
+                    [np.asarray(r, dtype=np.uint64) for r in g["hashes"]]
+                )
+            )
+            keys.append(kk)
+            if len(h) < k:
+                nh.append(len(h))
+                est.append(float(len(h)))
+            else:
+                nh.append(k)
+                est.append(float(k - 1) / (float(h[k - 1]) / two64))
+        return pa.table(
+            {
+                key_col: pa.array(keys, pa.string()),
+                "n_hashes": pa.array(nh, pa.int64()),
+                "estimate": pa.array(est, pa.float64()),
+            }
+        )
+
+    return exchange_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        reduce_fn, empty, num_buckets,
+    )
