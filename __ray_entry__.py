@@ -4284,6 +4284,81 @@ def _q_docs_editdist_pairs(sf_dir: str):
     return editdist_pairs(ds, prefix_len=64, max_dist=2)
 
 
+def _q_docs_bpe_token_counts(sf_dir: str):
+    """Tokenizer encode: learn 6 BPE merges over the corpus
+    (vocab_bpe_merges' trainer), apply them, and price every document
+    in tokens — vocab encoded once, tf joined per word, summed per
+    doc. The oracle replays the same merge chain in SQL."""
+    from webcollector_ray.functions.textstats import (
+        bpe_encode_token_counts,
+        bpe_train,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = bpe_train(ds, merges=6)
+    return bpe_encode_token_counts(ds, merges)
+
+
+def _bpe_encode_oracle(n_merges: int = 6) -> str:
+    """Generate the docs_bpe_token_counts oracle: the
+    vocab_bpe_merges v/p/b chain with the source word carried through,
+    closed by a per-doc token-count join."""
+    head = r"""
+        WITH docs AS (
+            SELECT doc_id, regexp_split_to_array(
+                       lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                       '\s+') AS words
+            FROM documents
+        ),
+        wpos AS (SELECT doc_id, unnest(words) AS w FROM docs),
+        wc AS (
+            SELECT w, count(*)::BIGINT AS n FROM wpos
+            WHERE w != '' AND w NOT LIKE '%' || chr(31) || '%'
+            GROUP BY w
+        ),
+        v0 AS (
+            SELECT w, chr(31) || array_to_string(
+                       regexp_split_to_array(w, ''), chr(31)
+                   ) || chr(31) AS t, n
+            FROM wc
+        )"""
+    blocks = []
+    for i in range(n_merges):
+        blocks.append(f""",
+        p{i} AS (
+            SELECT list_extract(s, j) || ' ' || list_extract(s, j+1)
+                       AS pair,
+                   sum(n)::BIGINT AS n
+            FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
+                  FROM v{i}),
+                 UNNEST(range(1, len(s))) u(j)
+            GROUP BY 1
+        ),
+        b{i} AS (
+            SELECT pair FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1
+        ),
+        v{i + 1} AS (
+            SELECT w, replace(t,
+                chr(31) || replace((SELECT pair FROM b{i}), ' ',
+                                   chr(31)) || chr(31),
+                chr(31) || replace((SELECT pair FROM b{i}), ' ',
+                                   '') || chr(31)) AS t, n
+            FROM v{i}
+        )""")
+    tail = f""",
+        enc AS (
+            SELECT w, len(
+                string_split(trim(t, chr(31)), chr(31)))::BIGINT AS k
+            FROM v{n_merges}
+        )
+        SELECT wpos.doc_id, sum(enc.k)::BIGINT AS n_tokens
+        FROM wpos JOIN enc USING (w)
+        GROUP BY 1"""
+    return head + "".join(blocks) + tail
+
+
 def _q_events_kmv_distinct(sf_dir: str):
     """Per-type KMV (bottom-k) distinct-user estimates — the third
     distinct-estimator next to exact and HLL; exact below k distinct,
@@ -4841,6 +4916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q8": _q_tpch_q8,
         "events_kmv_distinct": _q_events_kmv_distinct,
         "docs_editdist_pairs": _q_docs_editdist_pairs,
+        "docs_bpe_token_counts": _q_docs_bpe_token_counts,
         "docs_dsir_selected": _q_docs_dsir_selected,
         "source_kl": _q_source_kl,
         "docs_normalized": _q_docs_normalized,
@@ -7863,6 +7939,7 @@ def _oracle_sql_static() -> dict[str, str]:
               AND o.o_orderdate < DATE '1997-01-01'
             GROUP BY 1
         """,
+        "docs_bpe_token_counts": _bpe_encode_oracle(6),
         "docs_editdist_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    levenshtein(

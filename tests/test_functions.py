@@ -2458,3 +2458,52 @@ def test_grouped_corr_matches_numpy(ray_session):
         exp = np.corrcoef(sub["x"], np.round(sub["y"] * 100))[0, 1]
         assert abs(out["corr_xy"][i] - exp) < 1e-12
         assert out["n"][i] == len(sub)
+
+
+def test_bpe_encode_token_counts_matches_reference(ray_session):
+    from collections import Counter
+
+    from webcollector_ray.functions.textstats import (
+        bpe_encode_token_counts,
+        bpe_train,
+    )
+
+    docs = [
+        "the theme of the anthem",
+        "there then the other brother",
+        "hello hello help hemp",
+        "aaaa aa a banana bandana",
+    ] * 3
+    wc = Counter()
+    for d in docs:
+        wc.update(d.lower().split())
+    merges = _ref_bpe(dict(wc), merges=5)
+    pairs = [tuple(p.split(" ", 1)) for _, p, _ in merges]
+
+    def ref_encode(word: str) -> int:
+        t = "\x1f" + "\x1f".join(word) + "\x1f"
+        for l, r in pairs:
+            t = t.replace("\x1f" + l + "\x1f" + r + "\x1f",
+                          "\x1f" + l + r + "\x1f")
+        return len(t.strip("\x1f").split("\x1f"))
+
+    exp = {
+        i: sum(ref_encode(w) for w in d.lower().split())
+        for i, d in enumerate(docs)
+    }
+
+    t = pa.table({"doc_id": list(range(len(docs))),
+                  "text": pa.array(docs, pa.string())})
+    ds = rd.from_arrow(t).repartition(5)
+    mt = bpe_train(ds, merges=5, num_buckets=4, pair_buckets=2)
+    got = (
+        bpe_encode_token_counts(ds, mt, num_buckets=4)
+        .to_pandas()
+        .set_index("doc_id")["n_tokens"]
+        .to_dict()
+    )
+    assert got == exp
+    # merges reduce token counts vs character tokenization
+    assert sum(got.values()) < sum(
+        len(w) for d in docs for w in d.lower().split()
+    )

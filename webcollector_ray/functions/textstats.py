@@ -1443,3 +1443,127 @@ class LinearQualityScorer:
                 "kept": pa.array(score > self.threshold),
             }
         )
+
+
+def bpe_apply_merges(word: str, merge_pairs, sep: str = _BPE_SEP) -> int:
+    """Encode one word with an ordered BPE merge list and return its
+    token count: the word becomes a separator-bounded symbol string and
+    every learned merge is applied as the SAME single-pass left-to-
+    right non-overlapping replace used at training time (bpe_train),
+    so encode(train_corpus) reproduces the training-time vocabulary."""
+    if not word or sep in word:
+        return 0
+    t = sep + sep.join(word) + sep
+    for left, right in merge_pairs:
+        t = t.replace(sep + left + sep + right + sep,
+                      sep + left + right + sep)
+    return len(t.strip(sep).split(sep))
+
+
+def bpe_encode_token_counts(ds, merges_tbl, *, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_buckets: int = 32):
+    """Apply learned BPE merges to the corpus and count tokens per
+    document — the encode half of the tokenizer (bpe_train is the
+    learn half), the stage that prices a corpus in tokens for budget
+    planning.
+
+    Scale shape: the merge list is O(merges) and rides into every
+    task by closure; the corpus collapses to its VOCABULARY through
+    one word-hash exchange and each distinct word is encoded exactly
+    once (the per-word merge loop runs over vocab-sized data); a
+    word-hash hash_join attaches per-word token counts to per-doc
+    term frequencies and one doc-hash exchange sums tf * k per doc.
+    Words that are empty or contain the separator byte are excluded
+    on BOTH the vocab and tf sides (the training-time rule)."""
+    from collections import Counter
+
+    from .joins import exchange_reduce, hash_join
+    from .sketches import word_counts
+
+    sep = _BPE_SEP
+    mdf = merges_tbl.to_pandas() if not isinstance(
+        merges_tbl, pd.DataFrame
+    ) else merges_tbl
+    merge_pairs = [
+        tuple(p.split(" ", 1))
+        for p in mdf.sort_values("step")["pair"].tolist()
+    ]
+
+    def encode_vocab(batch: pa.Table) -> pa.Table:
+        words = [
+            w for w in batch["word"].to_pylist() if w and sep not in w
+        ]
+        ks = [bpe_apply_merges(w, merge_pairs) for w in words]
+        return pa.table(
+            {"word": pa.array(words, pa.string()),
+             "k": pa.array(ks, pa.int64())}
+        )
+
+    wtok = word_counts(
+        ds, text_col=text_col, num_buckets=num_buckets
+    ).map_batches(encode_vocab, batch_format="pyarrow")
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, words, tfs = [], [], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            for w, f in Counter((t or "").lower().split()).items():
+                if not w or sep in w:
+                    continue
+                ids.append(i)
+                words.append(w)
+                tfs.append(f)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "word": pa.array(words, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow")
+    j = hash_join(tf, wtok, on="word", num_buckets=num_buckets)
+
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()),
+         "n_tokens": pa.array([], pa.int64())}
+    )
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(zero_copy_only=False),
+                "n_tokens": batch["tf"].to_numpy(zero_copy_only=False)
+                * batch["k"].to_numpy(zero_copy_only=False),
+            }
+        ).groupby(id_col, sort=False, as_index=False)["n_tokens"].sum()
+        ids = df[id_col].to_numpy(np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64)),
+                "__bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def doc_sum(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, "n_tokens"]).to_pandas()
+        g = df.groupby(id_col, sort=False, as_index=False)[
+            "n_tokens"
+        ].sum()
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col].to_numpy(np.int64)),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64)),
+            }
+        )
+
+    return exchange_reduce(
+        j.map_batches(doc_partial, batch_format="pyarrow"),
+        doc_sum, empty, num_buckets,
+    )
