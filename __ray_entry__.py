@@ -4304,21 +4304,26 @@ def _q_docs_bpe_token_counts(sf_dir: str):
 def _bpe_encode_oracle(n_merges: int = 6) -> str:
     """Generate the docs_bpe_token_counts oracle: the
     vocab_bpe_merges v/p/b chain with the source word carried through,
-    closed by a per-doc token-count join."""
+    closed by a per-doc token-count join. Every chain CTE is
+    MATERIALIZED — without it DuckDB inlines v_i into both of its two
+    consumers and the chain re-evaluates exponentially (25 s -> 0.2 s
+    at sf0.01, identical result)."""
     head = r"""
-        WITH docs AS (
+        WITH docs AS MATERIALIZED (
             SELECT doc_id, regexp_split_to_array(
                        lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
                        '\s+') AS words
             FROM documents
         ),
-        wpos AS (SELECT doc_id, unnest(words) AS w FROM docs),
-        wc AS (
+        wpos AS MATERIALIZED (
+            SELECT doc_id, unnest(words) AS w FROM docs
+        ),
+        wc AS MATERIALIZED (
             SELECT w, count(*)::BIGINT AS n FROM wpos
             WHERE w != '' AND w NOT LIKE '%' || chr(31) || '%'
             GROUP BY w
         ),
-        v0 AS (
+        v0 AS MATERIALIZED (
             SELECT w, chr(31) || array_to_string(
                        regexp_split_to_array(w, ''), chr(31)
                    ) || chr(31) AS t, n
@@ -4327,7 +4332,7 @@ def _bpe_encode_oracle(n_merges: int = 6) -> str:
     blocks = []
     for i in range(n_merges):
         blocks.append(f""",
-        p{i} AS (
+        p{i} AS MATERIALIZED (
             SELECT list_extract(s, j) || ' ' || list_extract(s, j+1)
                        AS pair,
                    sum(n)::BIGINT AS n
@@ -4336,10 +4341,10 @@ def _bpe_encode_oracle(n_merges: int = 6) -> str:
                  UNNEST(range(1, len(s))) u(j)
             GROUP BY 1
         ),
-        b{i} AS (
+        b{i} AS MATERIALIZED (
             SELECT pair FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1
         ),
-        v{i + 1} AS (
+        v{i + 1} AS MATERIALIZED (
             SELECT w, replace(t,
                 chr(31) || replace((SELECT pair FROM b{i}), ' ',
                                    chr(31)) || chr(31),
@@ -7548,25 +7553,25 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "vocab_bpe_merges": r"""
-            WITH docs AS (
+            WITH docs AS MATERIALIZED (
                 SELECT regexp_split_to_array(
                            lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
                            '\s+') AS words
                 FROM documents
             ),
-            tok AS (SELECT unnest(words) AS w FROM docs),
-            wc AS (
+            tok AS MATERIALIZED (SELECT unnest(words) AS w FROM docs),
+            wc AS MATERIALIZED (
                 SELECT w, count(*)::BIGINT AS n FROM tok
                 WHERE w != '' AND w NOT LIKE '%' || chr(31) || '%'
                 GROUP BY w
             ),
-            v0 AS (
+            v0 AS MATERIALIZED (
                 SELECT chr(31) || array_to_string(
                            regexp_split_to_array(w, ''), chr(31)
                        ) || chr(31) AS t, n
                 FROM wc
             ),
-            p0 AS (
+            p0 AS MATERIALIZED (
                 SELECT list_extract(s, j) || ' ' || list_extract(s, j+1) AS pair,
                        sum(n)::BIGINT AS n
                 FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
@@ -7574,14 +7579,14 @@ def _oracle_sql_static() -> dict[str, str]:
                      UNNEST(range(1, len(s))) u(j)
                 GROUP BY 1
             ),
-            b0 AS (SELECT pair, n FROM p0 ORDER BY n DESC, pair ASC LIMIT 1),
-            v1 AS (
+            b0 AS MATERIALIZED (SELECT pair, n FROM p0 ORDER BY n DESC, pair ASC LIMIT 1),
+            v1 AS MATERIALIZED (
                 SELECT replace(t,
                     chr(31) || replace((SELECT pair FROM b0), ' ', chr(31)) || chr(31),
                     chr(31) || replace((SELECT pair FROM b0), ' ', '') || chr(31)) AS t, n
                 FROM v0
             ),
-            p1 AS (
+            p1 AS MATERIALIZED (
                 SELECT list_extract(s, j) || ' ' || list_extract(s, j+1) AS pair,
                        sum(n)::BIGINT AS n
                 FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
@@ -7589,14 +7594,14 @@ def _oracle_sql_static() -> dict[str, str]:
                      UNNEST(range(1, len(s))) u(j)
                 GROUP BY 1
             ),
-            b1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair ASC LIMIT 1),
-            v2 AS (
+            b1 AS MATERIALIZED (SELECT pair, n FROM p1 ORDER BY n DESC, pair ASC LIMIT 1),
+            v2 AS MATERIALIZED (
                 SELECT replace(t,
                     chr(31) || replace((SELECT pair FROM b1), ' ', chr(31)) || chr(31),
                     chr(31) || replace((SELECT pair FROM b1), ' ', '') || chr(31)) AS t, n
                 FROM v1
             ),
-            p2 AS (
+            p2 AS MATERIALIZED (
                 SELECT list_extract(s, j) || ' ' || list_extract(s, j+1) AS pair,
                        sum(n)::BIGINT AS n
                 FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
@@ -7604,14 +7609,14 @@ def _oracle_sql_static() -> dict[str, str]:
                      UNNEST(range(1, len(s))) u(j)
                 GROUP BY 1
             ),
-            b2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair ASC LIMIT 1),
-            v3 AS (
+            b2 AS MATERIALIZED (SELECT pair, n FROM p2 ORDER BY n DESC, pair ASC LIMIT 1),
+            v3 AS MATERIALIZED (
                 SELECT replace(t,
                     chr(31) || replace((SELECT pair FROM b2), ' ', chr(31)) || chr(31),
                     chr(31) || replace((SELECT pair FROM b2), ' ', '') || chr(31)) AS t, n
                 FROM v2
             ),
-            p3 AS (
+            p3 AS MATERIALIZED (
                 SELECT list_extract(s, j) || ' ' || list_extract(s, j+1) AS pair,
                        sum(n)::BIGINT AS n
                 FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
@@ -7619,14 +7624,14 @@ def _oracle_sql_static() -> dict[str, str]:
                      UNNEST(range(1, len(s))) u(j)
                 GROUP BY 1
             ),
-            b3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair ASC LIMIT 1),
-            v4 AS (
+            b3 AS MATERIALIZED (SELECT pair, n FROM p3 ORDER BY n DESC, pair ASC LIMIT 1),
+            v4 AS MATERIALIZED (
                 SELECT replace(t,
                     chr(31) || replace((SELECT pair FROM b3), ' ', chr(31)) || chr(31),
                     chr(31) || replace((SELECT pair FROM b3), ' ', '') || chr(31)) AS t, n
                 FROM v3
             ),
-            p4 AS (
+            p4 AS MATERIALIZED (
                 SELECT list_extract(s, j) || ' ' || list_extract(s, j+1) AS pair,
                        sum(n)::BIGINT AS n
                 FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
@@ -7634,14 +7639,14 @@ def _oracle_sql_static() -> dict[str, str]:
                      UNNEST(range(1, len(s))) u(j)
                 GROUP BY 1
             ),
-            b4 AS (SELECT pair, n FROM p4 ORDER BY n DESC, pair ASC LIMIT 1),
-            v5 AS (
+            b4 AS MATERIALIZED (SELECT pair, n FROM p4 ORDER BY n DESC, pair ASC LIMIT 1),
+            v5 AS MATERIALIZED (
                 SELECT replace(t,
                     chr(31) || replace((SELECT pair FROM b4), ' ', chr(31)) || chr(31),
                     chr(31) || replace((SELECT pair FROM b4), ' ', '') || chr(31)) AS t, n
                 FROM v4
             ),
-            p5 AS (
+            p5 AS MATERIALIZED (
                 SELECT list_extract(s, j) || ' ' || list_extract(s, j+1) AS pair,
                        sum(n)::BIGINT AS n
                 FROM (SELECT string_split(trim(t, chr(31)), chr(31)) AS s, n
@@ -7649,8 +7654,8 @@ def _oracle_sql_static() -> dict[str, str]:
                      UNNEST(range(1, len(s))) u(j)
                 GROUP BY 1
             ),
-            b5 AS (SELECT pair, n FROM p5 ORDER BY n DESC, pair ASC LIMIT 1),
-            v6 AS (
+            b5 AS MATERIALIZED (SELECT pair, n FROM p5 ORDER BY n DESC, pair ASC LIMIT 1),
+            v6 AS MATERIALIZED (
                 SELECT replace(t,
                     chr(31) || replace((SELECT pair FROM b5), ' ', chr(31)) || chr(31),
                     chr(31) || replace((SELECT pair FROM b5), ' ', '') || chr(31)) AS t, n
