@@ -120,3 +120,15 @@ def test_editdist_pairs_bucketed_join_path_matches_broadcast(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert {(1, 2), (3, 4)} <= set(zip(a.id_a, a.id_b))
+
+
+def test_pair_key_separator_is_pandas_groupby_safe():
+    # pandas 2.x object-string hashtables (groupby/unique/factorize)
+    # compare C-strings and stop at NUL: "a\x00b" and "a\x00c" collapse
+    # into ONE group. The candidate-key separator must not do that.
+    import pandas as pd
+
+    nul = pd.DataFrame({"k": ["a\x00b", "a\x00c"], "v": [1, 2]})
+    assert nul.groupby("k")["v"].count().size == 1  # the pitfall
+    us = pd.DataFrame({"k": ["a\x1fb", "a\x1fc"], "v": [1, 2]})
+    assert us.groupby("k")["v"].count().size == 2  # the fix holds

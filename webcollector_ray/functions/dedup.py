@@ -1786,6 +1786,12 @@ def editdist_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     from .joins import exchange_reduce, hash_join
 
     k = max_dist
+    # key-part separator: MUST NOT be NUL — pandas 2.x's object-string
+    # hashtable (groupby/unique/factorize) compares C-strings and stops
+    # at \x00, which would collapse every key to its group prefix and
+    # turn the candidate set into the per-group cross product (observed:
+    # 15k -> 3.2M candidates at sf0.1 before this was \x1f)
+    sep = "\x1f"
 
     def gen_keys(batch: pa.Table) -> pa.Table:
         keys, ids, roles = [], [], []
@@ -1798,12 +1804,12 @@ def editdist_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
             L = len(s)
             seen = set()
             for j, (p, ln) in enumerate(_ed_segments(L, k)):
-                seen.add((0, f"{g}\x00{L}\x00{j}\x00{s[p:p + ln]}"))
+                seen.add((0, f"{g}{sep}{L}{sep}{j}{sep}{s[p:p + ln]}"))
             for L2 in range(max(0, L - k), L + k + 1):
                 for j, (p, ln) in enumerate(_ed_segments(L2, k)):
                     for q in range(max(0, p - k), min(L - ln, p + k) + 1):
                         seen.add(
-                            (1, f"{g}\x00{L2}\x00{j}\x00{s[q:q + ln]}")
+                            (1, f"{g}{sep}{L2}{sep}{j}{sep}{s[q:q + ln]}")
                         )
             for role, key in seen:
                 keys.append(key)
