@@ -5438,6 +5438,22 @@ def _dup_spans_oracle_sql() -> str:
     """
 
 
+def _materialize_ctes(sql: str) -> str:
+    """Rewrite every named CTE to `AS MATERIALIZED` — an optimization
+    fence only; DuckDB otherwise inlines multi-consumer CTE chains and
+    re-evaluates them exponentially (see docs_bpe_token_counts)."""
+    import re as _re
+
+    sql = _re.sub(
+        r"(\n\s*)([a-zA-Z_][a-zA-Z0-9_]*) AS \(",
+        r"\1\2 AS MATERIALIZED (", sql,
+    )
+    return _re.sub(
+        r"WITH ([a-zA-Z_][a-zA-Z0-9_]*) AS \(",
+        r"WITH \1 AS MATERIALIZED (", sql,
+    )
+
+
 def _minhash_oracle_sqls() -> dict[str, str]:
     """dedup_minhash / dedup_ngram_verified oracles, generated from the
     SAME MinHasher the engine uses: per-word md5-64 hashes, the
@@ -7038,6 +7054,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT word, n FROM c ORDER BY n DESC, word ASC LIMIT 50
     """
     out.update(_minhash_oracle_sqls())
+    # force chain-CTE materialization on the minhash-family oracles:
+    # DuckDB inlines a CTE into each of its consumers, so the shared
+    # signature prefix re-evaluates per reference (22.9 -> 7.8 s for
+    # docs_fuzzy_best_clean_corpus at sf0.01, identical results). No
+    # oracle uses a WINDOW clause, so `name AS (` is unambiguous.
+    for _k in ("dedup_minhash", "dedup_ngram_verified", "dedup_containment",
+               "docs_fuzzy_clean_corpus", "docs_fuzzy_best_clean_corpus",
+               "docs_fuzzy_decontaminated", "docs_incremental_fuzzy_new"):
+        if _k in out:
+            out[_k] = _materialize_ctes(out[_k])
     out["docs_dup_spans"] = _dup_spans_oracle_sql()
     # per-host census over the same closed-form BFS frontier
     out["crawl_host_stats"] = f"""
