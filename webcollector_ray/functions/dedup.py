@@ -1815,14 +1815,21 @@ def editdist_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 keys.append(key)
                 ids.append(i)
                 roles.append(role)
-        bk = (
-            pd.util.hash_array(
+        # ship 64-bit key hashes, not the key strings: 4x fewer
+        # exchange bytes and an integer groupby in cross(). A hash
+        # collision only ADDS a candidate pair, which the exact DP
+        # verify removes — correctness is collision-proof.
+        if keys:
+            k64 = pd.util.hash_array(
                 np.asarray(keys, dtype=object), categorize=False
-            ) % np.uint64(num_buckets)
-        ).astype(np.int32) if keys else np.zeros(0, dtype=np.int32)
+            )
+            bk = (k64 % np.uint64(num_buckets)).astype(np.int32)
+        else:
+            k64 = np.zeros(0, dtype=np.uint64)
+            bk = np.zeros(0, dtype=np.int32)
         return pa.table(
             {
-                "key": pa.array(keys, pa.string()),
+                "key": pa.array(k64),
                 "id": pa.array(ids, pa.int64()),
                 "role": pa.array(roles, pa.int8()),
                 "__bucket": pa.array(bk),
@@ -1834,22 +1841,25 @@ def editdist_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     )
 
     def cross(t: pa.Table) -> pa.Table:
+        # ONE vectorized hash merge crosses index x probe per key —
+        # never a Python loop over per-key groups (a bucket holds tens
+        # of thousands of keys, nearly all of them identity-only).
+        # Output volume = sum_key idx_count x probe_count, the bounded
+        # PassJoin cross; self-matches drop on id inequality.
         df = t.select(["key", "id", "role"]).to_pandas()
-        outs_a, outs_b = [], []
-        for _, grp in df.groupby("key", sort=False):
-            ai = grp.loc[grp["role"] == 0, "id"].to_numpy(np.int64)
-            bi = grp.loc[grp["role"] == 1, "id"].to_numpy(np.int64)
-            if not len(ai) or not len(bi):
-                continue
-            xa = np.repeat(ai, len(bi))
-            xb = np.tile(bi, len(ai))
-            m = xa != xb
-            outs_a.append(np.minimum(xa[m], xb[m]))
-            outs_b.append(np.maximum(xa[m], xb[m]))
-        if not outs_a:
+        r0 = df.loc[df["role"] == 0, ["key", "id"]]
+        r1 = df.loc[df["role"] == 1, ["key", "id"]].rename(
+            columns={"id": "id2"}
+        )
+        m = r0.merge(r1, on="key")
+        a = m["id"].to_numpy(np.int64)
+        b = m["id2"].to_numpy(np.int64)
+        msk = a != b
+        if not msk.any():
             return pair_empty
         pairs = pd.DataFrame(
-            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+            {"id_a": np.minimum(a[msk], b[msk]),
+             "id_b": np.maximum(a[msk], b[msk])}
         ).drop_duplicates()
         return pa.Table.from_pandas(pairs, preserve_index=False)
 
