@@ -4941,7 +4941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_rank": _q_orders_price_rank,
         "tpch_q7": _q_tpch_q7,
         "lineitem_corr": _q_lineitem_corr,
-        "events_user_mode": _q_events_user_mode,
+        "tpch_q18": _q_tpch_q18,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "tpch_q1": _q_tpch_q1,
         "tpch_q4": _q_tpch_q4,
@@ -4953,9 +4953,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16": _q_tpch_q16,
         "tpch_q17": _q_tpch_q17,
         "part_copurchase": _q_part_copurchase,
+        # positions 51+: the three sacrificed from the 50-row driver
+        # window this round — chosen because their kernels have the
+        # strongest independent pinning (top_n_per_group tie tests,
+        # trivially mirrored JSON extraction, per-key mode count test)
+        "events_user_mode": _q_events_user_mode,
         "docs_per_source_cap": _q_docs_per_source_cap,
         "events_props_k": _q_events_props_k,
-        "tpch_q18": _q_tpch_q18,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
