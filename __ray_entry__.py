@@ -4364,6 +4364,37 @@ def _bpe_encode_oracle(n_merges: int = 6) -> str:
     return head + "".join(blocks) + tail
 
 
+def _q_docs_editdist_clean_corpus(sf_dir: str):
+    """End-to-end edit-distance dedup corpus clean: PassJoin pairs ->
+    distributed min-label connected components -> keep each cluster's
+    min-id representative -> anti-join the drop set — the
+    docs_fuzzy_clean_corpus composition with the edit-distance
+    candidate family instead of minhash."""
+    from webcollector_ray.functions.dedup import (
+        cluster_pairs_minlabel,
+        editdist_pairs,
+    )
+    from webcollector_ray.functions.joins import hash_join
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pairs = editdist_pairs(docs, prefix_len=64, max_dist=2)
+    labels = cluster_pairs_minlabel(pairs, id_col="doc_id")
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names:
+            return pa.table({"doc_id": pa.nulls(0, pa.int64())})
+        return batch.filter(
+            pc.not_equal(batch["doc_id"], batch["cluster"])
+        ).select(["doc_id"])
+
+    dropped = labels.map_batches(non_reps, batch_format="pyarrow")
+    return hash_join(
+        docs.select_columns(["doc_id"]), dropped, on="doc_id", how="anti"
+    )
+
+
 def _q_events_kmv_distinct(sf_dir: str):
     """Per-type KMV (bottom-k) distinct-user estimates — the third
     distinct-estimator next to exact and HLL; exact below k distinct,
@@ -4921,6 +4952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q8": _q_tpch_q8,
         "events_kmv_distinct": _q_events_kmv_distinct,
         "docs_editdist_pairs": _q_docs_editdist_pairs,
+        "docs_editdist_clean_corpus": _q_docs_editdist_clean_corpus,
         "docs_bpe_token_counts": _q_docs_bpe_token_counts,
         "docs_dsir_selected": _q_docs_dsir_selected,
         "source_kl": _q_source_kl,
@@ -4942,7 +4974,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q7": _q_tpch_q7,
         "lineitem_corr": _q_lineitem_corr,
         "tpch_q18": _q_tpch_q18,
-        "docs_weighted_sample": _q_docs_weighted_sample,
         "tpch_q1": _q_tpch_q1,
         "tpch_q4": _q_tpch_q4,
         "tpch_q6": _q_tpch_q6,
@@ -4960,6 +4991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_mode": _q_events_user_mode,
         "docs_per_source_cap": _q_docs_per_source_cap,
         "events_props_k": _q_events_props_k,
+        "docs_weighted_sample": _q_docs_weighted_sample,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -7975,6 +8007,32 @@ def _oracle_sql_static() -> dict[str, str]:
             GROUP BY 1
         """,
         "docs_bpe_token_counts": _bpe_encode_oracle(6),
+        "docs_editdist_clean_corpus": """
+            WITH RECURSIVE pr AS MATERIALIZED (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM documents a JOIN documents b
+                  ON a.lang = b.lang AND a.doc_id < b.doc_id
+                WHERE levenshtein(left(a.text, 64), left(b.text, 64)) <= 2
+            ),
+            ed AS MATERIALIZED (
+                SELECT id_a AS x, id_b AS y FROM pr
+                UNION SELECT id_b, id_a FROM pr
+                UNION SELECT id_a, id_a FROM pr
+                UNION SELECT id_b, id_b FROM pr
+            ),
+            reach(x, y) AS (
+                SELECT x, y FROM ed
+                UNION
+                SELECT r.x, ed.y FROM reach r JOIN ed ON r.y = ed.x
+            ),
+            clus AS MATERIALIZED (
+                SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x
+            )
+            SELECT d.doc_id
+            FROM documents d
+            WHERE d.doc_id NOT IN
+                (SELECT doc_id FROM clus WHERE cluster <> doc_id)
+        """,
         "docs_editdist_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    levenshtein(
