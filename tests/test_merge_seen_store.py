@@ -115,3 +115,55 @@ def test_bucketed_store_defaults_for_bare_schema(ray_session, tmp_path):
     r = PageStoreReader(BroadcastPageStore(bare).handle())
     row = r.get("http://x.test/a")
     assert row["code"] == 200 and row["content_type"] == "text/html"
+
+
+def test_cuckoo_no_false_negatives_and_delete(ray_session):
+    f = ShardedSeenFilter(
+        num_shards=4, bits_per_shard=1 << 16, backend="cuckoo"
+    )
+    keys = [f"http://h{i}.test/p{i}" for i in range(500)]
+    first = f.add_and_check(keys)
+    assert not first.any()            # nothing seen before
+    assert f.check(keys).all()        # no false negatives after insert
+    other = f.check([f"http://new{i}.test/" for i in range(500)])
+    assert other.sum() < 10           # 16-bit fp => ~0.1% fp rate
+    assert f.approx_size() == 500
+
+    # the cuckoo-only capability: unmark half the keys, the rest stay
+    dropped = f.delete(keys[:250])
+    assert dropped.all()
+    assert not f.check(keys[:250]).any()
+    assert f.check(keys[250:]).all()
+    assert f.approx_size() == 250
+    # deleting an absent key reports False and is a no-op
+    assert not f.delete(["http://absent.test/"]).any()
+    f.shutdown()
+
+
+def test_cuckoo_eviction_chains_stay_exact(ray_session):
+    # one tiny shard forced well past free-slot placement: eviction
+    # kicks (and possibly the stash) must preserve no-false-negatives
+    f = ShardedSeenFilter(num_shards=1, bits_per_shard=10 * 1024,
+                          backend="cuckoo")
+    keys = [f"http://dense{i}.test/" for i in range(900)]
+    f.add_and_check(keys)
+    assert f.check(keys).all()
+    f.shutdown()
+
+
+def test_cuckoo_intra_batch_duplicates_match_bloom_semantics(ray_session):
+    # pre-state seen mask: duplicates within ONE batch all report
+    # unseen (exact dedup is the merge's job, both backends agree)
+    for backend in ("bloom", "cuckoo"):
+        f = ShardedSeenFilter(num_shards=2, bits_per_shard=1 << 16,
+                              backend=backend)
+        dup = ["http://a.test/", "http://a.test/", "http://b.test/"]
+        mask = f.add_and_check(dup)
+        assert not mask.any(), backend
+        assert f.check(dup).all(), backend
+        f.shutdown()
+
+
+def test_seen_filter_unknown_backend_raises(ray_session):
+    with pytest.raises(ValueError):
+        ShardedSeenFilter(num_shards=1, backend="what")

@@ -54,6 +54,8 @@ class CrawlerConfig:
     approximate_seen: bool = False     # pre-drop probably-seen links via bloom
                                        # (trades exactness for shuffle volume;
                                        # OFF for reference-parity runs)
+    seen_backend: str = "bloom"        # "bloom" (cheapest) or "cuckoo"
+                                       # (deletable fingerprints — recrawl)
     host_salt_threshold: int = 10000   # frontier rows per host before salting
     politeness_budget_ms: int = 0      # per-host min interval inside fetchers
     obey_robots: bool = False          # consult per-host robots.txt caches

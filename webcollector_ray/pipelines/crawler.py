@@ -525,7 +525,10 @@ class Crawler:
                     resumed = True
 
         if cfg.approximate_seen and self.seen is None:
-            self.seen = ShardedSeenFilter(cfg.seen_shards, cfg.seen_bits_per_shard)
+            self.seen = ShardedSeenFilter(
+                cfg.seen_shards, cfg.seen_bits_per_shard,
+                backend=cfg.seen_backend,
+            )
 
         if not resumed:
             crawldb = self._inject(crawldb)

@@ -1,4 +1,4 @@
-"""Sharded bloom URL-seen filter (north_rule ST2).
+"""Sharded bloom/cuckoo URL-seen filter (north_rule ST2).
 
 The reference's URL-seen set IS the crawldb KV store, probed point-wise
 on inject and bulk-merged per depth (plugin/rocks/RocksDBManager.java).
@@ -17,6 +17,18 @@ and rely on the exact merge alone. `add` is exact-time (no FNs): a URL
 reported new by `check` may still be a duplicate (caught by the merge);
 a URL reported seen has actually been added with probability
 1 - fp_rate.
+
+Two shard backends (pick via ShardedSeenFilter(backend=...)):
+- "bloom" (_BloomShard, default): k=4 bit probes, cheapest per key,
+  no deletion.
+- "cuckoo" (_CuckooShard): partial-key cuckoo filter (Fan et al.,
+  CoNEXT'14 — public algorithm): 16-bit fingerprints in 4-slot
+  buckets, two candidate buckets i2 = i1 XOR hash(fp) (self-inverse,
+  so eviction needs only the resident fingerprint). Same no-false-
+  negative contract at ~0.1% fp for ~2 bytes/key, PLUS O(1) deletion
+  — the backend a recrawl scheduler needs when URLs age out of the
+  frontier and must become fetchable again (bloom bits can never be
+  cleared without rebuilding the filter).
 """
 
 from __future__ import annotations
@@ -83,14 +95,189 @@ class _BloomShard:
         return self.count
 
 
+@ray.remote(num_cpus=0.1)
+class _CuckooShard:
+    """One cuckoo-filter partition: (num_buckets, 4) uint16 fingerprint
+    table. Lookups and the common-case two-bucket placement are fully
+    vectorized; only eviction chains (rare below ~84% load) fall to a
+    bounded per-key kick loop. Fingerprint 0 is the empty sentinel
+    (real fps are forced nonzero), and `fill` tracks per-bucket
+    occupancy so placement ranks batch-local collisions without
+    re-scanning slots."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int):
+        nb = 1
+        # ~0.84 max load factor for 4-slot partial-key cuckoo
+        while nb * self.SLOTS * 0.84 < capacity:
+            nb <<= 1
+        self.num_buckets = nb
+        self.mask = np.uint64(nb - 1)
+        self.table = np.zeros((nb, self.SLOTS), dtype=np.uint16)
+        self.fill = np.zeros(nb, dtype=np.int64)
+        self.stash: set = set()  # overflow keys after MAX_KICKS
+        self.count = 0
+        self._kick_state = np.uint64(0x2545F4914F6CDD1D)
+
+    # --- key derivation -------------------------------------------------
+    def _fp(self, hashes: np.ndarray) -> np.ndarray:
+        fp = (hashes >> np.uint64(48)).astype(np.uint16)
+        fp[fp == 0] = 1
+        return fp
+
+    def _i1(self, hashes: np.ndarray) -> np.ndarray:
+        return (hashes & self.mask).astype(np.int64)
+
+    def _alt(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # self-inverse partner bucket: i XOR hash(fp)
+        h = fp.astype(np.uint64) * np.uint64(0x5BD1E995)
+        return ((idx.astype(np.uint64) ^ h) & self.mask).astype(np.int64)
+
+    # --- vectorized membership ------------------------------------------
+    def _contains(self, hashes: np.ndarray) -> np.ndarray:
+        fp = self._fp(hashes)
+        i1 = self._i1(hashes)
+        i2 = self._alt(i1, fp)
+        hit = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit |= (self.table[i2] == fp[:, None]).any(axis=1)
+        if self.stash:
+            hit |= np.fromiter(
+                (int(h) in self.stash for h in hashes), bool, len(hashes)
+            )
+        return hit
+
+    def check(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        return self._contains(hashes)
+
+    # --- vectorized placement -------------------------------------------
+    def _place_wave(self, fp: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        """Try to place fp[j] into bucket idx[j]'s free slots; returns
+        the placed mask. Batch-local collisions on one bucket are
+        ranked by sort order so each key gets a distinct slot."""
+        order = np.argsort(idx, kind="stable")
+        sidx, sfp = idx[order], fp[order]
+        uniq, start, cnt = np.unique(
+            sidx, return_index=True, return_counts=True
+        )
+        rank = np.arange(len(sidx)) - np.repeat(start, cnt)
+        slot = self.fill[sidx] + rank
+        ok = slot < self.SLOTS
+        self.table[sidx[ok], slot[ok]] = sfp[ok]
+        np.add.at(self.fill, sidx[ok], 1)
+        placed = np.zeros(len(fp), dtype=bool)
+        placed[order[ok]] = True
+        return placed
+
+    def _kick_insert(self, fp: int, i1: int, key_hash: int) -> None:
+        """Bounded random-walk eviction for one key (rare path)."""
+        cur_fp, cur_idx = np.uint16(fp), int(i1)
+        for _ in range(self.MAX_KICKS):
+            if self.fill[cur_idx] < self.SLOTS:
+                self.table[cur_idx, self.fill[cur_idx]] = cur_fp
+                self.fill[cur_idx] += 1
+                return
+            # deterministic xorshift slot pick (reproducible tests)
+            s = self._kick_state
+            s ^= s << np.uint64(13)
+            s ^= s >> np.uint64(7)
+            s ^= s << np.uint64(17)
+            self._kick_state = s
+            slot = int(s % np.uint64(self.SLOTS))
+            victim = self.table[cur_idx, slot]
+            self.table[cur_idx, slot] = cur_fp
+            cur_fp = victim
+            cur_idx = int(
+                self._alt(
+                    np.asarray([cur_idx], np.int64),
+                    np.asarray([cur_fp], np.uint16),
+                )[0]
+            )
+        # table effectively full: keep exactness in the stash
+        self.stash.add(int(key_hash))
+
+    def add_and_check(self, hashes: np.ndarray) -> np.ndarray:
+        """Insert every key; return mask of keys (probably) present
+        BEFORE this call (pre-state, matching _BloomShard: intra-batch
+        duplicates are each reported unseen)."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        seen = self._contains(hashes)
+        new_h = np.unique(hashes[~seen])  # insert each new key once
+        if len(new_h):
+            fp = self._fp(new_h)
+            i1 = self._i1(new_h)
+            placed = self._place_wave(fp, i1)
+            if not placed.all():
+                i2 = self._alt(i1[~placed], fp[~placed])
+                placed2 = self._place_wave(fp[~placed], i2)
+                rem = np.flatnonzero(~placed)[~placed2]
+                for j in rem:
+                    self._kick_insert(int(fp[j]), int(i1[j]), int(new_h[j]))
+            self.count += len(new_h)
+        return seen
+
+    def delete(self, hashes: np.ndarray) -> np.ndarray:
+        """Remove one occurrence of each key (the operation blooms
+        can't do); returns the was-present mask. Holes are closed by
+        swapping the bucket's last occupied slot down, keeping `fill`
+        a valid occupancy count."""
+        out = np.zeros(len(hashes), dtype=bool)
+        if len(hashes) == 0:
+            return out
+        fp = self._fp(hashes)
+        i1 = self._i1(hashes)
+        i2 = self._alt(i1, fp)
+        for j in range(len(hashes)):
+            if int(hashes[j]) in self.stash:
+                self.stash.discard(int(hashes[j]))
+                out[j] = True
+                self.count -= 1
+                continue
+            for b in (int(i1[j]), int(i2[j])):
+                row = self.table[b]
+                hits = np.flatnonzero(row[: self.fill[b]] == fp[j])
+                if len(hits):
+                    last = self.fill[b] - 1
+                    row[hits[0]] = row[last]
+                    row[last] = 0
+                    self.fill[b] = last
+                    out[j] = True
+                    self.count -= 1
+                    break
+        return out
+
+    def approx_size(self) -> int:
+        return self.count
+
+
 class ShardedSeenFilter:
     """Driver-side handle routing key batches to shard actors."""
 
-    def __init__(self, num_shards: int = 16, bits_per_shard: int = 1 << 23):
+    def __init__(
+        self,
+        num_shards: int = 16,
+        bits_per_shard: int = 1 << 23,
+        backend: str = "bloom",
+    ):
         self.num_shards = num_shards
-        self.shards: List = [
-            _BloomShard.remote(bits_per_shard) for _ in range(num_shards)
-        ]
+        self.backend = backend
+        if backend == "bloom":
+            self.shards: List = [
+                _BloomShard.remote(bits_per_shard) for _ in range(num_shards)
+            ]
+        elif backend == "cuckoo":
+            # size the cuckoo table for the key count a bloom of the
+            # same bit budget would hold at ~10 bits/key
+            capacity = max(1024, bits_per_shard // 10)
+            self.shards = [
+                _CuckooShard.remote(capacity) for _ in range(num_shards)
+            ]
+        else:
+            raise ValueError(f"unknown seen-filter backend: {backend!r}")
 
     def _route(self, keys: Sequence[str]):
         hashes = hash64_batch(keys)
@@ -122,6 +309,28 @@ class ShardedSeenFilter:
             idx = np.nonzero(shard_ids == s)[0]
             if len(idx):
                 futures[s] = (idx, self.shards[s].check.remote(hashes[idx]))
+        for s, (idx, fut) in futures.items():
+            result[idx] = ray.get(fut)
+        return result
+
+    def delete(self, keys: Sequence[str]) -> np.ndarray:
+        """Unmark keys (cuckoo backend only): the recrawl path — a URL
+        whose fetch record expired becomes generatable again without
+        rebuilding the filter. Returns the was-present mask."""
+        if self.backend != "cuckoo":
+            raise NotImplementedError(
+                "delete() needs the cuckoo backend; bloom bits cannot "
+                "be cleared (backend=%r)" % self.backend
+            )
+        if not len(keys):
+            return np.zeros(0, dtype=bool)
+        hashes, shard_ids = self._route(keys)
+        result = np.zeros(len(keys), dtype=bool)
+        futures = {}
+        for s in range(self.num_shards):
+            idx = np.nonzero(shard_ids == s)[0]
+            if len(idx):
+                futures[s] = (idx, self.shards[s].delete.remote(hashes[idx]))
         for s, (idx, fut) in futures.items():
             result[idx] = ray.get(fut)
         return result
