@@ -1737,6 +1737,432 @@ def _q_tpch_q17(sf_dir: str):
     return fold_single(partials, fold, empty)
 
 
+_Q9_TYPE = "PROMO"
+
+
+def _q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation and year),
+    adapted: no partsupp table exists here, so supply cost is modeled
+    as 10% of p_retailprice (profit = revenue - 0.1*retail*qty, exact
+    in fixed point). Scale shape: the type-filtered part keys (with
+    retail price) semi-join lineitem through ONE partkey exchange;
+    per-row profit collapses per (orderkey, nation) immediately — the
+    supplier->nation map is a broadcast dim — so the orderkey exchange
+    that attaches the order year moves pre-aggregated rows; the final
+    fold is a bounded (nations x years) universe through a width-1
+    exchange."""
+    from webcollector_ray.functions.joins import exchange_reduce, hash_join
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nname = dict(zip(nat["n_nationkey"].to_pylist(),
+                     nat["n_name"].to_pylist()))
+    supp_nation_ref = ray.put({
+        k: nname[n] for k, n in zip(supp["s_suppkey"].to_pylist(),
+                                    supp["s_nationkey"].to_pylist())
+    })
+
+    part_f = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type", "p_retailprice"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["p_type"], pa.scalar(_Q9_TYPE))
+        ).select(["p_partkey", "p_retailprice"]),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    lp = hash_join(li, part_f, on="l_partkey", right_on="p_partkey",
+                   num_buckets=32)
+
+    part_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("n_name", pa.string()),
+         ("profit_fp", pa.int64())]
+    )
+
+    def li_part(batch: pa.Table) -> pa.Table:
+        sn = ray.get(supp_nation_ref)
+        extp = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.round(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        retail = np.round(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty = np.round(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        profit = extp * (100 - disc) - 10 * retail * qty
+        # dict lookups over the UNIQUE supplier keys only (bounded
+        # universe), broadcast back via inverse codes
+        uk, inv = np.unique(
+            batch["l_suppkey"].to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        names = np.asarray([sn[int(k)] for k in uk], dtype=object)
+        g = pd.DataFrame(
+            {"l_orderkey": batch["l_orderkey"].to_numpy(
+                zero_copy_only=False),
+             "n_name": names[inv],
+             "profit_fp": profit}
+        ).groupby(["l_orderkey", "n_name"], sort=False,
+                  as_index=False)["profit_fp"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            part_schema
+        )
+
+    lp = lp.map_batches(li_part, batch_format="pyarrow")
+
+    def orders_f(b: pa.Table) -> pa.Table:
+        yr = b["o_orderdate"].to_pandas().dt.year.to_numpy(np.int64)
+        return pa.table(
+            {"o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+             "o_year": pa.array(yr, pa.int64())}
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(orders_f, batch_format="pyarrow")
+    j = hash_join(lp, orders, on="l_orderkey", right_on="o_orderkey",
+                  num_buckets=32)
+
+    empty = pa.table(
+        {"n_name": pa.array([], pa.string()),
+         "o_year": pa.array([], pa.int64()),
+         "profit_fp": pa.array([], pa.int64())}
+    )
+    fin_schema = pa.schema(
+        [("n_name", pa.string()), ("o_year", pa.int64()),
+         ("profit_fp", pa.int64()), ("__bucket", pa.int32())]
+    )
+
+    def final_part(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {"n_name": batch["n_name"].to_pylist(),
+             "o_year": batch["o_year"].to_numpy(zero_copy_only=False),
+             "profit_fp": batch["profit_fp"].to_numpy(
+                 zero_copy_only=False)}
+        ).groupby(["n_name", "o_year"], sort=False,
+                  as_index=False)["profit_fp"].sum()
+        g["__bucket"] = np.int32(0)
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            fin_schema
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.select(["n_name", "o_year", "profit_fp"]).to_pandas(
+        ).groupby(["n_name", "o_year"], sort=False,
+                  as_index=False)["profit_fp"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    return exchange_reduce(
+        j.map_batches(final_part, batch_format="pyarrow"), fold, empty, 1
+    )
+
+
+_Q11_NATION = "NATION_7"
+
+
+def _q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 shape (important stock), adapted: no partsupp, so a
+    part's "value" held by _Q11_NATION's suppliers is the fixed-point
+    SUM(l_extendedprice * l_quantity) over that nation's line items;
+    parts whose value exceeds 0.001 of the nation total survive. Scale
+    shape: the nation's supplier keys are a broadcast set (map-only
+    lineitem filter — the corpus side never shuffles on a dim); ONE
+    partkey exchange folds per-part partials; the global total is a
+    Dataset.sum over the bounded per-part rows (part count, not line
+    count); the threshold compare stays exact int64 (value*1000 >
+    total) so the oracle matches bit-for-bit."""
+    from webcollector_ray.functions.joins import (
+        _bucket_ids,
+        exchange_reduce,
+    )
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk = {
+        k for k, n in zip(nat["n_nationkey"].to_pylist(),
+                          nat["n_name"].to_pylist())
+        if n == _Q11_NATION
+    }
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skeys = pa.array(
+        sorted(
+            k for k, n in zip(supp["s_suppkey"].to_pylist(),
+                              supp["s_nationkey"].to_pylist())
+            if n in nk
+        ),
+        pa.int64(),
+    )
+
+    nb = 16
+    empty = pa.table(
+        {"l_partkey": pa.array([], pa.int64()),
+         "value_fp": pa.array([], pa.int64())}
+    )
+
+    def li_part(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch["l_suppkey"], value_set=skeys))
+        val = (
+            np.round(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            * np.round(
+                b["l_quantity"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+        )
+        g = pd.DataFrame(
+            {"l_partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+             "value_fp": val}
+        ).groupby("l_partkey", sort=False, as_index=False)[
+            "value_fp"
+        ].sum()
+        t = pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t["l_partkey"], nb))
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.select(["l_partkey", "value_fp"]).to_pandas().groupby(
+            "l_partkey", sort=False, as_index=False
+        )["value_fp"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice"],
+    ).map_batches(li_part, batch_format="pyarrow")
+    per_part = exchange_reduce(li, fold, empty, nb)
+    total = per_part.sum("value_fp")
+    return per_part.map_batches(
+        lambda b: b.filter(
+            pc.greater(
+                pc.multiply(b["value_fp"], pa.scalar(1000, pa.int64())),
+                pa.scalar(int(total), pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def _q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (shipping-mode priority census), adapted: no
+    l_shipmode / commit / receipt dates here, so l_linestatus plays
+    the mode axis and "late" means shipped more than 60 days after
+    the order date. Scale shape: ONE orderkey exchange joins lineitem
+    to (o_orderdate, o_orderpriority); the late filter and the
+    high/low conditional counts collapse per batch to a 2-row
+    universe, folded through a width-1 exchange."""
+    from webcollector_ray.functions.joins import exchange_reduce, hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                  num_buckets=32)
+
+    empty = pa.table(
+        {"l_linestatus": pa.array([], pa.string()),
+         "high_line_count": pa.array([], pa.int64()),
+         "low_line_count": pa.array([], pa.int64())}
+    )
+    part_schema = pa.schema(
+        [("l_linestatus", pa.string()), ("high_line_count", pa.int64()),
+         ("low_line_count", pa.int64()), ("__bucket", pa.int32())]
+    )
+    late_us = np.int64(60 * 86_400_000_000)
+
+    def part(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False
+                                            ).astype("datetime64[us]")
+        odate = batch["o_orderdate"].to_numpy(zero_copy_only=False
+                                              ).astype("datetime64[us]")
+        late = (ship.astype(np.int64) - odate.astype(np.int64)) > late_us
+        pri = np.asarray(batch["o_orderpriority"].to_pylist(),
+                         dtype=object)
+        high = np.isin(pri, _Q12_HIGH)
+        g = pd.DataFrame(
+            {"l_linestatus": batch["l_linestatus"].to_pylist(),
+             "high_line_count": (late & high).astype(np.int64),
+             "low_line_count": (late & ~high).astype(np.int64)}
+        ).groupby("l_linestatus", sort=False, as_index=False).sum()
+        g["__bucket"] = np.int32(0)
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            part_schema
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.select(
+            ["l_linestatus", "high_line_count", "low_line_count"]
+        ).to_pandas().groupby(
+            "l_linestatus", sort=False, as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            empty.schema
+        )
+
+    return exchange_reduce(
+        j.map_batches(part, batch_format="pyarrow"), fold, empty, 1
+    )
+
+
+def _q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted:
+    "late" is shipped more than 90 days after the order date (no
+    commit/receipt dates in this schema). A supplier is charged for a
+    finished ('F') order when the order used >=2 distinct suppliers
+    and that supplier is the ONLY late one. Scale shape: lineitem
+    collapses per (orderkey, suppkey, any_late) inside the orderkey
+    join exchange; the per-order exists/anti-exists test runs in the
+    per-bucket reduce (group state bounded by suppliers-per-order);
+    charged rows fold per supplier through a width-1 exchange
+    (supplier universe) and names attach from a broadcast dim."""
+    from webcollector_ray.functions.joins import (
+        _bucket_ids,
+        exchange_reduce,
+        hash_join,
+    )
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    sname_ref = ray.put(dict(zip(supp["s_suppkey"].to_pylist(),
+                                 supp["s_name"].to_pylist())))
+    late_us = np.int64(90 * 86_400_000_000)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["o_orderstatus"], pa.scalar("F"))
+        ).select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                  num_buckets=32)
+
+    nb = 16
+    ls_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("late", pa.int64())]
+    )
+
+    def ls_part(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False
+                                            ).astype("datetime64[us]")
+        odate = batch["o_orderdate"].to_numpy(zero_copy_only=False
+                                              ).astype("datetime64[us]")
+        late = (
+            (ship.astype(np.int64) - odate.astype(np.int64)) > late_us
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"l_orderkey": batch["l_orderkey"].to_numpy(
+                zero_copy_only=False),
+             "l_suppkey": batch["l_suppkey"].to_numpy(
+                 zero_copy_only=False),
+             "late": late}
+        ).groupby(["l_orderkey", "l_suppkey"], sort=False,
+                  as_index=False)["late"].max()
+        t = pa.Table.from_pandas(g, preserve_index=False).cast(ls_schema)
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t["l_orderkey"], nb))
+        )
+
+    charged_empty = pa.table(
+        {"l_suppkey": pa.array([], pa.int64()),
+         "numwait": pa.array([], pa.int64())}
+    )
+
+    def per_order(t: pa.Table) -> pa.Table:
+        # partials from different blocks may repeat a (order, supp)
+        # pair: max the late flag again, then apply the exists tests
+        df = t.select(["l_orderkey", "l_suppkey", "late"]).to_pandas(
+        ).groupby(["l_orderkey", "l_suppkey"], sort=False,
+                  as_index=False)["late"].max()
+        g = df.groupby("l_orderkey", sort=False)
+        stats = g["late"].agg(["sum", "count"])
+        ok = stats[(stats["count"] >= 2) & (stats["sum"] == 1)].index
+        hit = df[(df["l_orderkey"].isin(ok)) & (df["late"] == 1)]
+        out = hit.groupby("l_suppkey", sort=False, as_index=False).agg(
+            numwait=("late", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            charged_empty.schema
+        )
+
+    per_bucket = exchange_reduce(
+        j.map_batches(ls_part, batch_format="pyarrow"),
+        per_order, charged_empty, nb,
+    )
+
+    out_empty = pa.table(
+        {"s_name": pa.array([], pa.string()),
+         "numwait": pa.array([], pa.int64())}
+    )
+    fin_schema = pa.schema(
+        [("s_name", pa.string()), ("numwait", pa.int64()),
+         ("__bucket", pa.int32())]
+    )
+
+    def name_part(batch: pa.Table) -> pa.Table:
+        names = ray.get(sname_ref)
+        g = pd.DataFrame(
+            {"s_name": [names[k] for k in batch["l_suppkey"].to_pylist()],
+             "numwait": batch["numwait"].to_numpy(zero_copy_only=False)}
+        ).groupby("s_name", sort=False, as_index=False)["numwait"].sum()
+        g["__bucket"] = np.int32(0)
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            fin_schema
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.select(["s_name", "numwait"]).to_pandas().groupby(
+            "s_name", sort=False, as_index=False
+        )["numwait"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            out_empty.schema
+        )
+
+    return exchange_reduce(
+        per_bucket.map_batches(name_part, batch_format="pyarrow"),
+        fold, out_empty, 1,
+    )
+
+
 def _q_orders_price_rank(sf_dir: str):
     """Exact global row_number over (price desc, key asc) via range
     partitioning + prefix-sum offsets — never a full distributed
@@ -4949,6 +5375,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         # round-5 additions (inside the 50-row driver window so they
         # get a record the round they land)
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q21": _q_tpch_q21,
         "tpch_q8": _q_tpch_q8,
         "events_kmv_distinct": _q_events_kmv_distinct,
         "docs_editdist_pairs": _q_docs_editdist_pairs,
@@ -7977,6 +8407,75 @@ def _oracle_sql_static() -> dict[str, str]:
               AND ((ns.n_name = '{_Q7_N1}' AND nc.n_name = '{_Q7_N2}')
                 OR (ns.n_name = '{_Q7_N2}' AND nc.n_name = '{_Q7_N1}'))
             GROUP BY 1, 2, 3
+        """,
+        "tpch_q9": f"""
+            SELECT n.n_name,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       - 10 * CAST(round(p.p_retailprice * 100) AS BIGINT)
+                         * CAST(round(l.l_quantity) AS BIGINT)
+                   )::BIGINT AS profit_fp
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_type = '{_Q9_TYPE}'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2
+        """,
+        "tpch_q11": f"""
+            WITH pv AS (
+                SELECT l.l_partkey,
+                       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           * CAST(round(l.l_quantity) AS BIGINT)
+                       )::BIGINT AS value_fp
+                FROM lineitem l
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                WHERE n.n_name = '{_Q11_NATION}'
+                GROUP BY 1
+            )
+            SELECT l_partkey, value_fp FROM pv
+            WHERE value_fp * 1000 > (SELECT sum(value_fp) FROM pv)
+        """,
+        "tpch_q12": f"""
+            SELECT l.l_linestatus,
+                   sum(CASE WHEN o.o_orderpriority IN
+                            ('{_Q12_HIGH[0]}', '{_Q12_HIGH[1]}')
+                            THEN 1 ELSE 0 END)::BIGINT
+                       AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority NOT IN
+                            ('{_Q12_HIGH[0]}', '{_Q12_HIGH[1]}')
+                            THEN 1 ELSE 0 END)::BIGINT
+                       AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1
+        """,
+        "tpch_q21": """
+            WITH ls AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       max(CASE WHEN l.l_shipdate >
+                                     o.o_orderdate + INTERVAL 90 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderstatus = 'F'
+                GROUP BY 1, 2
+            ),
+            ord AS (
+                SELECT l_orderkey FROM ls
+                GROUP BY 1
+                HAVING count(*) >= 2 AND sum(late) = 1
+            )
+            SELECT s.s_name, count(*)::BIGINT AS numwait
+            FROM ls
+            JOIN ord USING (l_orderkey)
+            JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+            WHERE ls.late = 1
+            GROUP BY 1
         """,
         "tpch_q8": f"""
             SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
