@@ -4715,6 +4715,7 @@ def _q_docs_bpe_token_counts(sf_dir: str):
     (vocab_bpe_merges' trainer), apply them, and price every document
     in tokens — vocab encoded once, tf joined per word, summed per
     doc. The oracle replays the same merge chain in SQL."""
+    from webcollector_ray.functions.sketches import word_counts
     from webcollector_ray.functions.textstats import (
         bpe_encode_token_counts,
         bpe_train,
@@ -4723,8 +4724,10 @@ def _q_docs_bpe_token_counts(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    merges = bpe_train(ds, merges=6)
-    return bpe_encode_token_counts(ds, merges)
+    # ONE corpus->vocabulary exchange shared by train and encode
+    wc = word_counts(ds).materialize()
+    merges = bpe_train(ds, merges=6, wc=wc)
+    return bpe_encode_token_counts(ds, merges, wc=wc)
 
 
 def _bpe_encode_oracle(n_merges: int = 6) -> str:

@@ -2300,8 +2300,7 @@ def test_bpe_train_matches_sequential_reference(ray_session):
 
     t = pa.table({"doc_id": list(range(len(docs))),
                   "text": pa.array(docs, pa.string())})
-    got = bpe_train(rd.from_arrow(t), merges=5, num_buckets=4,
-                    pair_buckets=2).to_pandas()
+    got = bpe_train(rd.from_arrow(t), merges=5, num_buckets=4).to_pandas()
     assert list(zip(got["step"], got["pair"], got["n"])) == exp
 
 
@@ -2495,7 +2494,7 @@ def test_bpe_encode_token_counts_matches_reference(ray_session):
     t = pa.table({"doc_id": list(range(len(docs))),
                   "text": pa.array(docs, pa.string())})
     ds = rd.from_arrow(t).repartition(5)
-    mt = bpe_train(ds, merges=5, num_buckets=4, pair_buckets=2)
+    mt = bpe_train(ds, merges=5, num_buckets=4)
     got = (
         bpe_encode_token_counts(ds, mt, num_buckets=4)
         .to_pandas()

@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 # ---------------------------------------------------------------- tokens
 
 
@@ -304,35 +306,85 @@ def bpe_pair_counts(ds, *, text_col: str = "text", n: int = 50,
 _BPE_SEP = "\x1f"  # unit separator: joins symbols; never appears in words
 
 
+@ray.remote(num_cpus=1, num_returns=2)
+def _bpe_step(tbl: pa.Table, pat, repl, sep: str):
+    """One BPE-training wave over one vocab block: apply the
+    previously selected merge (pat=None on the first wave) and count
+    the block's symbol pairs. Returns (updated vocab block, small
+    (pair, n) partial table) — the vocab stays in the object store
+    between iterations, never re-planned through a Dataset."""
+    from collections import Counter
+
+    pair_schema = pa.schema([("pair", pa.string()), ("n", pa.int64())])
+    if tbl.num_rows == 0 or "tok" not in tbl.schema.names:
+        # empty exchange buckets pass through map_batches with the
+        # upstream (word, n) schema — nothing to merge or count
+        return (
+            pa.table({"tok": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())}),
+            pair_schema.empty_table(),
+        )
+    toks = tbl["tok"].to_pylist()
+    if pat is not None:
+        toks = [t.replace(pat, repl) for t in toks]
+    c: Counter = Counter()
+    for tok, cnt in zip(toks, tbl["n"].to_pylist()):
+        syms = tok.strip(sep).split(sep)
+        for a, b in zip(syms, syms[1:]):
+            c[a + " " + b] += cnt
+    pairs = list(c.keys())
+    new_tbl = pa.table(
+        {"tok": pa.array(toks, pa.string()), "n": tbl["n"]}
+    )
+    pair_tbl = pa.table(
+        {"pair": pa.array(pairs, pa.string()),
+         "n": pa.array([c[p] for p in pairs], pa.int64())}
+    )
+    return new_tbl, pair_tbl
+
+
+@ray.remote(num_cpus=1)
+def _bpe_argmax(*pair_tbls):
+    """Fold the per-block pair partials and pick the merge: max count,
+    ties pair-ascending (global_top_n's order). Pair space is
+    symbol-alphabet-bounded, so this single reduce task sees a small
+    table regardless of corpus size."""
+    t = pa.concat_tables(pair_tbls)
+    if t.num_rows == 0:
+        return None
+    g = t.to_pandas().groupby("pair", sort=False, as_index=False)[
+        "n"
+    ].sum()
+    best_n = g["n"].max()
+    return (g[g["n"] == best_n]["pair"].min(), int(best_n))
+
+
 def bpe_train(ds, *, text_col: str = "text", merges: int = 6,
-              num_buckets: int = 32, pair_buckets: int = 8):
+              num_buckets: int = 32, wc=None):
     """Iterative BPE tokenizer training (Sennrich et al. 2016): learn
     the first `merges` merge rules over the corpus. Returns a small
     pa.Table (step, pair, n) where pair is 'left right' and n its
     count at selection time; ties break pair-ascending.
 
     Scale shape: the corpus collapses to its VOCABULARY through one
-    word-hash exchange (word_counts), and every subsequent iteration
-    runs over vocab-sized data only — per iteration, one pair-hash
-    exchange sums pair partials, a top-1 tree reduce picks the merge,
-    and a streaming map_batches applies it to the distributed vocab
-    (materialized between iterations so lineage never re-derives the
-    corpus). The corpus word exchange is `num_buckets` wide; the
-    per-iteration pair exchange only `pair_buckets` — pair space is
-    vocab-bounded, so narrow buckets cut the 6x fixed exchange cost
-    (9.4 -> 4.0 s at sf0.01, identical output).
-    Merge application is single-pass left-to-right
-    non-overlapping (Python str.replace == SQL replace), on the
-    separator-bounded symbol string so a symbol can never match a
-    substring of a neighbor."""
-    from collections import Counter
-
-    from .joins import exchange_reduce
-    from .ranking import global_top_n
+    word-hash exchange (word_counts — pass a pre-materialized `wc`
+    to share that pass with the encode half), and every iteration
+    after that is exactly ONE raw task wave over the bucketed vocab
+    blocks (graph.py's pagerank precedent): each task applies the
+    previous merge and counts its block's pairs in the same pass,
+    and one small reduce task picks the argmax. No per-iteration
+    Dataset plans or materializations — the old
+    exchange+top-1+materialize loop cost 3 plan executions per merge
+    and dominated wall time with fixed scheduling cost.
+    Merge application is single-pass left-to-right non-overlapping
+    (Python str.replace == SQL replace), on the separator-bounded
+    symbol string so a symbol can never match a substring of a
+    neighbor."""
     from .sketches import word_counts
 
     sep = _BPE_SEP
-    wc = word_counts(ds, text_col=text_col, num_buckets=num_buckets)
+    if wc is None:
+        wc = word_counts(ds, text_col=text_col, num_buckets=num_buckets)
 
     def to_symbols(batch: pa.Table) -> pa.Table:
         toks, ns = [], []
@@ -347,79 +399,27 @@ def bpe_train(ds, *, text_col: str = "text", merges: int = 6,
              "n": pa.array(ns, pa.int64())}
         )
 
-    vocab = wc.map_batches(
-        to_symbols, batch_format="pyarrow"
-    ).materialize()
-
-    pair_empty = pa.table(
-        {"pair": pa.array([], pa.string()),
-         "n": pa.array([], pa.int64())}
+    refs = list(
+        wc.map_batches(to_symbols, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
     )
 
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for tok, cnt in zip(batch["tok"].to_pylist(),
-                            batch["n"].to_pylist()):
-            syms = tok.strip(sep).split(sep)
-            for a, b in zip(syms, syms[1:]):
-                c[a + " " + b] += cnt
-        pairs = list(c.keys())
-        h = pd.util.hash_array(
-            np.asarray(pairs, dtype=object), categorize=False
-        ) if pairs else np.zeros(0, np.uint64)
-        return pa.table(
-            {
-                "pair": pa.array(pairs, pa.string()),
-                "n": pa.array([c[p] for p in pairs], pa.int64()),
-                "__bucket": pa.array(
-                    (h % np.uint64(pair_buckets)).astype(np.int32)
-                ),
-            }
-        )
-
-    def sum_bucket(t: pa.Table) -> pa.Table:
-        df = t.select(["pair", "n"]).to_pandas()
-        g = df.groupby("pair", sort=False, as_index=False)["n"].sum()
-        return pa.table(
-            {"pair": pa.array(g["pair"], pa.string()),
-             "n": pa.array(g["n"].to_numpy(np.int64))}
-        )
-
     out_steps, out_pairs, out_ns = [], [], []
+    pat = repl = None
     for step in range(1, merges + 1):
-        summed = exchange_reduce(
-            vocab.map_batches(pair_partial, batch_format="pyarrow"),
-            sum_bucket, pair_empty, pair_buckets,
-        )
-        best = global_top_n(
-            summed, order_col="n", n=1, tie_col="pair"
-        ).to_pandas()
-        if best.empty:
+        waves = [_bpe_step.remote(r, pat, repl, sep) for r in refs]
+        refs = [w[0] for w in waves]
+        best = ray.get(_bpe_argmax.remote(*[w[1] for w in waves]))
+        if best is None:
             break
-        pair, n = str(best["pair"][0]), int(best["n"][0])
+        pair, n = best
         out_steps.append(step)
         out_pairs.append(pair)
         out_ns.append(n)
         left, right = pair.split(" ", 1)
         pat = sep + left + sep + right + sep
         repl = sep + left + right + sep
-
-        def apply_merge(batch: pa.Table, pat=pat, repl=repl) -> pa.Table:
-            return pa.table(
-                {
-                    "tok": pa.array(
-                        [t.replace(pat, repl)
-                         for t in batch["tok"].to_pylist()],
-                        pa.string(),
-                    ),
-                    "n": batch["n"],
-                }
-            )
-
-        if step < merges:
-            vocab = vocab.map_batches(
-                apply_merge, batch_format="pyarrow"
-            ).materialize()
 
     return pa.table(
         {
@@ -1462,7 +1462,7 @@ def bpe_apply_merges(word: str, merge_pairs, sep: str = _BPE_SEP) -> int:
 
 def bpe_encode_token_counts(ds, merges_tbl, *, text_col: str = "text",
                             id_col: str = "doc_id",
-                            num_buckets: int = 32):
+                            num_buckets: int = 32, wc=None):
     """Apply learned BPE merges to the corpus and count tokens per
     document — the encode half of the tokenizer (bpe_train is the
     learn half), the stage that prices a corpus in tokens for budget
@@ -1500,9 +1500,9 @@ def bpe_encode_token_counts(ds, merges_tbl, *, text_col: str = "text",
              "k": pa.array(ks, pa.int64())}
         )
 
-    wtok = word_counts(
-        ds, text_col=text_col, num_buckets=num_buckets
-    ).map_batches(encode_vocab, batch_format="pyarrow")
+    if wc is None:
+        wc = word_counts(ds, text_col=text_col, num_buckets=num_buckets)
+    wtok = wc.map_batches(encode_vocab, batch_format="pyarrow")
 
     def tf_rows(batch: pa.Table) -> pa.Table:
         ids, words, tfs = [], [], []
