@@ -653,8 +653,10 @@ def _q_tpch_q8(sf_dir: str):
     partkey exchange (1/6 selectivity cuts lineitem before any wide
     join); volume partials pre-aggregate per (orderkey, suppkey); the
     date-filtered orders join the region-filtered customers FIRST
-    (small side) before the big orderkey exchange; nation/region are
-    broadcast dims; the fold is YEARSx1 rows through a width-1
+    (small side) before the big orderkey exchange; nation/region AND
+    the target nation's supplier-key set are broadcast dims (the
+    share test runs on l_suppkey directly — no supplier join exchange
+    exists at all); the fold is YEARSx1 rows through a width-1
     exchange, and mkt_share is a ratio of exact fixed-point int64 sums
     so the double matches the oracle bit-for-bit."""
     import datetime as _dt
@@ -687,7 +689,22 @@ def _q_tpch_q8(sf_dir: str):
             nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()
         ) if n == _Q8_NATION
     }
-    tk_ref = ray.put(target_keys)
+    # broadcast the target nation's SUPPLIER key set (bounded dim):
+    # the volume rows then never need s_nationkey attached at all,
+    # which deletes the fourth hash-join exchange entirely
+    supp_dim = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    tsk_ref = ray.put(
+        np.sort(
+            np.asarray(
+                [k for k, n in zip(supp_dim["s_suppkey"].to_pylist(),
+                                   supp_dim["s_nationkey"].to_pylist())
+                 if n in target_keys],
+                dtype=np.int64,
+            )
+        )
+    )
     lo, hi = _dt.datetime(1995, 1, 1), _dt.datetime(1997, 1, 1)
 
     part_f = rd.read_parquet(
@@ -766,16 +783,10 @@ def _q_tpch_q8(sf_dir: str):
         ).select(["c_custkey"]),
         batch_format="pyarrow",
     )
-    supp = rd.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
-
     oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
                    num_buckets=16)
     j = hash_join(lp, oc, on="l_orderkey", right_on="o_orderkey",
                   num_buckets=32)
-    j = hash_join(j, supp, on="l_suppkey", right_on="s_suppkey",
-                  num_buckets=16)
 
     empty = pa.table(
         {
@@ -791,10 +802,10 @@ def _q_tpch_q8(sf_dir: str):
     )
 
     def final_part(batch: pa.Table) -> pa.Table:
-        tk = ray.get(tk_ref)
+        tsk = ray.get(tsk_ref)
         vol = batch["vol"].to_numpy(zero_copy_only=False)
-        sn = batch["s_nationkey"].to_numpy(zero_copy_only=False)
-        is_t = np.isin(sn, np.fromiter(tk, np.int64, len(tk))) if tk \
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        is_t = np.isin(sk, tsk) if len(tsk) \
             else np.zeros(len(batch), bool)
         g = pd.DataFrame(
             {
