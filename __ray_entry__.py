@@ -446,6 +446,17 @@ def _q_embeddings_outliers(sf_dir: str):
     return label_outliers(ds, k=10)
 
 
+def _q_embeddings_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: every vector's 5
+    most-cosine-similar CROSS-label neighbors — chunk-pair blocked
+    matmul sharing one slab per pair, partials reduced through one
+    anchor-hash exchange; the similarity matrix never exists."""
+    from webcollector_ray.functions.similarity import hard_negatives
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return hard_negatives(ds, k=5, target_chunk_rows=128)
+
+
 def _q_docs_zscore_by_lang(sf_dir: str):
     """Per-group z-score normalization: every document's length
     standardized against its language's population mean/stddev. Exact
@@ -5389,6 +5400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         # round-5 additions (inside the 50-row driver window so they
         # get a record the round they land)
+        "embeddings_hard_negatives": _q_embeddings_hard_negatives,
         "tpch_q9": _q_tpch_q9,
         "tpch_q11": _q_tpch_q11,
         "tpch_q12": _q_tpch_q12,
@@ -9246,6 +9258,25 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT x AS vec_id, min(y)::BIGINT AS cluster
             FROM reach GROUP BY x
+        """,
+        "embeddings_hard_negatives": """
+            WITH s AS (
+                SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+                       list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[])
+                         AS cosine
+                FROM embeddings a JOIN embeddings b
+                  ON a.label <> b.label
+            ), r AS (
+                SELECT anchor_id, neg_id,
+                       row_number() OVER (
+                           PARTITION BY anchor_id
+                           ORDER BY cosine DESC, neg_id ASC
+                       ) AS rnk
+                FROM s
+            )
+            SELECT anchor_id, rnk::BIGINT AS "rank", neg_id
+            FROM r WHERE rnk <= 5
         """,
         "knn_brute": """
             WITH q AS (

@@ -2506,3 +2506,72 @@ def test_bpe_encode_token_counts_matches_reference(ray_session):
     assert sum(got.values()) < sum(
         len(w) for d in docs for w in d.lower().split()
     )
+
+
+def test_hard_negatives_matches_bruteforce(ray_session):
+    """hard_negatives' chunk-pair partial-top-k path must equal the
+    whole-matrix brute force — anchors and candidates crossing chunk
+    boundaries (tiny target_chunk_rows), float32 storage quantization
+    included (reference computed from the SAME float32-rounded
+    matrix)."""
+    from webcollector_ray.functions.similarity import hard_negatives
+
+    n, d, k = 90, 8, 4
+    rng = np.random.RandomState(23)
+    M = rng.randn(n, d).astype(np.float32)
+    labels = (rng.randint(0, 3, size=n)).astype(np.int32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in M], pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }))
+
+    Mu = M.astype(np.float64)
+    Mu = Mu / np.linalg.norm(Mu, axis=1, keepdims=True)
+    S = Mu @ Mu.T
+    S[labels[:, None] == labels[None, :]] = -np.inf
+    want = {}
+    for a in range(n):
+        order = np.lexsort((np.arange(n), -S[a]))[:k]
+        want[a] = [int(j) for j in order if not np.isneginf(S[a, j])]
+
+    got = hard_negatives(
+        ds, k=k, target_chunk_rows=16
+    ).to_pandas().sort_values(["anchor_id", "rank"])
+    by_anchor = {
+        int(a): g["neg_id"].astype(int).tolist()
+        for a, g in got.groupby("anchor_id")
+    }
+    assert by_anchor == want
+    assert (got.groupby("anchor_id")["rank"].apply(
+        lambda r: list(r) == list(range(1, len(r) + 1))
+    )).all()
+
+
+def test_hard_negatives_all_same_label_and_empty(ray_session):
+    """A single-label corpus has NO cross-label negatives (zero rows,
+    stable schema); an empty corpus likewise."""
+    from webcollector_ray.functions.similarity import hard_negatives
+
+    rng = np.random.RandomState(5)
+    M = rng.randn(12, 4)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(12), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in M], pa.list_(pa.float32())),
+        "label": pa.array([1] * 12, pa.int32()),
+    }))
+    out = hard_negatives(ds, k=3, target_chunk_rows=5)
+    # NOTE: this Ray version's Dataset.to_pandas() drops columns on any
+    # zero-row dataset, so the schema contract is pinned at the Dataset
+    # level, where it survives.
+    assert out.count() == 0
+    assert out.schema().names == ["anchor_id", "rank", "neg_id"]
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32()),
+    }))
+    out2 = hard_negatives(empty, k=3)
+    assert out2.count() == 0
+    assert out2.schema().names == ["anchor_id", "rank", "neg_id"]

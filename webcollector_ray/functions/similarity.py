@@ -848,3 +848,162 @@ def label_outliers(
         n=k, descending=False, tie_col=id_col,
         num_buckets=num_buckets,
     )
+
+
+@ray.remote
+def _concat_unit_labeled(id_col: str, emb_col: str, label_col: str, *blocks):
+    """_concat_unit plus the label vector, sorted by id ASCENDING so a
+    STABLE argsort of -sims breaks cosine ties by the lower candidate
+    id — the SQL `ORDER BY cosine DESC, neg_id ASC` without any
+    per-row tie logic."""
+    ids: List[np.ndarray] = []
+    labs: List[np.ndarray] = []
+    mats = []
+    for t in blocks:
+        if len(t) == 0:
+            continue
+        ids.append(
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        labs.append(
+            t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        mats.append(_unit(_to_matrix(t[emb_col])))
+    if not ids:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            np.zeros((0, 1)),
+        )
+    aid = np.concatenate(ids)
+    order = np.argsort(aid, kind="stable")
+    return (
+        aid[order],
+        np.concatenate(labs)[order],
+        np.concatenate(mats)[order],
+    )
+
+
+def _hardneg_rows(ids_a, ids_b, S_masked, k: int):
+    """Per-anchor-row top-k of a (rows, cols) masked similarity slab.
+    Columns are id-ascending, so the stable argsort is exactly
+    (cosine DESC, id ASC); -inf (same-label) survivors are dropped."""
+    kk = min(k, S_masked.shape[1])
+    if kk == 0 or S_masked.shape[0] == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    top = np.argsort(-S_masked, axis=1, kind="stable")[:, :kk]
+    sims = np.take_along_axis(S_masked, top, axis=1)
+    anchors = np.repeat(ids_a, kk)
+    negs = ids_b[top.ravel()]
+    flat = sims.ravel()
+    keep = ~np.isneginf(flat)
+    return anchors[keep], negs[keep], flat[keep]
+
+
+@ray.remote
+def _chunk_hardneg_task(k: int, both: bool, left, right,
+                        strip: int = 2048) -> pa.Table:
+    """Partial cross-label top-k between two chunks, sharing one
+    matmul slab per strip for BOTH directions. Direction A (left rows
+    as anchors vs all right columns) is complete for this chunk pair;
+    direction B (right rows as anchors) emits each strip's per-column
+    top-k — a superset of the true top-k, since any candidate beaten
+    by >= k others globally is beaten by >= k within its own strip.
+    The cross-task reduce (top_n_per_group) re-sorts, so partial
+    emission never changes the result."""
+    ids_a, lab_a, ua = left
+    ids_b, lab_b, ub = right
+    a_out: List[np.ndarray] = []
+    n_out: List[np.ndarray] = []
+    s_out: List[np.ndarray] = []
+    for s in range(0, len(ids_a), strip):
+        sl = slice(s, s + strip)
+        S = ua[sl] @ ub.T
+        S = np.where(lab_a[sl, None] == lab_b[None, :], -np.inf, S)
+        a, n_, v = _hardneg_rows(ids_a[sl], ids_b, S, k)
+        a_out.append(a)
+        n_out.append(n_)
+        s_out.append(v)
+        if both:
+            a, n_, v = _hardneg_rows(ids_b, ids_a[sl], S.T, k)
+            a_out.append(a)
+            n_out.append(n_)
+            s_out.append(v)
+    cat = lambda xs, dt: (  # noqa: E731
+        np.concatenate(xs) if xs else np.zeros(0, dt)
+    )
+    return pa.table(
+        {
+            "anchor_id": pa.array(cat(a_out, np.int64), pa.int64()),
+            "neg_id": pa.array(cat(n_out, np.int64), pa.int64()),
+            "cosine": pa.array(cat(s_out, np.float64), pa.float64()),
+        }
+    )
+
+
+def hard_negatives(
+    ds,
+    *,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    target_chunk_rows: int = 4096,
+    num_buckets: int = 32,
+):
+    """Hard-negative mining for contrastive training: for EVERY anchor
+    vector, its k most-cosine-similar vectors with a DIFFERENT label
+    -> Dataset (anchor_id, rank, neg_id), rank 1..k by cosine DESC,
+    ties by neg_id ASC. Anchors whose every candidate shares their
+    label emit fewer (possibly zero) rows.
+
+    Scale shape (same as cosine_pairs_blocked): K ~= N /
+    target_chunk_rows chunks, one task per unordered chunk pair
+    sharing a single matmul slab for both anchor directions; per-task
+    working set is two chunks + a strip x chunk slab; partials are
+    O(k) rows per (anchor, chunk), reduced to the global per-anchor
+    top-k through ONE anchor-hash exchange (top_n_per_group) — the
+    full similarity matrix never exists and nothing materializes on
+    the driver."""
+    import ray.data as rd
+
+    from .ranking import top_n_per_group
+
+    slim = ds.select_columns([id_col, emb_col, label_col]).materialize()
+    n = slim.count()
+    empty = pa.table(
+        {
+            "anchor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "neg_id": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return rd.from_arrow(empty)
+    kc = max(1, -(-n // target_chunk_rows))
+    blocks = list(slim.to_arrow_refs())
+    kc = min(kc, len(blocks))
+    chunk_refs = [
+        _concat_unit_labeled.remote(id_col, emb_col, label_col, *blocks[g::kc])
+        for g in range(kc)
+    ]
+    out = [
+        _chunk_hardneg_task.remote(
+            k, i != j, chunk_refs[i], chunk_refs[j]
+        )
+        for i in range(kc)
+        for j in range(i, kc)
+    ]
+    ranked = top_n_per_group(
+        rd.from_arrow_refs(out),
+        key_col="anchor_id", order_col="cosine", n=k,
+        tie_col="neg_id", num_buckets=num_buckets,
+    )
+    if ranked.count() == 0:
+        # all-same-label corpus: Dataset.to_pandas() over zero-row
+        # blocks drops the schema, so hand back the typed empty. The
+        # exchange's blocks already live in the object store — this
+        # count is a metadata fold, not a recompute.
+        return rd.from_arrow(empty)
+    return ranked.select_columns(["anchor_id", "rank", "neg_id"])
