@@ -4374,6 +4374,32 @@ def _q_crawl_assortativity(sf_dir: str):
 
 
 _KCORE_K, _KCORE_ROUNDS = 3, 3
+_LPA_ITERS = 3
+_RA_TOP_K = 50
+
+
+def _q_crawl_communities(sf_dir: str):
+    """Synchronous label-propagation communities over the synthetic
+    web's link graph (fixed 3 iterations, ties to the smallest label
+    — order-free and cross-engine exact)."""
+    from webcollector_ray.functions.graph import label_propagation
+
+    return label_propagation(
+        _crawl_edges_ds(sf_dir), iters=_LPA_ITERS,
+        src_col="src_url", dst_col="target_url", num_buckets=8,
+    )
+
+
+def _q_crawl_link_prediction(sf_dir: str):
+    """Resource-Allocation link prediction over the link graph: top-50
+    non-adjacent pairs by sum(SCALE // deg(common neighbor)) — int64
+    fixed point, the integer-exact cousin of Adamic-Adar."""
+    from webcollector_ray.functions.graph import ra_link_prediction
+
+    return ra_link_prediction(
+        _crawl_edges_ds(sf_dir), k=_RA_TOP_K,
+        src_col="src_url", dst_col="target_url", num_buckets=8,
+    )
 
 
 def _q_crawl_kcore(sf_dir: str):
@@ -5401,6 +5427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 additions (inside the 50-row driver window so they
         # get a record the round they land)
         "embeddings_hard_negatives": _q_embeddings_hard_negatives,
+        "crawl_communities": _q_crawl_communities,
+        "crawl_link_prediction": _q_crawl_link_prediction,
         "tpch_q9": _q_tpch_q9,
         "tpch_q11": _q_tpch_q11,
         "tpch_q12": _q_tpch_q12,
@@ -7515,6 +7543,68 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY v
     """
     out["crawl_kcore"] = kcore_sql
+    lpa_sql = _crawl_edges_cte() + """,
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ),
+        sym AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+        ),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT u AS node, u AS label FROM sym
+        )"""
+    for it in range(1, _LPA_ITERS + 1):
+        lpa_sql += f""",
+        v{it} AS MATERIALIZED (
+            SELECT s.u AS node, l.label, count(*)::BIGINT AS c
+            FROM sym s JOIN l{it - 1} l ON l.node = s.v
+            GROUP BY s.u, l.label
+        ),
+        l{it} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                FROM v{it}
+            ) WHERE rn = 1
+        )"""
+    lpa_sql += f"""
+        SELECT node AS url, label AS community FROM l{_LPA_ITERS}
+    """
+    out["crawl_communities"] = lpa_sql
+    from webcollector_ray.functions.graph import SCALE as _GRAPH_SCALE
+
+    out["crawl_link_prediction"] = _crawl_edges_cte() + f""",
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ),
+        sym AS MATERIALIZED (
+            SELECT a AS ctr, b AS nbr FROM und
+            UNION ALL SELECT b, a FROM und
+        ),
+        deg AS MATERIALIZED (
+            SELECT ctr AS v, count(*)::BIGINT AS d FROM sym GROUP BY ctr
+        ),
+        wedge AS (
+            SELECT s1.nbr AS a, s2.nbr AS b, s1.ctr AS w
+            FROM sym s1 JOIN sym s2
+              ON s1.ctr = s2.ctr AND s1.nbr < s2.nbr
+        ),
+        sc AS (
+            SELECT wedge.a, wedge.b,
+                   sum({_GRAPH_SCALE} // d.d)::BIGINT AS ra_fp
+            FROM wedge JOIN deg d ON d.v = wedge.w
+            GROUP BY wedge.a, wedge.b
+        ),
+        nonadj AS (
+            SELECT sc.a, sc.b, sc.ra_fp FROM sc
+            LEFT JOIN und ON und.a = sc.a AND und.b = sc.b
+            WHERE und.a IS NULL
+        )
+        SELECT a, b, ra_fp FROM nonadj
+        ORDER BY ra_fp DESC, a, b LIMIT {_RA_TOP_K}
+    """
     out["docs_length_pct"] = f"""
         WITH t AS (
             SELECT doc_id, {_NTOK}::BIGINT AS n_tokens FROM documents

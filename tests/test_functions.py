@@ -2575,3 +2575,98 @@ def test_hard_negatives_all_same_label_and_empty(ray_session):
     out2 = hard_negatives(empty, k=3)
     assert out2.count() == 0
     assert out2.schema().names == ["anchor_id", "rank", "neg_id"]
+
+
+def _random_digraph(n=40, m=160, seed=7):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, n, size=m)
+    dst = rng.randint(0, n, size=m)
+    names = [f"n{i:02d}" for i in range(n)]
+    return pa.table({
+        "src": pa.array([names[s] for s in src], pa.string()),
+        "dst": pa.array([names[d] for d in dst], pa.string()),
+    })
+
+
+def _und_simple(edges):
+    und = set()
+    for s, d in zip(edges["src"].to_pylist(), edges["dst"].to_pylist()):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    return und
+
+
+def test_label_propagation_matches_sequential(ray_session):
+    """Synchronous LPA vs a sequential reference model: per iteration
+    every node takes the most frequent neighbor label, ties to the
+    smallest label — exact across bucket layouts."""
+    from collections import Counter
+
+    from webcollector_ray.functions.graph import label_propagation
+
+    edges = _random_digraph()
+    und = _und_simple(edges)
+    nbrs: dict = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {v: v for v in nbrs}
+    iters = 3
+    for _ in range(iters):
+        new = {}
+        for v, ns in nbrs.items():
+            c = Counter(labels[w] for w in ns)
+            best = max(c.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in kv[0]]))
+            # tie -> smallest label: re-derive explicitly
+            top = max(c.values())
+            new[v] = min(l for l, n in c.items() if n == top)
+        labels = new
+
+    out = label_propagation(
+        rd.from_arrow(edges), iters=iters, src_col="src", dst_col="dst",
+        num_buckets=4,
+    ).to_pandas()
+    got = dict(zip(out["url"], out["community"]))
+    assert got == labels
+    # structure smoke: at least one multi-node community emerged
+    from collections import Counter as C2
+    assert max(C2(got.values()).values()) >= 2
+
+
+def test_ra_link_prediction_matches_bruteforce(ray_session):
+    """RA top-k vs a brute-force reference: integer fixed-point sums
+    over common neighbors, existing edges excluded, (score DESC, a, b)
+    order."""
+    from webcollector_ray.functions.graph import SCALE, ra_link_prediction
+
+    edges = _random_digraph(n=30, m=90, seed=11)
+    und = _und_simple(edges)
+    nbrs: dict = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    scores: dict = {}
+    for w, ns in nbrs.items():
+        d = len(ns)
+        if d < 2:
+            continue
+        wfp = SCALE // d
+        ns_s = sorted(ns)
+        for i in range(d):
+            for j in range(i + 1, d):
+                pair = (ns_s[i], ns_s[j])
+                if pair in und:
+                    continue
+                scores[pair] = scores.get(pair, 0) + wfp
+    k = 15
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    want = [(a, b, fp) for (a, b), fp in want]
+
+    out = ra_link_prediction(
+        rd.from_arrow(edges), k=k, src_col="src", dst_col="dst",
+        num_buckets=4,
+    ).to_pandas().sort_values(
+        ["ra_fp", "a", "b"], ascending=[False, True, True]
+    )
+    got = list(zip(out["a"], out["b"], out["ra_fp"].astype(int)))
+    assert got == want

@@ -1319,3 +1319,267 @@ def assortativity_sums(
             }
         )
     )
+
+
+def _sym_simple_edges(edges_ds, src_col: str, dst_col: str,
+                      num_buckets: int):
+    """Symmetrized SIMPLE edge blocks (ctr, nbr), ctr-hash bucketed:
+    direction and self-loops dropped, parallel edges collapsed. Both
+    copies of an undirected edge land in their own ctr bucket; the
+    per-bucket drop_duplicates is globally exact because every
+    duplicate of (ctr, nbr) shares ctr and therefore the bucket."""
+    from .joins import exchange_reduce
+
+    def sym(batch: pa.Table) -> pa.Table:
+        df = batch.select([src_col, dst_col]).to_pandas()
+        df = df[df[src_col] != df[dst_col]]
+        ctr = pd.concat([df[src_col], df[dst_col]], ignore_index=True)
+        nbr = pd.concat([df[dst_col], df[src_col]], ignore_index=True)
+        out = pd.DataFrame({"ctr": ctr, "nbr": nbr}).drop_duplicates()
+        return pa.table(
+            {
+                "ctr": pa.array(out["ctr"], pa.string()),
+                "nbr": pa.array(out["nbr"], pa.string()),
+                "__bucket": pa.array(
+                    _tag_by(out["ctr"].to_numpy(dtype=object), num_buckets)
+                ),
+            }
+        )
+
+    s_empty = pa.table(
+        {"ctr": pa.array([], pa.string()), "nbr": pa.array([], pa.string())}
+    )
+    return exchange_reduce(
+        edges_ds.map_batches(sym, batch_format="pyarrow"),
+        lambda t: pa.Table.from_pandas(
+            t.select(["ctr", "nbr"]).to_pandas().drop_duplicates(),
+            preserve_index=False,
+        ),
+        s_empty, num_buckets,
+    ).materialize()
+
+
+@ray.remote
+def _lp_init(sym_block: pa.Table) -> pa.Table:
+    urls = sorted(set(sym_block["ctr"].to_pylist()))
+    return pa.table(
+        {"url": pa.array(urls, pa.string()),
+         "label": pa.array(urls, pa.string())}
+    )
+
+
+@ray.remote
+def _lp_zip(num_buckets: int, sym_block, labels_block):
+    """Labels merge onto the co-bucketed sym edges by provider (ctr);
+    each (nbr, label-of-ctr) vote splits by the RECEIVER's hash."""
+    empty = [None] * num_buckets
+    if (
+        sym_block is None or labels_block is None
+        or len(sym_block) == 0 or len(labels_block) == 0
+    ):
+        return empty[0] if num_buckets == 1 else tuple(empty)
+    e = sym_block.select(["ctr", "nbr"]).to_pandas()
+    lab = labels_block.to_pandas().rename(columns={"url": "ctr"})
+    m = e.merge(lab, on="ctr")
+    vs = m["nbr"].tolist()
+    t = pa.table(
+        {
+            "v": pa.array(vs, pa.string()),
+            "label": pa.array(m["label"].tolist(), pa.string()),
+            "__bucket": pa.array(_tag_by(vs, num_buckets)),
+        }
+    )
+    b = t["__bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
+    shuffled = t.take(pa.array(order))
+    out = []
+    for i in range(num_buckets):
+        lo, hi = bounds[i], bounds[i + 1]
+        out.append(shuffled.slice(lo, hi - lo) if hi > lo else None)
+    return out[0] if num_buckets == 1 else tuple(out)
+
+
+@ray.remote
+def _lp_vote(labels_block: pa.Table, *parts) -> pa.Table:
+    """Per-node majority vote: most frequent incoming label, ties to
+    the lexicographically smallest label. Every node in this engine's
+    node set has degree >= 1 (nodes are derived from edges), but a
+    node whose votes are absent keeps its current label anyway."""
+    cur = labels_block.to_pandas()
+    tabs = [t for t in parts if t is not None and len(t)]
+    if not tabs:
+        return labels_block
+    cat = pa.concat_tables(tabs).to_pandas()
+    counts = (
+        cat.groupby(["v", "label"], sort=False).size().reset_index(name="c")
+    )
+    counts = counts.sort_values(
+        ["v", "c", "label"], ascending=[True, False, True], kind="mergesort"
+    )
+    win = counts.drop_duplicates("v", keep="first")[["v", "label"]]
+    merged = cur.drop(columns=["label"]).merge(
+        win.rename(columns={"v": "url", "label": "new"}),
+        on="url", how="left",
+    )
+    new = merged["new"].fillna(cur["label"]).tolist()
+    return pa.table(
+        {"url": labels_block["url"], "label": pa.array(new, pa.string())}
+    )
+
+
+def label_propagation(
+    edges_ds,
+    *,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+):
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007) on the undirected simple graph -> Dataset (url, community).
+    Init: every node labels itself with its own url. Per iteration
+    (SYNCHRONOUS, so the result is order-free and cross-engine exact):
+    new label = the most frequent label among the node's neighbors,
+    ties to the lexicographically SMALLEST label. A fixed iteration
+    count makes sync oscillation a non-issue and keeps the SQL oracle
+    an unrolled CTE chain (kcore precedent).
+
+    Shape: pagerank_fixed's layout — ONE node-hash partitioning shared
+    by the symmetrized edge blocks (bucketed by the label PROVIDER)
+    and every label vector; each iteration is exactly two raw task
+    waves (zip labels onto co-bucketed edges splitting votes by the
+    receiver hash; per-bucket majority vote updating in place). Label
+    state never collects on the driver."""
+    import ray.data as rd
+
+    sym = _sym_simple_edges(edges_ds, src_col, dst_col, num_buckets)
+    sym_refs = _bucket_refs(sym, num_buckets)
+    # node set = distinct ctr per bucket (every node appears as ctr in
+    # its own bucket after symmetrization), already hash-aligned
+    label_refs = [_lp_init.remote(r) for r in sym_refs]
+    for _ in range(iters):
+        parts = [
+            _lp_zip.options(num_returns=num_buckets).remote(
+                num_buckets, e, lb
+            )
+            for e, lb in zip(sym_refs, label_refs)
+        ]
+        if num_buckets == 1:
+            parts = [[p] for p in parts]
+        label_refs = [
+            _lp_vote.remote(label_refs[b], *[p[b] for p in parts])
+            for b in range(num_buckets)
+        ]
+
+    @ray.remote
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["url", "community"])
+
+    return rd.from_arrow_refs([rename.remote(r) for r in label_refs])
+
+
+def ra_link_prediction(
+    edges_ds,
+    *,
+    k: int = 50,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+    max_center_degree: int | None = None,
+):
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009):
+    for every NON-adjacent pair (a, b) of the undirected simple graph
+    sharing >= 1 common neighbor w, score ra_fp = sum over w of
+    SCALE // deg(w) — int64 fixed point, so the distributed sum is
+    cross-engine exact (Adamic-Adar's 1/log would not be). Returns the
+    top-k candidate pairs by (ra_fp DESC, a ASC, b ASC) as a Dataset
+    (a, b, ra_fp).
+
+    Shape: wedges emit from each CENTER's ctr-bucketed neighbor list
+    (weight fixed by the center's degree, known in-bucket); existing-
+    edge markers ride the same pair-hash exchange (triangle_count
+    precedent), so the anti-join is in-bucket; the per-pair sum is one
+    exchange and the top-k is global_top_n's n-per-block reduce.
+    Shuffle volume is O(#wedges) = sum deg(w)^2 — at web scale cap hub
+    centers with max_center_degree (drops their wedges, a documented
+    approximation; default None = exact)."""
+    import ray.data as rd
+
+    from .ranking import global_top_n
+    from .joins import exchange_reduce
+
+    sym = _sym_simple_edges(edges_ds, src_col, dst_col, num_buckets)
+
+    def wedges(batch: pa.Table) -> pa.Table:
+        df = batch.select(["ctr", "nbr"]).to_pandas()
+        a_o: list = []
+        b_o: list = []
+        w_o: list = []
+        for _, nb in df.groupby("ctr", sort=False)["nbr"]:
+            d = len(nb)
+            if max_center_degree is not None and d > max_center_degree:
+                continue
+            if d < 2:
+                continue
+            wfp = SCALE // d
+            ns = sorted(nb)
+            for i in range(d):
+                for j in range(i + 1, d):
+                    a_o.append(ns[i])
+                    b_o.append(ns[j])
+                    w_o.append(wfp)
+        # canonical existing-edge markers (ctr < nbr rows appear
+        # exactly once globally) ride the same pair-hash exchange
+        e = df[df["ctr"] < df["nbr"]]
+        a_o += e["ctr"].tolist()
+        b_o += e["nbr"].tolist()
+        w_o += [-1] * len(e)
+        key = np.asarray(
+            [f"{a}\x00{b}" for a, b in zip(a_o, b_o)], dtype=object
+        )
+        bk = _tag_by(key, num_buckets)
+        return pa.table(
+            {
+                "a": pa.array(a_o, pa.string()),
+                "b": pa.array(b_o, pa.string()),
+                "w": pa.array(w_o, pa.int64()),
+                "__bucket": pa.array(bk),
+            }
+        )
+
+    p_empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "ra_fp": pa.array([], pa.int64()),
+        }
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        df = t.select(["a", "b", "w"]).to_pandas()
+        adj = df[df["w"] < 0][["a", "b"]]
+        wdg = df[df["w"] >= 0]
+        if not len(wdg):
+            return p_empty
+        s = wdg.groupby(["a", "b"], sort=False)["w"].sum().reset_index()
+        s = s.merge(adj, on=["a", "b"], how="left", indicator=True)
+        s = s[s["_merge"] == "left_only"]
+        return pa.table(
+            {
+                "a": pa.array(s["a"], pa.string()),
+                "b": pa.array(s["b"], pa.string()),
+                "ra_fp": pa.array(
+                    s["w"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    scored = exchange_reduce(
+        sym.map_batches(wedges, batch_format="pyarrow"),
+        score, p_empty, num_buckets,
+    )
+    return global_top_n(
+        scored, order_col="ra_fp", n=k, descending=True,
+        tie_col=["a", "b"],
+    )
