@@ -820,16 +820,32 @@ def triangle_count(
     w_empty = pa.table({"n": pa.array([], pa.int64())})
 
     def wedges(batch: pa.Table) -> pa.Table:
-        # per low endpoint: all pairs of its higher neighbours
-        df = batch.select(["a", "b"]).to_pandas()
-        vs, ws, kinds = [], [], []
-        for _, nb in df.groupby("a", sort=False)["b"]:
-            ns = sorted(nb)
-            for i in range(len(ns)):
-                for j in range(i + 1, len(ns)):
-                    vs.append(ns[i])
-                    ws.append(ns[j])
-                    kinds.append("W")
+        # per low endpoint: all pairs of its higher neighbours —
+        # vectorized by degree class (all endpoints with equal degree
+        # d share one np.triu_indices(d), pairs emitted as one fancy-
+        # index over a (endpoints, d) neighbor matrix)
+        df = batch.select(["a", "b"]).to_pandas().sort_values(
+            ["a", "b"], kind="mergesort"
+        )
+        nbr_v = df["b"].to_numpy(dtype=object)
+        _, starts, sizes = np.unique(
+            df["a"].to_numpy(dtype=object),
+            return_index=True, return_counts=True,
+        )
+        vs_p: list = []
+        ws_p: list = []
+        for d in np.unique(sizes):
+            d = int(d)
+            if d < 2:
+                continue
+            sel = starts[sizes == d]
+            nb = nbr_v[sel[:, None] + np.arange(d)[None, :]]
+            iu, ju = np.triu_indices(d, k=1)
+            vs_p.append(nb[:, iu].ravel())
+            ws_p.append(nb[:, ju].ravel())
+        vs = list(np.concatenate(vs_p)) if vs_p else []
+        ws = list(np.concatenate(ws_p)) if ws_p else []
+        kinds = ["W"] * len(vs)
         # edge markers ride the same exchange under their pair hash
         vs += df["a"].tolist()
         ws += df["b"].tolist()
@@ -1512,23 +1528,40 @@ def ra_link_prediction(
     sym = _sym_simple_edges(edges_ds, src_col, dst_col, num_buckets)
 
     def wedges(batch: pa.Table) -> pa.Table:
-        df = batch.select(["ctr", "nbr"]).to_pandas()
-        a_o: list = []
-        b_o: list = []
-        w_o: list = []
-        for _, nb in df.groupby("ctr", sort=False)["nbr"]:
-            d = len(nb)
-            if max_center_degree is not None and d > max_center_degree:
+        # vectorized by DEGREE CLASS: all centers of equal degree d
+        # share one np.triu_indices(d) and emit their pairs as one
+        # (centers, pairs)-shaped fancy-index — no per-center Python
+        df = batch.select(["ctr", "nbr"]).to_pandas().sort_values(
+            ["ctr", "nbr"], kind="mergesort"
+        )
+        nbr_v = df["nbr"].to_numpy(dtype=object)
+        _, starts, sizes = np.unique(
+            df["ctr"].to_numpy(dtype=object),
+            return_index=True, return_counts=True,
+        )
+        a_parts: list = []
+        b_parts: list = []
+        w_parts: list = []
+        for d in np.unique(sizes):
+            d = int(d)
+            if d < 2 or (
+                max_center_degree is not None and d > max_center_degree
+            ):
                 continue
-            if d < 2:
-                continue
-            wfp = SCALE // d
-            ns = sorted(nb)
-            for i in range(d):
-                for j in range(i + 1, d):
-                    a_o.append(ns[i])
-                    b_o.append(ns[j])
-                    w_o.append(wfp)
+            sel = starts[sizes == d]
+            nb = nbr_v[sel[:, None] + np.arange(d)[None, :]]
+            iu, ju = np.triu_indices(d, k=1)
+            a_parts.append(nb[:, iu].ravel())
+            b_parts.append(nb[:, ju].ravel())
+            w_parts.append(
+                np.full(len(sel) * len(iu), SCALE // d, dtype=np.int64)
+            )
+        cat = lambda xs: (  # noqa: E731
+            np.concatenate(xs) if xs else np.zeros(0, dtype=object)
+        )
+        a_o = list(cat(a_parts))
+        b_o = list(cat(b_parts))
+        w_o = list(cat(w_parts).astype(np.int64)) if w_parts else []
         # canonical existing-edge markers (ctr < nbr rows appear
         # exactly once globally) ride the same pair-hash exchange
         e = df[df["ctr"] < df["nbr"]]
