@@ -61,12 +61,19 @@ def test_graph_ops_partition_invariant(ray_session):
     src = rng.choice(nodes, 150).tolist()
     dst = rng.choice(nodes, 150).tolist()
     t = pa.table({"src": src, "dst": dst})
+    from webcollector_ray.functions.graph import (
+        label_propagation,
+        ra_link_prediction,
+    )
+
     for fn in (
         lambda ds: hits_fixed(ds, iters=2, num_buckets=4),
         lambda ds: pagerank_seeded(
             ds, ["n0", "n1"], iters=2, num_buckets=4
         ),
         lambda ds: kcore_peel(ds, k=3, rounds=2, num_buckets=4),
+        lambda ds: label_propagation(ds, iters=3, num_buckets=4),
+        lambda ds: ra_link_prediction(ds, k=20, num_buckets=4),
     ):
         a = _canon(fn(_split_ds(t, 1)).to_pandas())
         b = _canon(fn(_split_ds(t, 6)).to_pandas())
