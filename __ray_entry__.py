@@ -5468,10 +5468,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16": _q_tpch_q16,
         "tpch_q17": _q_tpch_q17,
         "part_copurchase": _q_part_copurchase,
-        # positions 51+: the three sacrificed from the 50-row driver
-        # window this round — chosen because their kernels have the
-        # strongest independent pinning (top_n_per_group tie tests,
-        # trivially mirrored JSON extraction, per-key mode count test)
+        # positions 51+: sacrificed from the 50-row driver window this
+        # round (tpch_q16/q17, part_copurchase and the three below) —
+        # chosen because their kernels have the strongest independent
+        # pinning (top_n_per_group tie tests, trivially mirrored JSON
+        # extraction, per-key mode count test, shared TPC-H machinery
+        # recorded via sibling queries); all are check_oracle-green at
+        # the final commit (166/166 sweep, see BASELINE.md)
         "events_user_mode": _q_events_user_mode,
         "docs_per_source_cap": _q_docs_per_source_cap,
         "events_props_k": _q_events_props_k,
