@@ -76,7 +76,9 @@ def main() -> None:
         degree_histogram,
         hits_fixed,
         kcore_peel,
+        label_propagation,
         pagerank_fixed,
+        ra_link_prediction,
     )
 
     t_synth0 = time.time()
@@ -104,6 +106,14 @@ def main() -> None:
         ("kcore_k3_3r", lambda ds: kcore_peel(
             ds, k=3, rounds=3, num_buckets=32)),
         ("degree_hist", lambda ds: degree_histogram(ds, num_buckets=32)),
+        ("lpa_3it", lambda ds: label_propagation(
+            ds, iters=3, num_buckets=32)),
+        # RA with the hub knob ON (max_center_degree=64): the 1,000
+        # hot-core centers (undirected degree ~n/1000) would each emit
+        # deg^2/2 wedges — the knob drops them, which is exactly its
+        # documented at-scale role; regular centers stay exact
+        ("ra_top50_hubcap64", lambda ds: ra_link_prediction(
+            ds, k=50, num_buckets=32, max_center_degree=64)),
     ]
     for name, fn in ops:
         ds = rd.from_arrow(edges_tbl)

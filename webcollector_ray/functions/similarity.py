@@ -120,18 +120,68 @@ def knn_brute(
 
 
 @ray.remote
-def _concat_unit(id_col: str, emb_col: str, *blocks):
-    """Concat id + unit-normalized embedding matrix from Arrow blocks;
+def _block_len(t: pa.Table) -> int:
+    return len(t)
+
+
+def _chunk_slice_specs(blocks, kc: int):
+    """Row-range chunk layout INDEPENDENT of the input block layout:
+    kc chunks of ~equal row count, each described as a list of
+    (block_index, offset, length) covering a contiguous global row
+    range. A single-block input (ray.data from_arrow, a coalesced
+    materialize) still fans out into kc chunk-build tasks — Arrow
+    slicing is zero-copy, and each task receives only the blocks its
+    range overlaps."""
+    lens = ray.get([_block_len.remote(b) for b in blocks])
+    total = int(sum(lens))
+    if total == 0 or kc <= 0:
+        return []
+    kc = min(kc, total)
+    cuts = np.linspace(0, total, kc + 1).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    specs = []
+    for g in range(kc):
+        lo, hi = int(cuts[g]), int(cuts[g + 1])
+        if hi <= lo:
+            continue
+        spec = []
+        for bi, (bs, be) in enumerate(zip(starts[:-1], starts[1:])):
+            s, e = max(lo, int(bs)), min(hi, int(be))
+            if e > s:
+                spec.append((bi, s - int(bs), e - s))
+        specs.append(spec)
+    return specs
+
+
+@ray.remote
+def _concat_unit(id_col: str, emb_col: str, slices, *blocks):
+    """Concat id + unit-normalized embedding matrix from Arrow block
+    slices ((local_index, offset, length) into *blocks, zero-copy);
     runs as a task so the full matrix lives in the object store only."""
     ids: List[int] = []
     mats = []
-    for t in blocks:
+    for bi, off, ln in slices:
+        t = blocks[bi].slice(off, ln)
         if len(t) == 0:
             continue
         ids.extend(t[id_col].to_pylist())
         mats.append(_unit(_to_matrix(t[emb_col])))
     full = np.concatenate(mats) if mats else np.zeros((0, 1))
     return np.asarray(ids), full
+
+
+def _chunk_unit_refs(blocks, kc: int, build_task, *args):
+    """Launch one build task per row-range chunk, passing each task
+    ONLY the blocks its range overlaps (re-indexed locally)."""
+    out = []
+    for spec in _chunk_slice_specs(blocks, kc):
+        bis = sorted({bi for bi, _, _ in spec})
+        remap = {bi: i for i, bi in enumerate(bis)}
+        local = [(remap[bi], off, ln) for bi, off, ln in spec]
+        out.append(
+            build_task.remote(*args, local, *[blocks[bi] for bi in bis])
+        )
+    return out
 
 
 def cosine_pairs_exact(
@@ -160,7 +210,11 @@ def cosine_pairs_exact(
             f"max_rows={max_rows}); use cosine_pairs_blocked or "
             "dedup.embedding_dedup_pairs at scale"
         )
-    full_ref = _concat_unit.remote(id_col, emb_col, *slim.to_arrow_refs())
+    blocks = list(slim.to_arrow_refs())
+    refs = _chunk_unit_refs(blocks, 1, _concat_unit, id_col, emb_col)
+    full_ref = refs[0] if refs else ray.put(
+        (np.zeros(0, np.int64), np.zeros((0, 1)))
+    )
     ds = slim
 
     def block_pairs(batch: pa.Table) -> pa.Table:
@@ -230,8 +284,10 @@ def cosine_pairs_blocked(
     """Exact all-pairs cosine-threshold self-join, chunk-pair block
     matmul — the scale-shaped EXACT path (VERDICT r2 §next.1).
 
-    Shape: rows are grouped into K ~= N / target_chunk_rows chunks
-    (round-robin over the materialized Arrow block refs — exactness
+    Shape: rows are grouped into K ~= N / target_chunk_rows chunks by
+    GLOBAL ROW RANGE over the materialized Arrow block refs (zero-copy
+    slices, so chunking is independent of the input block layout — a
+    single-block input still fans out into K build tasks; exactness
     does not depend on which rows share a chunk, so no value exchange
     is needed). One task per unordered chunk pair (K*(K+1)/2 tasks)
     pulls exactly two chunks from the object store and emits its pairs.
@@ -252,10 +308,8 @@ def cosine_pairs_blocked(
         return rd.from_arrow(empty)
     k = max(1, -(-n // target_chunk_rows))
     blocks = list(slim.to_arrow_refs())
-    k = min(k, len(blocks))
-    chunk_refs = [
-        _concat_unit.remote(id_col, emb_col, *blocks[g::k]) for g in range(k)
-    ]
+    chunk_refs = _chunk_unit_refs(blocks, k, _concat_unit, id_col, emb_col)
+    k = len(chunk_refs)
     out = [
         _chunk_pair_task.remote(threshold, i == j, chunk_refs[i], chunk_refs[j])
         for i in range(k)
@@ -851,15 +905,16 @@ def label_outliers(
 
 
 @ray.remote
-def _concat_unit_labeled(id_col: str, emb_col: str, label_col: str, *blocks):
-    """_concat_unit plus the label vector, sorted by id ASCENDING so a
-    STABLE argsort of -sims breaks cosine ties by the lower candidate
-    id — the SQL `ORDER BY cosine DESC, neg_id ASC` without any
-    per-row tie logic."""
+def _concat_unit_labeled(id_col: str, emb_col: str, label_col: str,
+                         slices, *blocks):
+    """_concat_unit plus the label vector, built from zero-copy block
+    slices ((local_index, offset, length) into *blocks) and sorted by
+    id ASCENDING so candidate order is deterministic."""
     ids: List[np.ndarray] = []
     labs: List[np.ndarray] = []
     mats = []
-    for t in blocks:
+    for bi, off, ln in slices:
+        t = blocks[bi].slice(off, ln)
         if len(t) == 0:
             continue
         ids.append(
@@ -885,20 +940,24 @@ def _concat_unit_labeled(id_col: str, emb_col: str, label_col: str, *blocks):
 
 
 def _hardneg_rows(ids_a, ids_b, S_masked, k: int):
-    """Per-anchor-row top-k of a (rows, cols) masked similarity slab.
-    Columns are id-ascending, so the stable argsort is exactly
-    (cosine DESC, id ASC); -inf (same-label) survivors are dropped."""
-    kk = min(k, S_masked.shape[1])
-    if kk == 0 or S_masked.shape[0] == 0:
+    """Per-anchor-row top-k candidates of a (rows, cols) masked
+    similarity slab: np.partition finds each row's k-th largest value,
+    then EVERY column >= it is emitted — a strict superset of the true
+    top-k under any tie order (exactly k rows when values are
+    distinct), so the final per-anchor exchange (which re-sorts by
+    cosine DESC, id ASC) stays exact while this stage avoids a full
+    argsort (the slab sort was 7x the matmul cost at 50k rows)."""
+    ncols = S_masked.shape[1]
+    if ncols == 0 or S_masked.shape[0] == 0:
         z = np.zeros(0, np.int64)
         return z, z, np.zeros(0, np.float64)
-    top = np.argsort(-S_masked, axis=1, kind="stable")[:, :kk]
-    sims = np.take_along_axis(S_masked, top, axis=1)
-    anchors = np.repeat(ids_a, kk)
-    negs = ids_b[top.ravel()]
-    flat = sims.ravel()
-    keep = ~np.isneginf(flat)
-    return anchors[keep], negs[keep], flat[keep]
+    if k >= ncols:
+        keep = ~np.isneginf(S_masked)
+    else:
+        vk = np.partition(S_masked, ncols - k, axis=1)[:, ncols - k]
+        keep = (S_masked >= vk[:, None]) & ~np.isneginf(S_masked)
+    xs, ys = np.nonzero(keep)
+    return ids_a[xs], ids_b[ys], S_masked[xs, ys]
 
 
 @ray.remote
@@ -983,11 +1042,10 @@ def hard_negatives(
         return rd.from_arrow(empty)
     kc = max(1, -(-n // target_chunk_rows))
     blocks = list(slim.to_arrow_refs())
-    kc = min(kc, len(blocks))
-    chunk_refs = [
-        _concat_unit_labeled.remote(id_col, emb_col, label_col, *blocks[g::kc])
-        for g in range(kc)
-    ]
+    chunk_refs = _chunk_unit_refs(
+        blocks, kc, _concat_unit_labeled, id_col, emb_col, label_col
+    )
+    kc = len(chunk_refs)
     out = [
         _chunk_hardneg_task.remote(
             k, i != j, chunk_refs[i], chunk_refs[j]
