@@ -2185,6 +2185,267 @@ def _q_tpch_q21(sf_dir: str):
     )
 
 
+_Q2_REGION, _Q2_TYPE, _Q2_SIZE = "EUROPE", "SMALL", 15
+
+
+def _q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: no partsupp
+    table, so a (part, supplier) pair's supply cost is the MIN
+    l_extendedprice (fixed-point cents) over that pair's line items;
+    for every _Q2_SIZE/_Q2_TYPE part, every _Q2_REGION supplier
+    achieving the part's minimum cost survives (Q2's correlated MIN
+    keeps ties, like the reference query). Scale shape: the filtered
+    partkey set and the regional supplier dim (name, acctbal, nation)
+    broadcast once via ray.put; lineitem filters map-side on both and
+    collapses to per-(part,supp) local minima BEFORE the single
+    partkey-hash exchange, where the correlated per-part minimum and
+    the tie-keeping filter run inside the bucket; output attrs attach
+    from the broadcast dims — no fact-table shuffle, three dim reads."""
+    from webcollector_ray.functions.joins import _bucket_ids, exchange_reduce
+
+    nb = 16
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rkey = {
+        k for k, n in zip(reg["r_regionkey"].to_pylist(),
+                          reg["r_name"].to_pylist())
+        if n == _Q2_REGION
+    }
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    nname = {
+        k: n for k, n, r in zip(nat["n_nationkey"].to_pylist(),
+                                nat["n_name"].to_pylist(),
+                                nat["n_regionkey"].to_pylist())
+        if r in rkey
+    }
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    sdim = {
+        k: (nm, int(round(ab * 100)), nname[n])
+        for k, nm, n, ab in zip(supp["s_suppkey"].to_pylist(),
+                                supp["s_name"].to_pylist(),
+                                supp["s_nationkey"].to_pylist(),
+                                supp["s_acctbal"].to_pylist())
+        if n in nname
+    }
+    sdim_ref = ray.put(sdim)
+    skeys = np.sort(np.fromiter(sdim, np.int64, len(sdim)))
+    skeys_ref = ray.put(skeys)
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type", "p_size", "p_brand"],
+    )
+    pmask = pc.and_(
+        pc.equal(part["p_type"], pa.scalar(_Q2_TYPE)),
+        pc.equal(part["p_size"], pa.scalar(_Q2_SIZE, pa.int32())),
+    )
+    pf = part.filter(pmask)
+    pbrand = dict(zip(pf["p_partkey"].to_pylist(),
+                      pf["p_brand"].to_pylist()))
+    pkeys = np.sort(pf["p_partkey"].to_numpy(zero_copy_only=False))
+    pkeys_ref = ray.put(pkeys)
+    pbrand_ref = ray.put(pbrand)
+
+    tag_schema = pa.schema(
+        [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("cost_fp", pa.int64()), ("__bucket", pa.int32())]
+    )
+
+    def li_filter(batch: pa.Table) -> pa.Table:
+        pk_set = ray.get(pkeys_ref)
+        sk_set = ray.get(skeys_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        hit_p, _ = _in_sorted(pk_set, lpk)
+        hit_s, _ = _in_sorted(sk_set, lsk)
+        hit = hit_p & hit_s
+        cost = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+            * 100
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"l_partkey": lpk[hit], "l_suppkey": lsk[hit],
+             "cost_fp": cost}
+        ).groupby(["l_partkey", "l_suppkey"], sort=False,
+                  as_index=False)["cost_fp"].min()
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        t = t.append_column(
+            "__bucket", pa.array(_bucket_ids(t["l_partkey"], nb))
+        )
+        return t.cast(tag_schema)
+
+    empty = pa.table(
+        {"s_acctbal_fp": pa.array([], pa.int64()),
+         "s_name": pa.array([], pa.string()),
+         "n_name": pa.array([], pa.string()),
+         "p_partkey": pa.array([], pa.int64()),
+         "p_brand": pa.array([], pa.string()),
+         "cost_fp": pa.array([], pa.int64())}
+    )
+
+    def bucket_min(t: pa.Table) -> pa.Table:
+        df = t.select(["l_partkey", "l_suppkey", "cost_fp"]).to_pandas()
+        if not len(df):
+            return empty
+        # re-min across blocks, then keep every pair at the part min
+        df = df.groupby(["l_partkey", "l_suppkey"], sort=False,
+                        as_index=False)["cost_fp"].min()
+        mc = df.groupby("l_partkey", sort=False)["cost_fp"].transform(
+            "min"
+        )
+        win = df[df["cost_fp"] == mc]
+        sd = ray.get(sdim_ref)
+        pb = ray.get(pbrand_ref)
+        rows = [sd[int(k)] for k in win["l_suppkey"]]
+        return pa.table(
+            {"s_acctbal_fp": pa.array(
+                [r[1] for r in rows], pa.int64()),
+             "s_name": pa.array([r[0] for r in rows], pa.string()),
+             "n_name": pa.array([r[2] for r in rows], pa.string()),
+             "p_partkey": pa.array(
+                 win["l_partkey"].to_numpy(np.int64), pa.int64()),
+             "p_brand": pa.array(
+                 [pb[int(k)] for k in win["l_partkey"]], pa.string()),
+             "cost_fp": pa.array(
+                 win["cost_fp"].to_numpy(np.int64), pa.int64())}
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(li_filter, batch_format="pyarrow")
+    return exchange_reduce(li, bucket_min, empty, nb)
+
+
+_Q20_PREFIX, _Q20_NATION = "small", "NATION_18"
+_Q20_LO, _Q20_HI = "1996-01-01", "1997-01-01"
+
+
+def _q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 shape (potential part promotion), adapted: no
+    partsupp availqty, so a supplier qualifies for a part when its
+    shipped quantity of that _Q20_PREFIX-named part inside the
+    [_Q20_LO, _Q20_HI) ship-year exceeds HALF the part's total shipped
+    quantity that year (the availqty > 0.5*sum(qty) analogue on the
+    data we have), and the supplier sits in _Q20_NATION. Output is
+    the distinct (s_suppkey, s_name) list. Scale shape: filtered
+    partkeys broadcast once; lineitem filters map-side and collapses
+    per (part, supp) locally; ONE partkey exchange computes the
+    part total and the 2*q > total share test in-bucket (correlated
+    sum never leaves the bucket, Q17 precedent); qualifiers are
+    (suppkey)-only rows folded distinct through a width-1 exchange —
+    bounded by the nation's supplier dim, not the fact table."""
+    from webcollector_ray.functions.joins import (
+        _bucket_ids,
+        exchange_reduce,
+        fold_single,
+    )
+
+    nb = 16
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk = {
+        k for k, n in zip(nat["n_nationkey"].to_pylist(),
+                          nat["n_name"].to_pylist())
+        if n == _Q20_NATION
+    }
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    sname = {
+        k: nm for k, nm, n in zip(supp["s_suppkey"].to_pylist(),
+                                  supp["s_name"].to_pylist(),
+                                  supp["s_nationkey"].to_pylist())
+        if n in nk
+    }
+    sname_ref = ray.put(sname)
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    pmask = pc.starts_with(part["p_name"], _Q20_PREFIX)
+    pkeys = np.sort(
+        part.filter(pmask)["p_partkey"].to_numpy(zero_copy_only=False)
+    )
+    pkeys_ref = ray.put(pkeys)
+    lo = np.datetime64(_Q20_LO, "us")
+    hi = np.datetime64(_Q20_HI, "us")
+
+    tag_schema = pa.schema(
+        [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("q", pa.int64()), ("__bucket", pa.int32())]
+    )
+
+    def li_filter(batch: pa.Table) -> pa.Table:
+        pk_set = ray.get(pkeys_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        hit, _ = _in_sorted(pk_set, lpk)
+        hit &= (sd >= lo) & (sd < hi)
+        qty = np.round(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)[hit]
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"l_partkey": lpk[hit],
+             "l_suppkey": batch["l_suppkey"].to_numpy(
+                 zero_copy_only=False)[hit],
+             "q": qty}
+        ).groupby(["l_partkey", "l_suppkey"], sort=False,
+                  as_index=False)["q"].sum()
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        t = t.append_column(
+            "__bucket", pa.array(_bucket_ids(t["l_partkey"], nb))
+        )
+        return t.cast(tag_schema)
+
+    mid_empty = pa.table({"l_suppkey": pa.array([], pa.int64())})
+
+    def bucket_share(t: pa.Table) -> pa.Table:
+        df = t.select(["l_partkey", "l_suppkey", "q"]).to_pandas()
+        if not len(df):
+            return mid_empty
+        df = df.groupby(["l_partkey", "l_suppkey"], sort=False,
+                        as_index=False)["q"].sum()
+        tot = df.groupby("l_partkey", sort=False)["q"].transform("sum")
+        win = df[2 * df["q"] > tot]
+        return pa.table(
+            {"l_suppkey": pa.array(
+                np.unique(win["l_suppkey"].to_numpy(np.int64)),
+                pa.int64(),
+            )}
+        )
+
+    out_empty = pa.table(
+        {"s_suppkey": pa.array([], pa.int64()),
+         "s_name": pa.array([], pa.string())}
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        sn = ray.get(sname_ref)
+        ks = np.unique(t["l_suppkey"].to_numpy(zero_copy_only=False))
+        keep = [int(k) for k in ks if int(k) in sn]
+        return pa.table(
+            {"s_suppkey": pa.array(keep, pa.int64()),
+             "s_name": pa.array([sn[k] for k in keep], pa.string())}
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(li_filter, batch_format="pyarrow")
+    qual = exchange_reduce(li, bucket_share, mid_empty, nb)
+    return fold_single(qual, fold, out_empty)
+
+
 def _q_orders_price_rank(sf_dir: str):
     """Exact global row_number over (price desc, key asc) via range
     partitioning + prefix-sum offsets — never a full distributed
@@ -5433,6 +5694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q11": _q_tpch_q11,
         "tpch_q12": _q_tpch_q12,
         "tpch_q21": _q_tpch_q21,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q20": _q_tpch_q20,
         "tpch_q8": _q_tpch_q8,
         "events_kmv_distinct": _q_events_kmv_distinct,
         "docs_editdist_pairs": _q_docs_editdist_pairs,
@@ -8572,6 +8835,63 @@ def _oracle_sql_static() -> dict[str, str]:
             JOIN orders o ON o.o_orderkey = l.l_orderkey
             WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
             GROUP BY 1
+        """,
+        "tpch_q2": f"""
+            WITH cost AS (
+                SELECT l_partkey, l_suppkey,
+                       min(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       ) AS cost_fp
+                FROM lineitem
+                WHERE l_partkey IN (
+                          SELECT p_partkey FROM part
+                          WHERE p_type = '{_Q2_TYPE}'
+                            AND p_size = {_Q2_SIZE}
+                      )
+                  AND l_suppkey IN (
+                          SELECT s_suppkey
+                          FROM supplier
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+                          WHERE r_name = '{_Q2_REGION}'
+                      )
+                GROUP BY 1, 2
+            ), best AS (
+                SELECT l_partkey, min(cost_fp) AS mc
+                FROM cost GROUP BY 1
+            )
+            SELECT CAST(round(s.s_acctbal * 100) AS BIGINT)
+                       AS s_acctbal_fp,
+                   s.s_name, n.n_name,
+                   c.l_partkey AS p_partkey, p.p_brand, c.cost_fp
+            FROM cost c
+            JOIN best b ON c.l_partkey = b.l_partkey
+                       AND c.cost_fp = b.mc
+            JOIN supplier s ON c.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN part p ON c.l_partkey = p.p_partkey
+        """,
+        "tpch_q20": f"""
+            WITH agg AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS q
+                FROM lineitem
+                WHERE l_partkey IN (
+                          SELECT p_partkey FROM part
+                          WHERE p_name LIKE '{_Q20_PREFIX}%'
+                      )
+                  AND l_shipdate >= DATE '{_Q20_LO}'
+                  AND l_shipdate <  DATE '{_Q20_HI}'
+                GROUP BY 1, 2
+            ), tot AS (
+                SELECT l_partkey, sum(q) AS tq FROM agg GROUP BY 1
+            )
+            SELECT DISTINCT s.s_suppkey, s.s_name
+            FROM agg a
+            JOIN tot t ON a.l_partkey = t.l_partkey
+            JOIN supplier s ON a.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE 2 * a.q > t.tq
+              AND n.n_name = '{_Q20_NATION}'
         """,
         "tpch_q21": """
             WITH ls AS (
