@@ -37,6 +37,9 @@ PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
             "MACHINERY"]
 BRANDS = [f"Brand#{i}" for i in range(1, 26)]
+ADJS = ["small", "red", "blue", "hot", "green"]
+NOUNS = ["ring", "widget", "bolt", "gear", "gizmo"]
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
 FLAGS = ["A", "N", "R"]
 EPOCH = np.datetime64("1995-01-01")
@@ -189,8 +192,16 @@ def synth_shard(out_dir: str, table: str, shard: int, lo: int, hi: int,
         t = pa.table(
             {
                 "p_partkey": pa.array(idx),
+                # testdata-style "adj noun" names so Q20's LIKE
+                # 'small%' prefix filter is selective, not empty
                 "p_name": pa.array(
-                    [f"part {i}" for i in idx], pa.string()
+                    [f"{a} {n}" for a, n in zip(
+                        _pick(ADJS, (r >> np.uint64(40))
+                              % np.uint64(len(ADJS))),
+                        _pick(NOUNS, (r >> np.uint64(44))
+                              % np.uint64(len(NOUNS))),
+                    )],
+                    pa.string(),
                 ),
                 "p_brand": pa.array(
                     _pick(BRANDS, r % np.uint64(25)),
@@ -241,7 +252,8 @@ def synth_warehouse(out_dir: str, mult: int) -> dict:
                 n_cust, n_supp, n_part, lines_per_order,
             ))
     ray.get(futs)
-    # nation is a true dim — tiny, written inline
+    # nation/region are true dims — tiny, written inline; the
+    # nationkey % 5 region mapping mirrors the driver testdata
     pq.write_table(
         pa.table(
             {
@@ -252,9 +264,23 @@ def synth_warehouse(out_dir: str, mult: int) -> dict:
                     [f"NATION_{i}" for i in range(N_NATIONS)],
                     pa.string(),
                 ),
+                "n_regionkey": pa.array(
+                    (np.arange(N_NATIONS) % 5).astype(np.int64)
+                ),
             }
         ),
         f"{out_dir}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(
+                    np.arange(len(REGIONS), dtype=np.int64)
+                ),
+                "r_name": pa.array(REGIONS, pa.string()),
+            }
+        ),
+        f"{out_dir}/region.parquet",
     )
     return {"orders": n_orders, "lineitem": n_lineitem,
             "customer": n_cust, "supplier": n_supp, "part": n_part}
