@@ -122,7 +122,9 @@ def test_cuckoo_no_false_negatives_and_delete(ray_session):
         num_shards=4, bits_per_shard=1 << 16, backend="cuckoo"
     )
     keys = [f"http://h{i}.test/p{i}" for i in range(500)]
-    first = f.add_and_check(keys)
+    # delete-paired inserts go through the multiset add() (every add
+    # stores a copy, so delete never strips another key's fingerprint)
+    first = f.add(keys)
     assert not first.any()            # nothing seen before
     assert f.check(keys).all()        # no false negatives after insert
     other = f.check([f"http://new{i}.test/" for i in range(500)])
@@ -137,6 +139,41 @@ def test_cuckoo_no_false_negatives_and_delete(ray_session):
     assert f.approx_size() == 250
     # deleting an absent key reports False and is a no-op
     assert not f.delete(["http://absent.test/"]).any()
+    f.shutdown()
+
+
+def test_cuckoo_multiset_add_keeps_colliding_key_after_delete(ray_session):
+    # regression: two DISTINCT keys engineered to share fingerprint
+    # (bits 48-63) and primary bucket (low bits) — under multiset
+    # add(), deleting one must not create a false negative for the
+    # other (add_and_check would have skipped the second insert on
+    # the false-positive 'seen' and left delete() unbalanced)
+    import ray
+
+    from webcollector_ray.state.seen import _CuckooShard
+
+    s = _CuckooShard.remote(1024)
+    h1 = np.array([0x123456789ABCDEF0], dtype=np.uint64)
+    h2 = h1 ^ np.uint64(1 << 20)  # same fp, same buckets, different key
+    assert not ray.get(s.add.remote(h1))[0]
+    assert ray.get(s.add.remote(h2))[0]    # collision: reported seen
+    assert ray.get(s.delete.remote(h2))[0]  # removes h2's OWN copy
+    assert ray.get(s.check.remote(h1))[0]   # h1 survives
+    assert ray.get(s.delete.remote(h1))[0]
+    assert not ray.get(s.check.remote(h1))[0]
+
+
+def test_cuckoo_multiset_add_delete_balance(ray_session):
+    # N adds of one key support exactly N deletes
+    f = ShardedSeenFilter(num_shards=1, bits_per_shard=1 << 14,
+                          backend="cuckoo")
+    k = ["http://recrawl.test/"]
+    assert not f.add(k)[0]
+    assert f.add(k)[0]
+    assert f.add(k)[0]
+    assert f.delete(k)[0] and f.delete(k)[0] and f.delete(k)[0]
+    assert not f.check(k)[0]
+    assert not f.delete(k)[0]
     f.shutdown()
 
 

@@ -117,7 +117,9 @@ class _CuckooShard:
         self.mask = np.uint64(nb - 1)
         self.table = np.zeros((nb, self.SLOTS), dtype=np.uint16)
         self.fill = np.zeros(nb, dtype=np.int64)
-        self.stash: set = set()  # overflow keys after MAX_KICKS
+        # overflow keys after MAX_KICKS; counted so multiset add()
+        # copies stay delete-balanced even in the stash
+        self.stash: dict = {}
         self.count = 0
         self._kick_state = np.uint64(0x2545F4914F6CDD1D)
 
@@ -197,27 +199,52 @@ class _CuckooShard:
                 )[0]
             )
         # table effectively full: keep exactness in the stash
-        self.stash.add(int(key_hash))
+        k = int(key_hash)
+        self.stash[k] = self.stash.get(k, 0) + 1
+
+    def _insert(self, hashes: np.ndarray) -> None:
+        """Store one fingerprint copy per element (two-bucket wave,
+        then bounded kick walk for the stragglers)."""
+        fp = self._fp(hashes)
+        i1 = self._i1(hashes)
+        placed = self._place_wave(fp, i1)
+        if not placed.all():
+            i2 = self._alt(i1[~placed], fp[~placed])
+            placed2 = self._place_wave(fp[~placed], i2)
+            rem = np.flatnonzero(~placed)[~placed2]
+            for j in rem:
+                self._kick_insert(int(fp[j]), int(i1[j]), int(hashes[j]))
+        self.count += len(hashes)
 
     def add_and_check(self, hashes: np.ndarray) -> np.ndarray:
-        """Insert every key; return mask of keys (probably) present
-        BEFORE this call (pre-state, matching _BloomShard: intra-batch
-        duplicates are each reported unseen)."""
+        """Insert keys not (probably) present; return mask of keys
+        (probably) present BEFORE this call (pre-state, matching
+        _BloomShard: intra-batch duplicates are each reported unseen).
+
+        Space-bounded under re-adds (a key re-encountered at every
+        crawl depth never grows the table), but NOT delete-safe: a
+        false-positive "seen" skips the insert, so a later delete()
+        of that key would strip a DIFFERENT key's fingerprint and
+        create a false negative. Keys that may be delete()d must go
+        through the multiset add() instead."""
         if len(hashes) == 0:
             return np.zeros(0, dtype=bool)
         seen = self._contains(hashes)
         new_h = np.unique(hashes[~seen])  # insert each new key once
         if len(new_h):
-            fp = self._fp(new_h)
-            i1 = self._i1(new_h)
-            placed = self._place_wave(fp, i1)
-            if not placed.all():
-                i2 = self._alt(i1[~placed], fp[~placed])
-                placed2 = self._place_wave(fp[~placed], i2)
-                rem = np.flatnonzero(~placed)[~placed2]
-                for j in rem:
-                    self._kick_insert(int(fp[j]), int(i1[j]), int(new_h[j]))
-            self.count += len(new_h)
+            self._insert(new_h)
+        return seen
+
+    def add(self, hashes: np.ndarray) -> np.ndarray:
+        """Multiset insert: EVERY element stores a fingerprint copy,
+        even when already (probably) present — the standard cuckoo
+        insert (Fan et al. CoNEXT'14 §3: deletion is safe only for
+        items actually inserted), and the only add that pairs with
+        delete(). Returns the pre-state mask like add_and_check."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        seen = self._contains(hashes)
+        self._insert(hashes)
         return seen
 
     def delete(self, hashes: np.ndarray) -> np.ndarray:
@@ -232,8 +259,12 @@ class _CuckooShard:
         i1 = self._i1(hashes)
         i2 = self._alt(i1, fp)
         for j in range(len(hashes)):
-            if int(hashes[j]) in self.stash:
-                self.stash.discard(int(hashes[j]))
+            k = int(hashes[j])
+            if k in self.stash:
+                if self.stash[k] > 1:
+                    self.stash[k] -= 1
+                else:
+                    del self.stash[k]
                 out[j] = True
                 self.count -= 1
                 continue
@@ -299,6 +330,30 @@ class ShardedSeenFilter:
             result[idx] = ray.get(fut)
         return result
 
+    def add(self, keys: Sequence[str]) -> np.ndarray:
+        """Multiset insert (cuckoo: one fingerprint copy per call even
+        for keys already reported seen; bloom: identical to
+        add_and_check). The ONLY add that is safe to pair with
+        delete(): under add_and_check a false-positive 'seen' skips
+        the insert, so deleting that key later would strip a
+        different key's fingerprint. Returns the already-seen mask."""
+        if not len(keys):
+            return np.zeros(0, dtype=bool)
+        hashes, shard_ids = self._route(keys)
+        result = np.zeros(len(keys), dtype=bool)
+        method = "add" if self.backend == "cuckoo" else "add_and_check"
+        futures = {}
+        for s in range(self.num_shards):
+            idx = np.nonzero(shard_ids == s)[0]
+            if len(idx):
+                futures[s] = (
+                    idx,
+                    getattr(self.shards[s], method).remote(hashes[idx]),
+                )
+        for s, (idx, fut) in futures.items():
+            result[idx] = ray.get(fut)
+        return result
+
     def check(self, keys: Sequence[str]) -> np.ndarray:
         if not len(keys):
             return np.zeros(0, dtype=bool)
@@ -316,7 +371,10 @@ class ShardedSeenFilter:
     def delete(self, keys: Sequence[str]) -> np.ndarray:
         """Unmark keys (cuckoo backend only): the recrawl path — a URL
         whose fetch record expired becomes generatable again without
-        rebuilding the filter. Returns the was-present mask."""
+        rebuilding the filter. Returns the was-present mask. Only
+        sound for keys admitted via the multiset add() (every add
+        stores a copy, so a delete can never strip another key's
+        fingerprint); keys from add_and_check must not be deleted."""
         if self.backend != "cuckoo":
             raise NotImplementedError(
                 "delete() needs the cuckoo backend; bloom bits cannot "
