@@ -310,12 +310,17 @@ def main() -> None:
     # Self-contained round record (VERDICT r4 §wrong.2): the driver's
     # stdout tail window truncated BENCH_r04 to 52/120 per-query
     # timings, so the FULL result is also written to a committed
-    # artifact file that cannot be cut off.
+    # artifact file that cannot be cut off. Headline-only and
+    # --scaling runs carry NO per-query dict and must not clobber the
+    # committed full-sweep record (that lost the shipped 166q capture
+    # once) — they land in last_headline.json instead.
     try:
         art_dir = os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "bench_artifacts")
         os.makedirs(art_dir, exist_ok=True)
-        with open(os.path.join(art_dir, "last_queries.json"), "w") as f:
+        name = ("last_queries.json" if result.get("queries")
+                else "last_headline.json")
+        with open(os.path.join(art_dir, name), "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
     except OSError:
         pass  # a read-only checkout must not fail the bench
