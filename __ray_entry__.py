@@ -4634,6 +4634,30 @@ def _q_crawl_assortativity(sf_dir: str):
     )
 
 
+_LM_COUNT, _LM_DEPTH = 8, 6
+
+
+def _q_crawl_landmark_dists(sf_dir: str):
+    """Landmark BFS distances over the link graph: exact min-hop
+    distance from the first `_LM_COUNT` site seeds (each site's
+    list-0) to every page reachable within `_LM_DEPTH` directed hops
+    — the distance-oracle / seed-proximity feature (Potamias et al.
+    2009) next to pagerank_seeded's mass-propagation variant. Two
+    bucket-aligned raw task waves per BFS round, k x n int16 state
+    per bucket, nothing on the driver."""
+    from webcollector_ray.functions.graph import bfs_landmarks
+
+    spec = _crawl_spec(sf_dir)
+    lms = [
+        f"http://site{i}.test/list-0.html"
+        for i in range(min(_LM_COUNT, spec.num_sites))
+    ]
+    return bfs_landmarks(
+        _crawl_edges_ds(sf_dir), lms, max_depth=_LM_DEPTH,
+        src_col="src_url", dst_col="target_url", num_buckets=8,
+    )
+
+
 _KCORE_K, _KCORE_ROUNDS = 3, 3
 _LPA_ITERS = 3
 _RA_TOP_K = 50
@@ -5687,6 +5711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         # round-5 additions (inside the 50-row driver window so they
         # get a record the round they land)
+        "crawl_landmark_dists": _q_crawl_landmark_dists,
         "embeddings_hard_negatives": _q_embeddings_hard_negatives,
         "crawl_communities": _q_crawl_communities,
         "crawl_link_prediction": _q_crawl_link_prediction,
@@ -7761,6 +7786,26 @@ def oracle_sql() -> dict[str, str]:
         FROM und
         JOIN deg da ON da.v = und.a
         JOIN deg db ON db.v = und.b
+    """
+    out["crawl_landmark_dists"] = _crawl_edges_cte().replace(
+        "WITH params", "WITH RECURSIVE params", 1
+    ) + f""",
+        lms AS (
+            SELECT site AS lm_idx,
+                   'http://site' || site || '.test/list-0.html' AS v
+            FROM sites
+            WHERE site < least({_LM_COUNT},
+                               (SELECT num_sites FROM params))
+        ),
+        reach(lm_idx, v, d) AS (
+            SELECT lm_idx, v, 0 FROM lms
+            UNION
+            SELECT r.lm_idx, e.dst, r.d + 1
+            FROM reach r JOIN edges e ON e.src = r.v
+            WHERE r.d < {_LM_DEPTH}
+        )
+        SELECT v AS url, lm_idx::BIGINT AS lm_idx, min(d)::BIGINT AS dist
+        FROM reach GROUP BY 1, 2
     """
     out["crawl_reciprocity"] = _crawl_edges_cte() + """,
         de AS (

@@ -152,3 +152,60 @@ def test_source_kl_partition_invariant(ray_session):
         source_kl_divergence(_split_ds(t, 8), m_ref).to_pandas()
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bfs_landmarks_exact_and_partition_invariant(ray_session):
+    from collections import deque
+
+    from webcollector_ray.functions.graph import bfs_landmarks
+
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i}" for i in range(40)]
+    src = rng.choice(nodes, 160).tolist()
+    dst = rng.choice(nodes, 160).tolist()
+    t = pa.table({"src": src, "dst": dst})
+    lms = ["n0", "n3", "n7"]
+    max_depth = 4
+
+    # pure-Python reference BFS per landmark over the same digraph
+    adj: dict = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(s, set()).add(d)
+    graph_nodes = set(src) | set(dst)
+    want = {}
+    for li, lm in enumerate(lms):
+        if lm not in graph_nodes:
+            continue
+        seen = {lm: 0}
+        q = deque([lm])
+        while q:
+            v = q.popleft()
+            if seen[v] == max_depth:
+                continue
+            for w in adj.get(v, ()):
+                if w not in seen:
+                    seen[w] = seen[v] + 1
+                    q.append(w)
+        for v, dd in seen.items():
+            want[(v, li)] = dd
+
+    got = bfs_landmarks(
+        _split_ds(t, 5), lms, max_depth=max_depth, num_buckets=4
+    ).to_pandas()
+    got_map = {
+        (r.url, int(r.lm_idx)): int(r.dist) for r in got.itertuples()
+    }
+    assert got_map == want
+
+    one = _canon(
+        bfs_landmarks(
+            _split_ds(t, 1), lms, max_depth=max_depth, num_buckets=1
+        ).to_pandas()
+    )
+    many = _canon(got)
+    pd.testing.assert_frame_equal(one, many)
+
+    with pytest.raises(ValueError):
+        bfs_landmarks(_split_ds(t, 1), [])
+    with pytest.raises(ValueError):
+        bfs_landmarks(_split_ds(t, 1), ["n0", "n0"])

@@ -1616,3 +1616,193 @@ def ra_link_prediction(
         scored, order_col="ra_fp", n=k, descending=True,
         tie_col=["a", "b"],
     )
+
+
+# ------------------------------------------------- landmark BFS distances
+
+
+def bfs_landmarks(
+    edges_ds,
+    landmarks,
+    *,
+    max_depth: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+):
+    """Exact min-hop distances from a FIXED landmark list to every
+    node reachable within `max_depth` directed hops — the classic
+    landmark / sketch-based proximity feature (Potamias et al. 2009)
+    behind distance oracles, seed-proximity curation and crawl-depth
+    audits. Output: (url, lm_idx, dist) rows, dist in [0, max_depth],
+    one row per (reached node, landmark) pair.
+
+    Distribution shape (pagerank_fixed precedent): edges src-bucketed
+    once, nodes and the per-bucket distance state share the SAME node
+    hash, and every BFS round is exactly two bucket-ALIGNED raw task
+    waves — (1) the nodes settled last round zip onto their
+    co-bucketed out-edges, emitting deduped (dst, lm) candidate pairs
+    split by the dst hash; (2) per-bucket min-assign: a pair lands
+    only where the (node, landmark) cell is still unreached, so each
+    cell is written once, at its true BFS depth. Rounds are bounded by
+    `max_depth` (== the oracle's recursion bound), per-bucket state is
+    an (n_bucket_nodes x k) int16 matrix, and nothing ever collects on
+    the driver.
+
+    `landmarks` is a bounded curated list by definition (the seed
+    list, a trust list): k multiplies per-node state, so keep it
+    O(tens) — broadcast once via ray.put as url -> index."""
+    import ray.data as rd
+
+    from .joins import exchange_reduce
+
+    landmarks = list(landmarks)
+    if not landmarks:
+        raise ValueError("bfs_landmarks needs a non-empty landmark list")
+    if len(set(landmarks)) != len(landmarks):
+        raise ValueError("duplicate landmark urls")
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        out = batch.select([src_col, dst_col])
+        return out.append_column(
+            "__bucket",
+            pa.array(_tag_by(out[src_col].to_pylist(), num_buckets)),
+        )
+
+    edges_empty = pa.table(
+        {src_col: pa.array([], pa.string()),
+         dst_col: pa.array([], pa.string())}
+    )
+    edges = exchange_reduce(
+        edges_ds.map_batches(tag_edges, batch_format="pyarrow"),
+        lambda t: t.select([src_col, dst_col]), edges_empty, num_buckets,
+    ).materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        vs = list(
+            dict.fromkeys(
+                batch[src_col].to_pylist() + batch[dst_col].to_pylist()
+            )
+        )
+        return pa.table(
+            {"url": pa.array(vs, pa.string()),
+             "__bucket": pa.array(_tag_by(vs, num_buckets))}
+        )
+
+    nodes_empty = pa.table({"url": pa.array([], pa.string())})
+    nodes = exchange_reduce(
+        edges.map_batches(node_rows, batch_format="pyarrow"),
+        lambda t: pa.table(
+            {"url": pa.array(sorted(set(t["url"].to_pylist())), pa.string())}
+        ),
+        nodes_empty, num_buckets,
+    ).materialize()
+
+    es_refs = _bucket_refs(edges, num_buckets)
+    node_refs = _bucket_refs(nodes, num_buckets)
+    lm_map_ref = ray.put({u: i for i, u in enumerate(landmarks)})
+
+    dist_refs = [
+        _bfsl_init.remote(r, lm_map_ref, len(landmarks))
+        for r in node_refs
+    ]
+    for d in range(1, max_depth + 1):
+        parts = [
+            _bfsl_frontier.options(num_returns=num_buckets).remote(
+                num_buckets, src_col, dst_col, e, nb, dm, d
+            )
+            for e, nb, dm in zip(es_refs, node_refs, dist_refs)
+        ]
+        if num_buckets == 1:
+            parts = [[p] for p in parts]
+        dist_refs = [
+            _bfsl_update.remote(
+                node_refs[b], dist_refs[b], d, *[p[b] for p in parts]
+            )
+            for b in range(num_buckets)
+        ]
+    out_refs = [
+        _bfsl_emit.remote(nb, dm)
+        for nb, dm in zip(node_refs, dist_refs)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+@ray.remote
+def _bfsl_init(nodes_block: pa.Table, lm_map, k: int) -> np.ndarray:
+    dist = np.full((len(nodes_block), k), -1, dtype=np.int16)
+    for i, u in enumerate(nodes_block["url"].to_pylist()):
+        j = lm_map.get(u)
+        if j is not None:
+            dist[i, j] = 0
+    return dist
+
+
+@ray.remote
+def _bfsl_frontier(
+    num_buckets: int, src_col: str, dst_col: str,
+    edges_block, nodes_block, dist, d: int,
+):
+    """Wave 1: (node, lm) cells settled at depth d-1 zip onto the
+    co-bucketed out-edges; emit deduped (dst, lm) pairs split by the
+    dst hash."""
+    empty = [None] * num_buckets
+    ni, lj = np.where(dist == d - 1)
+    if (
+        edges_block is None or len(edges_block) == 0 or not len(ni)
+    ):
+        return empty[0] if num_buckets == 1 else tuple(empty)
+    urls = np.asarray(nodes_block["url"].to_pylist(), dtype=object)
+    fr = pd.DataFrame({src_col: urls[ni], "lm": lj.astype(np.int16)})
+    e = edges_block.select([src_col, dst_col]).to_pandas()
+    m = e.merge(fr, on=src_col)[[dst_col, "lm"]].drop_duplicates()
+    if not len(m):
+        return empty[0] if num_buckets == 1 else tuple(empty)
+    vs = m[dst_col].tolist()
+    t = pa.table(
+        {
+            "v": pa.array(vs, pa.string()),
+            "lm": pa.array(m["lm"].to_numpy(np.int16)),
+            "__bucket": pa.array(_tag_by(vs, num_buckets)),
+        }
+    )
+    b = t["__bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
+    shuffled = t.take(pa.array(order))
+    out = []
+    for i in range(num_buckets):
+        lo, hi = bounds[i], bounds[i + 1]
+        out.append(shuffled.slice(lo, hi - lo) if hi > lo else None)
+    return out[0] if num_buckets == 1 else tuple(out)
+
+
+@ray.remote
+def _bfsl_update(
+    nodes_block: pa.Table, dist: np.ndarray, d: int, *parts
+) -> np.ndarray:
+    tabs = [t for t in parts if t is not None and len(t)]
+    if not tabs:
+        return dist
+    cat = pa.concat_tables(tabs)
+    pos = pd.Index(nodes_block["url"].to_pylist()).get_indexer(
+        cat["v"].to_pylist()
+    )
+    lm = cat["lm"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out = dist.copy()
+    hit = (pos >= 0) & (out[pos, lm] < 0)
+    out[pos[hit], lm[hit]] = d
+    return out
+
+
+@ray.remote
+def _bfsl_emit(nodes_block: pa.Table, dist: np.ndarray) -> pa.Table:
+    ni, lj = np.where(dist >= 0)
+    urls = np.asarray(nodes_block["url"].to_pylist(), dtype=object)
+    return pa.table(
+        {
+            "url": pa.array(urls[ni], pa.string()),
+            "lm_idx": pa.array(lj.astype(np.int64)),
+            "dist": pa.array(dist[ni, lj].astype(np.int64)),
+        }
+    )
