@@ -4634,6 +4634,24 @@ def _q_crawl_assortativity(sf_dir: str):
     )
 
 
+_CENSUS_PHRASES = (
+    "spark", "query", "fast table", "hash value", "slow fast",
+    "key agg row", "agg query fast", "lorem ipsum dolor",
+)
+
+
+def _q_docs_keyword_census(sf_dir: str):
+    """Blocklist / watchlist keyword census: document frequency of a
+    fixed phrase list (word-boundary semantics) at a corpus-scan cost
+    INDEPENDENT of phrase count — rolling md5-64 word-window hashes
+    against the bounded broadcast phrase-hash set, exact-verify on
+    hash hit, one bounded fold. Emits every phrase, absent ones with
+    n_docs = 0."""
+    from webcollector_ray.functions.keywords import keyword_census
+
+    return keyword_census(_docs(sf_dir), _CENSUS_PHRASES)
+
+
 _LM_COUNT, _LM_DEPTH = 8, 6
 
 
@@ -5712,6 +5730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 additions (inside the 50-row driver window so they
         # get a record the round they land)
         "crawl_landmark_dists": _q_crawl_landmark_dists,
+        "docs_keyword_census": _q_docs_keyword_census,
         "embeddings_hard_negatives": _q_embeddings_hard_negatives,
         "crawl_communities": _q_crawl_communities,
         "crawl_link_prediction": _q_crawl_link_prediction,
@@ -7786,6 +7805,26 @@ def oracle_sql() -> dict[str, str]:
         FROM und
         JOIN deg da ON da.v = und.a
         JOIN deg db ON db.v = und.b
+    """
+    _census_vals = ", ".join(f"('{p}')" for p in _CENSUS_PHRASES)
+    out["docs_keyword_census"] = f"""
+        WITH terms(term) AS (VALUES {_census_vals}),
+        norm AS (
+            SELECT ' ' || array_to_string(
+                regexp_split_to_array(
+                    lower(regexp_replace(
+                        coalesce(text, ''), '^\\s+|\\s+$', '', 'g'
+                    )),
+                    '\\s+'),
+                ' ') || ' ' AS t
+            FROM documents
+        )
+        SELECT term,
+               count(*) FILTER (
+                   WHERE contains(n.t, ' ' || term || ' ')
+               )::BIGINT AS n_docs
+        FROM terms CROSS JOIN norm n
+        GROUP BY term
     """
     out["crawl_landmark_dists"] = _crawl_edges_cte().replace(
         "WITH params", "WITH RECURSIVE params", 1

@@ -2670,3 +2670,56 @@ def test_ra_link_prediction_matches_bruteforce(ray_session):
     )
     got = list(zip(out["a"], out["b"], out["ra_fp"].astype(int)))
     assert got == want
+
+
+def test_keyword_census(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray
+    import ray.data as rd
+
+    from webcollector_ray.functions.keywords import keyword_census
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox",     # quick brown
+                    "Quick  Brown\nquick",     # quick brown (case/ws), quick x2
+                    "brown quick",             # neither phrase, quick
+                    None,                      # null text
+                    "fox trot quick brown fox trot",  # both
+                    "",                        # empty
+                ]
+            ),
+        }
+    )
+    # split into 3 blocks to exercise the partial-fold path
+    refs = [
+        ray.put(docs.slice(i, 2)) for i in range(0, 6, 2)
+    ]
+    ds = rd.from_arrow_refs(refs)
+    out = (
+        keyword_census(
+            ds, ["quick brown", "fox", "absent phrase here", "QUICK"]
+        )
+        .to_pandas()
+        .set_index("term")["n_docs"]
+        .to_dict()
+    )
+    assert out == {
+        "quick brown": 3,
+        "fox": 2,
+        "absent phrase here": 0,
+        "quick": 4,
+    }
+
+    with pytest.raises(ValueError):
+        keyword_census(ds, [])
+    with pytest.raises(ValueError):
+        keyword_census(ds, ["a b", "A  b"])  # dup after normalization
+    with pytest.raises(ValueError):
+        keyword_census(ds, ["ok", "   "])  # empty phrase
