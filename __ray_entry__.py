@@ -4676,6 +4676,22 @@ def _q_crawl_landmark_dists(sf_dir: str):
     )
 
 
+def _q_crawl_scc(sf_dir: str):
+    """Strongly connected components of the directed link graph —
+    the bow-tie decomposition (Broder et al. 2000) behind core-vs-
+    tendril crawl auditing. FW-BW coloring (Slota et al. 2014):
+    forward min-label fixpoint then color-restricted backward BFS,
+    each iteration two bucket-aligned raw task waves with delta
+    emission; scc_id = lexicographic min member url, so the whole
+    decomposition is cross-engine exact."""
+    from webcollector_ray.functions.graph import scc_coloring
+
+    return scc_coloring(
+        _crawl_edges_ds(sf_dir),
+        src_col="src_url", dst_col="target_url", num_buckets=8,
+    )
+
+
 _KCORE_K, _KCORE_ROUNDS = 3, 3
 _LPA_ITERS = 3
 _RA_TOP_K = 50
@@ -5730,6 +5746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 additions (inside the 50-row driver window so they
         # get a record the round they land)
         "crawl_landmark_dists": _q_crawl_landmark_dists,
+        "crawl_scc": _q_crawl_scc,
         "docs_keyword_census": _q_docs_keyword_census,
         "embeddings_hard_negatives": _q_embeddings_hard_negatives,
         "crawl_communities": _q_crawl_communities,
@@ -5763,6 +5780,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_value": _q_events_running_value,
         "orders_price_rank": _q_orders_price_rank,
         "tpch_q7": _q_tpch_q7,
+        # positions 50+ start here: lineitem_corr was pushed out of
+        # the 50-row driver window by crawl_scc (newest query takes
+        # the record slot); it stays builder-oracle-verified like the
+        # block below.
         "lineitem_corr": _q_lineitem_corr,
         "tpch_q18": _q_tpch_q18,
         "tpch_q1": _q_tpch_q1,
@@ -7458,6 +7479,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT sz AS size, count(*)::BIGINT AS n_components
         FROM sizes GROUP BY sz
+    """
+    # SCC by directed transitive closure: mutual reachability via a
+    # self-join of the closure, scc_id = min url over the mutual set
+    # (exactly scc_coloring's lexicographic-min-root invariant).
+    out["crawl_scc"] = _crawl_edges_cte().replace(
+        "WITH params", "WITH RECURSIVE params", 1
+    ) + """,
+        reach(x, y) AS (
+            SELECT v, v FROM nodes
+            UNION
+            SELECT r.x, e.dst FROM reach r JOIN edges e ON e.src = r.y
+        ),
+        scc AS (
+            SELECT a.x AS url, min(a.y) AS scc_id
+            FROM reach a JOIN reach b ON b.x = a.y AND b.y = a.x
+            GROUP BY a.x
+        ),
+        sizes AS (
+            SELECT scc_id, count(*)::BIGINT AS scc_size
+            FROM scc GROUP BY scc_id
+        )
+        SELECT s.url, s.scc_id, z.scc_size
+        FROM scc s JOIN sizes z USING (scc_id)
     """
     out["events_spikes"] = """
         WITH w AS (

@@ -1806,3 +1806,377 @@ def _bfsl_emit(nodes_block: pa.Table, dist: np.ndarray) -> pa.Table:
             "dist": pa.array(dist[ni, lj].astype(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components — FW-BW coloring (Multistep, Slota et
+# al. IPDPS 2014; the Pregel SCC idiom). The reference has no graph
+# code at all; this is the directed complement to the undirected
+# min-label components in dedup.py (cluster_pairs_minlabel), giving
+# the crawl the classic "core vs tendril" web-graph decomposition
+# (Broder et al. 2000's bow-tie) for frontier auditing.
+# ---------------------------------------------------------------------------
+
+
+def scc_coloring(
+    edges_ds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+    max_rounds: int = 4096,
+    max_iters: int = 65536,
+):
+    """Exact SCC decomposition of a directed multigraph -> Dataset
+    (url, scc_id, scc_size) with scc_id = the lexicographically
+    smallest member url (the oracle's min over the mutual-reach set).
+
+    Algorithm, per round over the still-unsettled subgraph:
+      1. COLOR: forward min-label fixpoint — every active node starts
+         at its own url; labels flow along edge direction, so
+         color(v) = min url over v's active ancestors (incl. v).
+      2. SETTLE: nodes whose color == own url are roots; a backward
+         BFS from each root, restricted to its own color class,
+         settles exactly SCC(root) (standard FW-BW argument: within
+         color c, the nodes that can reach c are mutually reachable
+         with c). Settled nodes drop out; repeat.
+
+    Distribution shape (bfs_landmarks precedent): edges exchanged
+    ONCE into a src-bucketed copy (forward waves) and once into a
+    dst-bucketed copy (backward waves); node blocks and all per-node
+    state (color / scc / delta masks) are bucket-ALIGNED object-store
+    arrays. Every fixpoint iteration is two raw task waves with
+    DELTA propagation (only nodes whose state changed last wave
+    emit), and the driver sees one int per bucket per wave (change
+    counts) — never node state. Rounds are bounded by the
+    condensation depth (web graphs: a handful — one giant SCC plus
+    tendrils settle in the first rounds); each round settles >=1
+    whole SCC per color class, so termination is certain.
+    """
+    import ray.data as rd
+
+    from .joins import exchange_reduce
+
+    def tag_by_col(col):
+        def f(batch: pa.Table) -> pa.Table:
+            out = batch.select([src_col, dst_col])
+            return out.append_column(
+                "__bucket",
+                pa.array(_tag_by(out[col].to_pylist(), num_buckets)),
+            )
+        return f
+
+    edges_empty = pa.table(
+        {src_col: pa.array([], pa.string()),
+         dst_col: pa.array([], pa.string())}
+    )
+    fwd = exchange_reduce(
+        edges_ds.map_batches(tag_by_col(src_col), batch_format="pyarrow"),
+        lambda t: t.select([src_col, dst_col]), edges_empty, num_buckets,
+    ).materialize()
+    rev = exchange_reduce(
+        edges_ds.map_batches(tag_by_col(dst_col), batch_format="pyarrow"),
+        lambda t: t.select([src_col, dst_col]), edges_empty, num_buckets,
+    ).materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        vs = list(
+            dict.fromkeys(
+                batch[src_col].to_pylist() + batch[dst_col].to_pylist()
+            )
+        )
+        return pa.table(
+            {"url": pa.array(vs, pa.string()),
+             "__bucket": pa.array(_tag_by(vs, num_buckets))}
+        )
+
+    nodes_empty = pa.table({"url": pa.array([], pa.string())})
+    nodes = exchange_reduce(
+        fwd.map_batches(node_rows, batch_format="pyarrow"),
+        lambda t: pa.table(
+            {"url": pa.array(sorted(set(t["url"].to_pylist())), pa.string())}
+        ),
+        nodes_empty, num_buckets,
+    ).materialize()
+
+    fwd_refs = _bucket_refs(fwd, num_buckets)
+    rev_refs = _bucket_refs(rev, num_buckets)
+    node_refs = _bucket_refs(nodes, num_buckets)
+
+    scc_refs = [_scc_blank.remote(nb) for nb in node_refs]
+    n_active = sum(ray.get([_scc_n_active.remote(s) for s in scc_refs]))
+
+    rounds = 0
+    while n_active:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"scc_coloring did not settle in {max_rounds} rounds"
+            )
+        # 1. COLOR: forward min-label fixpoint with delta emission.
+        state = [
+            _scc_color_init.options(num_returns=2).remote(nb, s)
+            for nb, s in zip(node_refs, scc_refs)
+        ]
+        color_refs = [s[0] for s in state]
+        delta_refs = [s[1] for s in state]
+        it = 0
+        while True:
+            it += 1
+            if it > max_iters:
+                raise RuntimeError("scc forward fixpoint did not converge")
+            parts = [
+                _scc_fwd_frontier.options(num_returns=num_buckets).remote(
+                    num_buckets, src_col, dst_col, e, nb, c, s, dl
+                )
+                for e, nb, c, s, dl in zip(
+                    fwd_refs, node_refs, color_refs, scc_refs, delta_refs
+                )
+            ]
+            if num_buckets == 1:
+                parts = [[p] for p in parts]
+            upd = [
+                _scc_fwd_update.options(num_returns=3).remote(
+                    node_refs[b], color_refs[b], scc_refs[b],
+                    *[p[b] for p in parts]
+                )
+                for b in range(num_buckets)
+            ]
+            color_refs = [u[0] for u in upd]
+            delta_refs = [u[1] for u in upd]
+            if sum(ray.get([u[2] for u in upd])) == 0:
+                break
+        # 2. SETTLE: roots, then backward BFS inside each color class.
+        state = [
+            _scc_bwd_init.options(num_returns=2).remote(nb, c, s)
+            for nb, c, s in zip(node_refs, color_refs, scc_refs)
+        ]
+        scc_refs = [s[0] for s in state]
+        front_refs = [s[1] for s in state]
+        it = 0
+        while True:
+            it += 1
+            if it > max_iters:
+                raise RuntimeError("scc backward fixpoint did not converge")
+            parts = [
+                _scc_bwd_frontier.options(num_returns=num_buckets).remote(
+                    num_buckets, src_col, dst_col, e, nb, c, fr
+                )
+                for e, nb, c, fr in zip(
+                    rev_refs, node_refs, color_refs, front_refs
+                )
+            ]
+            if num_buckets == 1:
+                parts = [[p] for p in parts]
+            upd = [
+                _scc_bwd_update.options(num_returns=3).remote(
+                    node_refs[b], color_refs[b], scc_refs[b],
+                    *[p[b] for p in parts]
+                )
+                for b in range(num_buckets)
+            ]
+            scc_refs = [u[0] for u in upd]
+            front_refs = [u[1] for u in upd]
+            if sum(ray.get([u[2] for u in upd])) == 0:
+                break
+        n_active = sum(ray.get([_scc_n_active.remote(s) for s in scc_refs]))
+
+    per_node = rd.from_arrow_refs(
+        [
+            _scc_emit.remote(nb, s, num_buckets)
+            for nb, s in zip(node_refs, scc_refs)
+        ]
+    )
+    # scc sizes: one hash exchange keyed by scc_id (the scc_id->size
+    # map is #SCC-sized — ~half the nodes are singletons on real web
+    # graphs — so it must never collect on the driver), then a
+    # bucketed join back onto the per-node rows.
+    sizes_empty = pa.table(
+        {"scc_id": pa.array([], pa.string()),
+         "scc_size": pa.array([], pa.int64())}
+    )
+
+    def count_sizes(t: pa.Table) -> pa.Table:
+        df = t.select(["scc_id"]).to_pandas()
+        g = df.groupby("scc_id", sort=False).size().reset_index(name="scc_size")
+        return pa.Table.from_pandas(
+            g.astype({"scc_size": "int64"}), preserve_index=False
+        )
+
+    sizes = exchange_reduce(per_node, count_sizes, sizes_empty, num_buckets)
+    from .joins import hash_join
+
+    out = hash_join(
+        per_node.map_batches(
+            lambda t: t.select(["url", "scc_id"]), batch_format="pyarrow"
+        ),
+        sizes, on="scc_id", num_buckets=num_buckets,
+    )
+    return out
+
+
+@ray.remote
+def _scc_blank(nodes_block: pa.Table) -> np.ndarray:
+    return np.full(len(nodes_block), None, dtype=object)
+
+
+@ray.remote
+def _scc_n_active(scc: np.ndarray) -> int:
+    return int(sum(x is None for x in scc))
+
+
+@ray.remote
+def _scc_color_init(nodes_block: pa.Table, scc: np.ndarray):
+    color = np.asarray(nodes_block["url"].to_pylist(), dtype=object)
+    delta = np.asarray([x is None for x in scc], dtype=bool)
+    return color, delta
+
+
+@ray.remote
+def _scc_fwd_frontier(
+    num_buckets: int, src_col: str, dst_col: str,
+    edges_block, nodes_block, color, scc, delta,
+):
+    """Forward wave 1: active srcs whose color changed last wave push
+    their color along co-bucketed out-edges; per-dst min taken in the
+    task, then split by the dst hash."""
+    empty = [None] * num_buckets
+    active = np.asarray([x is None for x in scc], dtype=bool)
+    send = active & delta
+    if edges_block is None or len(edges_block) == 0 or not send.any():
+        return empty[0] if num_buckets == 1 else tuple(empty)
+    urls = np.asarray(nodes_block["url"].to_pylist(), dtype=object)
+    fr = pd.DataFrame({src_col: urls[send], "c": color[send]})
+    e = edges_block.select([src_col, dst_col]).to_pandas()
+    m = e.merge(fr, on=src_col)
+    if not len(m):
+        return empty[0] if num_buckets == 1 else tuple(empty)
+    g = m.groupby(dst_col, sort=False)["c"].min().reset_index()
+    vs = g[dst_col].tolist()
+    t = pa.table(
+        {
+            "v": pa.array(vs, pa.string()),
+            "c": pa.array(g["c"].tolist(), pa.string()),
+            "__bucket": pa.array(_tag_by(vs, num_buckets)),
+        }
+    )
+    b = t["__bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
+    shuffled = t.take(pa.array(order))
+    out = []
+    for i in range(num_buckets):
+        lo, hi = bounds[i], bounds[i + 1]
+        out.append(shuffled.slice(lo, hi - lo) if hi > lo else None)
+    return out[0] if num_buckets == 1 else tuple(out)
+
+
+@ray.remote
+def _scc_fwd_update(nodes_block: pa.Table, color, scc, *parts):
+    """Forward wave 2: per-bucket min-assign onto active nodes; the
+    delta mask for the next wave is exactly the cells that improved."""
+    delta = np.zeros(len(nodes_block), dtype=bool)
+    tabs = [t for t in parts if t is not None and len(t)]
+    if not tabs:
+        return color, delta, 0
+    cat = pa.concat_tables(tabs)
+    df = pd.DataFrame(
+        {"v": cat["v"].to_pylist(), "c": cat["c"].to_pylist()}
+    ).groupby("v", sort=False)["c"].min().reset_index()
+    pos = pd.Index(nodes_block["url"].to_pylist()).get_indexer(df["v"])
+    cand = df["c"].to_numpy(dtype=object)
+    ok = pos >= 0
+    pos, cand = pos[ok], cand[ok]
+    active = np.asarray([x is None for x in scc], dtype=bool)
+    cur = color[pos]
+    win = active[pos] & (cand < cur)
+    out = color.copy()
+    out[pos[win]] = cand[win]
+    delta[pos[win]] = True
+    return out, delta, int(win.sum())
+
+
+@ray.remote
+def _scc_bwd_init(nodes_block: pa.Table, color, scc):
+    """Roots: active nodes whose color is their own url settle
+    immediately (they are the lexicographic min of their SCC)."""
+    urls = np.asarray(nodes_block["url"].to_pylist(), dtype=object)
+    out = scc.copy()
+    active = np.asarray([x is None for x in scc], dtype=bool)
+    root = active & (color == urls)
+    out[root] = color[root]
+    return out, root
+
+
+@ray.remote
+def _scc_bwd_frontier(
+    num_buckets: int, src_col: str, dst_col: str,
+    edges_block, nodes_block, color, front,
+):
+    """Backward wave 1: nodes settled last wave pull in-neighbours —
+    rev edge blocks are dst-bucketed, so the frontier state is local;
+    emit (src, color) split by the src hash."""
+    empty = [None] * num_buckets
+    if edges_block is None or len(edges_block) == 0 or not front.any():
+        return empty[0] if num_buckets == 1 else tuple(empty)
+    urls = np.asarray(nodes_block["url"].to_pylist(), dtype=object)
+    fr = pd.DataFrame({dst_col: urls[front], "c": color[front]})
+    e = edges_block.select([src_col, dst_col]).to_pandas()
+    m = e.merge(fr, on=dst_col)[[src_col, "c"]].drop_duplicates()
+    if not len(m):
+        return empty[0] if num_buckets == 1 else tuple(empty)
+    vs = m[src_col].tolist()
+    t = pa.table(
+        {
+            "v": pa.array(vs, pa.string()),
+            "c": pa.array(m["c"].tolist(), pa.string()),
+            "__bucket": pa.array(_tag_by(vs, num_buckets)),
+        }
+    )
+    b = t["__bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
+    shuffled = t.take(pa.array(order))
+    out = []
+    for i in range(num_buckets):
+        lo, hi = bounds[i], bounds[i + 1]
+        out.append(shuffled.slice(lo, hi - lo) if hi > lo else None)
+    return out[0] if num_buckets == 1 else tuple(out)
+
+
+@ray.remote
+def _scc_bwd_update(nodes_block: pa.Table, color, scc, *parts):
+    """Backward wave 2: an unsettled node joins the SCC only when the
+    arriving label matches its OWN color (the color-class restriction
+    that makes FW-BW exact)."""
+    front = np.zeros(len(nodes_block), dtype=bool)
+    tabs = [t for t in parts if t is not None and len(t)]
+    if not tabs:
+        return scc, front, 0
+    cat = pa.concat_tables(tabs)
+    pos = pd.Index(nodes_block["url"].to_pylist()).get_indexer(
+        cat["v"].to_pylist()
+    )
+    cand = np.asarray(cat["c"].to_pylist(), dtype=object)
+    ok = pos >= 0
+    pos, cand = pos[ok], cand[ok]
+    out = scc.copy()
+    unsettled = np.asarray([x is None for x in out], dtype=bool)
+    hit = unsettled[pos] & (color[pos] == cand)
+    out[pos[hit]] = cand[hit]
+    front[pos[hit]] = True
+    return out, front, int(hit.sum())
+
+
+@ray.remote
+def _scc_emit(nodes_block: pa.Table, scc: np.ndarray, num_buckets: int):
+    urls = nodes_block["url"].to_pylist()
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "scc_id": pa.array(list(scc), pa.string()),
+        }
+    )
+    return t.append_column(
+        "__bucket", pa.array(_tag_by(list(scc), num_buckets))
+    )
