@@ -2892,6 +2892,17 @@ def _q_dedup_ngram_verified(sf_dir: str):
     return verified.select_columns(["id_a", "id_b"])
 
 
+def _q_docs_allpairs_jaccard(sf_dir: str):
+    """EXACT similarity self-join (AllPairs prefix filtering,
+    Bayardo et al. WWW'07): every pair with word-trigram Jaccard
+    >= 0.5 plus the exact score — zero recall loss, unlike the LSH
+    candidate route of dedup_ngram_verified."""
+    from webcollector_ray.functions.dedup import allpairs_jaccard_pairs
+
+    pairs = allpairs_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+    return pairs.select_columns(["id_a", "id_b", "jaccard"])
+
+
 def _q_dedup_simhash(sf_dir: str):
     pairs = simhash_dedup_pairs(_docs(sf_dir), max_hamming=3)
     return pairs.select_columns(["id_a", "id_b"])
@@ -5723,11 +5734,13 @@ def _q_docs_length_band(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # Round-5 ordering: the 15 queries with no prior driver-
-        # correctness record head the dict (the driver checks the
-        # first 50 entries), followed by the stalest-recorded
-        # queries (r1/r2 records first) so the 50-row window both
-        # closes the record gap and re-verifies the oldest rows.
+        # Round-5 ordering: queries with no prior driver-correctness
+        # record head the dict (the driver checks the first 50
+        # entries), followed by the stalest-recorded queries (r1/r2
+        # records first) so the 50-row window both closes the record
+        # gap and re-verifies the oldest rows. Brand-new late-r5
+        # queries go first of all.
+        "docs_allpairs_jaccard": _q_docs_allpairs_jaccard,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -9107,6 +9120,53 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM documents a JOIN documents b
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE levenshtein(left(a.text, 64), left(b.text, 64)) <= 2
+        """,
+        # exact all-pairs word-trigram Jaccard (the engine's AllPairs
+        # prefix filter is lossless, so plain brute-force SQL is the
+        # oracle; short docs fall back to a single whole-text gram,
+        # matching _gram_sets/_shingle_hashes)
+        "docs_allpairs_jaccard": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '',
+                                                'g')),
+                           '\s+') AS words
+                FROM documents
+            ),
+            wpos AS (
+                SELECT doc_id, unnest(words) AS w,
+                       unnest(range(1, len(words) + 1)) AS i,
+                       len(words) AS nw
+                FROM docs
+            ),
+            grams AS (
+                SELECT DISTINCT a.doc_id,
+                       a.w || chr(31) || b.w || chr(31) || c.w AS g
+                FROM wpos a
+                JOIN wpos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN wpos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+                WHERE a.nw >= 3
+                UNION
+                SELECT doc_id, array_to_string(words, chr(31)) AS g
+                FROM docs WHERE len(words) < 3
+            ),
+            gsize AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ),
+            inter AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                       count(*) AS i
+                FROM grams x
+                JOIN grams y ON y.g = x.g AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT c.id_a, c.id_b,
+                   c.i::DOUBLE / (sa.n + sb.n - c.i) AS jaccard
+            FROM inter c
+            JOIN gsize sa ON sa.doc_id = c.id_a
+            JOIN gsize sb ON sb.doc_id = c.id_b
+            WHERE c.i::DOUBLE / (sa.n + sb.n - c.i) >= 0.5
         """,
         "events_kmv_distinct": """
             WITH h AS (

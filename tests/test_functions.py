@@ -2723,3 +2723,69 @@ def test_keyword_census(ray_session):
         keyword_census(ds, ["a b", "A  b"])  # dup after normalization
     with pytest.raises(ValueError):
         keyword_census(ds, ["ok", "   "])  # empty phrase
+
+
+def test_allpairs_jaccard_matches_bruteforce(ray_session):
+    import itertools
+
+    from webcollector_ray.functions.dedup import (
+        allpairs_jaccard_pairs,
+        ngram_jaccard,
+    )
+
+    rng = np.random.RandomState(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    rows = []
+    for i in range(40):
+        n = rng.randint(3, 25)
+        rows.append((i, " ".join(rng.choice(vocab, n))))
+    # planted near-dups and exact dups
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1] + " extra"))
+    rows.append((102, "xy"))          # short-doc whole-text fallback
+    rows.append((103, "xy"))
+    for t in (0.3, 0.6, 0.9):
+        got = allpairs_jaccard_pairs(
+            _docs(rows), threshold=t, num_buckets=8
+        ).to_pandas()
+        got_pairs = {
+            (int(a), int(b)): j
+            for a, b, j in zip(got["id_a"], got["id_b"], got["jaccard"])
+        }
+        want = {}
+        for (a, ta), (b, tb) in itertools.combinations(rows, 2):
+            j = ngram_jaccard(ta, tb, 3)
+            if j >= t:
+                want[(min(a, b), max(a, b))] = j
+        assert set(got_pairs) == set(want), t
+        for k, v in want.items():
+            assert abs(got_pairs[k] - v) < 1e-12
+    # exactness the LSH route can't promise: the exact-dup pairs
+    assert (0, 100) in want and (102, 103) in want
+
+
+def test_allpairs_jaccard_partition_invariant(ray_session):
+    from webcollector_ray.functions.dedup import allpairs_jaccard_pairs
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab, rng.randint(3, 30))))
+            for i in range(60)]
+    # planted dups so the t=0.5 result is non-trivial
+    rows += [(200 + i, rows[i][1]) for i in range(6)]
+    rows += [(300 + i, rows[i][1] + " w0 w1") for i in range(6)]
+
+    def run(nb, parallelism):
+        ds = rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in rows],
+            override_num_blocks=parallelism,
+        )
+        out = allpairs_jaccard_pairs(
+            ds, threshold=0.5, num_buckets=nb
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return out
+
+    a = run(4, 2)
+    b = run(16, 9)
+    assert a.equals(b)

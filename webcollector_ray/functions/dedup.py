@@ -1947,3 +1947,193 @@ def editdist_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         )
 
     return with_ab.map_batches(verify_join, batch_format="pyarrow")
+
+
+# ------------------------------------ AllPairs exact similarity join
+
+
+def allpairs_jaccard_pairs(ds, *, threshold: float = 0.5,
+                           shingle_k: int = 3, text_col: str = "text",
+                           id_col: str = "doc_id", num_buckets: int = 64):
+    """EXACT Jaccard similarity self-join via prefix filtering
+    (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW'07; prefix filter per Chaudhuri/Ganti/Kaushik, ICDE'06):
+    every pair with word-`shingle_k`-gram-set Jaccard >= threshold —
+    the zero-recall-loss counterpart to minhash_dedup_pairs.
+
+    Completeness: order the (64-bit-hashed) shingle universe globally
+    by (document frequency asc, hash asc) and keep each doc's first
+    p = s - ceil(t*s) + 1 elements. If J(x,y) >= t but the pair shared
+    no prefix element, every common element would sit in both
+    suffixes, so |x n y| <= |x| - p_x = ceil(t*|x|) - 1 < t*|x|
+    <= |x n y| (wlog |x| <= |y|) — contradiction. Rarest-first
+    ordering keeps prefix groups df-bounded, so the per-gram pair
+    expansion never meets a hot key.
+
+    Scale shape — three bucketed exchanges, NO vocab broadcast:
+      1. gram-hash bucket: per-gram df computed AND attached in one
+         reduce (the df "join" rides the census exchange);
+      2. doc-hash bucket: per-doc (df, gram) sort -> prefix rows;
+      3. gram-hash bucket: per-gram pair expansion with the size
+         filter t*max(|x|,|y|) <= min(|x|,|y|);
+    then distinct pairs and EXACT gram-tuple verification (the same
+    kernel as dedup_ngram_verified). A 64-bit gram-hash collision
+    (~2^-64 per gram pair) can only merge universe elements; the
+    exact verify re-checks every candidate on true gram tuples."""
+    from .joins import exchange_reduce
+
+    nb = np.uint64(num_buckets)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        pg, pi, ps = [], [], []
+        for i, txt in zip(ids, texts):
+            h = np.unique(_shingle_hashes(txt, shingle_k))
+            pg.append(h)
+            pi.append(np.full(len(h), i, dtype=np.int64))
+            ps.append(np.full(len(h), len(h), dtype=np.int32))
+        g = np.concatenate(pg) if pg else np.array([], dtype=np.uint64)
+        di = np.concatenate(pi) if pi else np.array([], dtype=np.int64)
+        sz = np.concatenate(ps) if ps else np.array([], dtype=np.int32)
+        return pa.table({
+            "gram": pa.array(g, pa.uint64()),
+            id_col: pa.array(di, pa.int64()),
+            "size": pa.array(sz, pa.int32()),
+            "__bucket": pa.array((g % nb).astype(np.int32)),
+        })
+
+    df_empty = pa.table({
+        "gram": pa.nulls(0, pa.uint64()),
+        id_col: pa.nulls(0, pa.int64()),
+        "size": pa.nulls(0, pa.int32()),
+        "df": pa.nulls(0, pa.int64()),
+    })
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        g = t["gram"].to_numpy(zero_copy_only=False)
+        m = len(g)
+        if not m:
+            return df_empty
+        order = np.argsort(g, kind="stable")
+        g = g[order]
+        di = t[id_col].to_numpy(zero_copy_only=False)[order]
+        sz = t["size"].to_numpy(zero_copy_only=False)[order]
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, m))
+        df = np.repeat(sizes.astype(np.int64), sizes)
+        return pa.table({
+            "gram": pa.array(g, pa.uint64()),
+            id_col: pa.array(di, pa.int64()),
+            "size": pa.array(sz, pa.int32()),
+            "df": pa.array(df, pa.int64()),
+        })
+
+    with_df = exchange_reduce(
+        ds.map_batches(gram_rows, batch_format="pyarrow"),
+        attach_df, df_empty, num_buckets,
+    )
+
+    def doc_bucket(batch: pa.Table) -> pa.Table:
+        di = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bk = ((di * np.uint64(0x9E3779B97F4A7C15)) % nb).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(bk))
+
+    pre_empty = pa.table({
+        "gram": pa.nulls(0, pa.uint64()),
+        id_col: pa.nulls(0, pa.int64()),
+        "size": pa.nulls(0, pa.int32()),
+    })
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        g = t["gram"].to_numpy(zero_copy_only=False)
+        m = len(g)
+        if not m:
+            return pre_empty
+        di = t[id_col].to_numpy(zero_copy_only=False)
+        sz = t["size"].to_numpy(zero_copy_only=False)
+        df = t["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((g, df, di))
+        g, di, sz = g[order], di[order], sz[order]
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = di[1:] != di[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, m))
+        rank = np.arange(m) - np.repeat(starts, sizes)
+        # p = s - ceil(t*s) + 1; the epsilon keeps ceil exact when
+        # t*s is integral (ceil(2.0) must stay 2, not drift to 3)
+        p = sz - np.ceil(threshold * sz - 1e-12).astype(np.int64) + 1
+        keep = rank < p
+        return pa.table({
+            "gram": pa.array(g[keep], pa.uint64()),
+            id_col: pa.array(di[keep], pa.int64()),
+            "size": pa.array(sz[keep], pa.int32()),
+        })
+
+    prefixes = exchange_reduce(
+        with_df.map_batches(doc_bucket, batch_format="pyarrow"),
+        prefix_rows, pre_empty, num_buckets,
+    )
+
+    def gram_bucket(batch: pa.Table) -> pa.Table:
+        g = batch["gram"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bucket", pa.array((g % nb).astype(np.int32))
+        )
+
+    pair_empty = pa.table({
+        "id_a": pa.nulls(0, pa.int64()), "id_b": pa.nulls(0, pa.int64()),
+    })
+
+    def gram_pairs(t: pa.Table) -> pa.Table:
+        g = t["gram"].to_numpy(zero_copy_only=False)
+        m = len(g)
+        if not m:
+            return pair_empty
+        di = t[id_col].to_numpy(zero_copy_only=False)
+        sz = t["size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((di, sz, g))
+        g, di, sz = g[order], di[order], sz[order]
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, m))
+        ia, ib, sa, sb = [], [], [], []
+        two = starts[sizes == 2]
+        if len(two):
+            ia.append(di[two]); ib.append(di[two + 1])
+            sa.append(sz[two]); sb.append(sz[two + 1])
+        for s0, gsz in zip(starts[sizes > 2], sizes[sizes > 2]):
+            iu, ju = np.triu_indices(gsz, k=1)
+            ia.append(di[s0 + iu]); ib.append(di[s0 + ju])
+            sa.append(sz[s0 + iu]); sb.append(sz[s0 + ju])
+        if not ia:
+            return pair_empty
+        a = np.concatenate(ia); b = np.concatenate(ib)
+        xs = np.concatenate(sa); ys = np.concatenate(sb)
+        # J >= t forces t*max(|x|,|y|) <= min(|x|,|y|); group rows are
+        # size-sorted so xs <= ys within each gram group
+        keep = threshold * ys <= xs + 1e-9
+        a, b = a[keep], b[keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table({
+            "id_a": pa.array(lo, pa.int64()),
+            "id_b": pa.array(hi, pa.int64()),
+        })
+
+    cand = exchange_reduce(
+        prefixes.map_batches(gram_bucket, batch_format="pyarrow"),
+        gram_pairs, pair_empty, num_buckets,
+    )
+    cand = _distinct_pairs(cand)
+    return verify_pairs_exact_jaccard(
+        cand, ds, threshold=threshold, k=shingle_k,
+        text_col=text_col, id_col=id_col, num_buckets=num_buckets,
+    )
