@@ -368,6 +368,23 @@ def _q_docs_lm_score(sf_dir: str):
     return unigram_lm_score(ds, model_ref)
 
 
+_BILM_TOP_B = 4096
+_BILM_LAM = 0.7
+
+
+def _q_docs_bigram_lm(sf_dir: str):
+    """Interpolated bigram-LM quality score (Jelinek-Mercer mixture,
+    Chen & Goodman 1999): one word-pair exchange trains bigram +
+    prefix censuses, bounded top-B/top-V broadcast, map-only scoring."""
+    from webcollector_ray.functions.lm import bigram_lm_score, train_bigram_lm
+
+    ds = _docs(sf_dir)
+    model_ref = train_bigram_lm(
+        ds, top_b=_BILM_TOP_B, top_v=_LM_TOP_V, lam=_BILM_LAM
+    )
+    return bigram_lm_score(ds, model_ref)
+
+
 _DSIR_TARGET_SOURCE = "src0"
 _DSIR_TOP_M = 100
 
@@ -5741,6 +5758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gap and re-verifies the oldest rows. Brand-new late-r5
         # queries go first of all.
         "docs_allpairs_jaccard": _q_docs_allpairs_jaccard,
+        "docs_bigram_lm": _q_docs_bigram_lm,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -8425,6 +8443,85 @@ def _oracle_sql_static() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "docs_lm_score": _LM_SQL + "SELECT doc_id, n_tokens, lm_score FROM lm",
+        # interpolated bigram LM re-derived end to end: bigram + prefix
+        # censuses, top-B bigrams (ties (w1, w2) == the engine's
+        # "w1<US>w2" string order, US < any \S char), prefix counts
+        # restricted to the top-V vocabulary, Jelinek-Mercer mixture
+        # with the same double literals, 6-digit rounding
+        "docs_bigram_lm": rf"""
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '',
+                                                'g')),
+                           '\s+') AS words
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest(words) AS w,
+                       unnest(range(1, len(words) + 1)) AS i
+                FROM docs
+            ),
+            tok AS (SELECT doc_id, w FROM pos WHERE w != ''),
+            wc AS (
+                SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY w
+            ),
+            tot AS (SELECT coalesce(sum(n), 0) AS t FROM wc),
+            topv AS (
+                SELECT w, n FROM (
+                    SELECT w, n,
+                           row_number() OVER (ORDER BY n DESC, w ASC)
+                             AS rn
+                    FROM wc
+                ) WHERE rn <= {_LM_TOP_V}
+            ),
+            bgpos AS (
+                SELECT a.doc_id, a.w AS w1, b.w AS w2
+                FROM pos a
+                JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                WHERE a.w != '' AND b.w != ''
+            ),
+            big AS (
+                SELECT w1, w2, count(*)::BIGINT AS n
+                FROM bgpos GROUP BY w1, w2
+            ),
+            topb AS (
+                SELECT w1, w2, n FROM (
+                    SELECT w1, w2, n,
+                           row_number() OVER (
+                               ORDER BY n DESC, w1 ASC, w2 ASC
+                           ) AS rn
+                    FROM big
+                ) WHERE rn <= {_BILM_TOP_B}
+            ),
+            prefv AS (
+                SELECT p.w1, p.np
+                FROM (
+                    SELECT w1, sum(n)::BIGINT AS np FROM big GROUP BY w1
+                ) p
+                JOIN topv v ON v.w = p.w1
+            ),
+            sc AS (
+                SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+                       round(avg(ln(
+                           {_BILM_LAM} * (coalesce(tb.n, 0) + 1)::DOUBLE
+                             / (coalesce(pv.np, 0)
+                                + {_LM_TOP_V + 1})::DOUBLE
+                           + (1 - {_BILM_LAM})
+                             * (coalesce(v2.n, 0) + 1)::DOUBLE
+                             / (tot.t + {_LM_TOP_V + 1})::DOUBLE
+                       )), 6) AS bilm_score
+                FROM bgpos g CROSS JOIN tot
+                LEFT JOIN topb tb ON tb.w1 = g.w1 AND tb.w2 = g.w2
+                LEFT JOIN prefv pv ON pv.w1 = g.w1
+                LEFT JOIN topv v2 ON v2.w = g.w2
+                GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(sc.bilm_score, 0.0) AS bilm_score
+            FROM docs d LEFT JOIN sc USING (doc_id)
+        """,
         "docs_dsir_selected": rf"""
             WITH docs AS (
                 SELECT doc_id, source,

@@ -2789,3 +2789,50 @@ def test_allpairs_jaccard_partition_invariant(ray_session):
     a = run(4, 2)
     b = run(16, 9)
     assert a.equals(b)
+
+
+def test_bigram_lm_matches_sequential_reference(ray_session):
+    import math
+    from collections import Counter
+
+    from webcollector_ray.functions.lm import (
+        bigram_lm_score,
+        train_bigram_lm,
+    )
+
+    docs = [(0, "a b a b c"), (1, "a a a"), (2, "z"), (3, ""),
+            (4, "b c d e b c"), (5, "c a c a c a b")]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    # top_v=3 forces OOV words AND OOV prefixes through the model
+    mref = train_bigram_lm(ds, top_b=4, top_v=3, lam=0.7)
+    out = (
+        bigram_lm_score(ds, mref)
+        .to_pandas().sort_values("doc_id").set_index("doc_id")
+    )
+
+    uni, bi, pref = Counter(), Counter(), Counter()
+    total = 0
+    for _, t in docs:
+        ws = t.lower().split()
+        total += len(ws)
+        uni.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+            pref[a] += 1
+    V, B, lam = 3, 4, 0.7
+    topv = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    topb = dict(sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:B])
+    prefv = {w: pref[w] for w in topv if w in pref}
+    for i, t in docs:
+        ws = t.lower().split()
+        if len(ws) < 2:
+            assert (out.loc[i, "n_bigrams"], out.loc[i, "bilm_score"]) \
+                == (0, 0.0)
+            continue
+        s = 0.0
+        for a, b in zip(ws, ws[1:]):
+            pbi = (topb.get((a, b), 0) + 1) / (prefv.get(a, 0) + V + 1)
+            puni = (topv.get(b, 0) + 1) / (total + V + 1)
+            s += math.log(lam * pbi + (1 - lam) * puni)
+        assert out.loc[i, "n_bigrams"] == len(ws) - 1
+        assert out.loc[i, "bilm_score"] == round(s / (len(ws) - 1), 6)

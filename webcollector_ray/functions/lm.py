@@ -271,3 +271,164 @@ def source_kl_divergence(
         ds.map_batches(partial, batch_format="pyarrow"),
         reduce_fn, empty, num_buckets,
     )
+
+
+def train_bigram_lm(
+    ds, *, text_col: str = "text", top_b: int = 4096, top_v: int = 1024,
+    num_buckets: int = 32, lam: float = 0.7,
+):
+    """Interpolated bigram LM (Jelinek-Mercer smoothing: p = lam *
+    p_bi + (1-lam) * p_uni — Chen & Goodman 1999's simplest mixture),
+    the next quality-scoring rung above the unigram model.
+
+    Bounded-state shape: ONE word-pair-hash exchange carries BOTH the
+    bigram census and the per-first-word prefix census (each bigram
+    occurrence also increments a "w1\\x1f" marker key, so no second
+    corpus pass or prefix shuffle exists). Only the top-B bigrams and
+    the prefix counts of the top-V unigram vocabulary are broadcast —
+    model size is B + 2V rows regardless of corpus size; an OOV
+    prefix takes count 0 exactly like an OOV unigram.
+
+    p_bi(w2|w1) = (c_topB(w1,w2) + 1) / (c_prefix_topV(w1) + V + 1),
+    p_uni as in train_unigram_lm; everything rational + ln so the
+    DuckDB oracle re-derives scores bit-equal at 6 digits."""
+    from collections import Counter
+
+    from .joins import exchange_reduce
+    from .ranking import global_top_n
+
+    uni_ref, _total = train_unigram_lm(
+        ds, text_col=text_col, top_v=top_v, num_buckets=num_buckets
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            words = (t or "").lower().split()
+            for w1, w2 in zip(words, words[1:]):
+                c[w1 + "\x1f" + w2] += 1
+                c[w1 + "\x1f"] += 1
+        keys = list(c.keys())
+        b = (
+            pd.util.hash_array(
+                np.asarray(keys, dtype=object), categorize=False
+            ) % np.uint64(num_buckets)
+        ).astype(np.int32) if keys else np.zeros(0, dtype=np.int32)
+        return pa.table(
+            {
+                "bg": pa.array(keys, pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    empty = pa.table(
+        {"bg": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def bucket_sum(t: pa.Table) -> pa.Table:
+        df = t.select(["bg", "n"]).to_pandas()
+        g = df.groupby("bg", sort=False, as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = exchange_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        bucket_sum, empty, num_buckets,
+    ).materialize()
+
+    import pyarrow.compute as pc
+
+    def only_bigrams(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(pc.ends_with(batch["bg"], pattern="\x1f"))
+        )
+
+    bigrams = counts.map_batches(only_bigrams, batch_format="pyarrow")
+    top = global_top_n(bigrams, order_col="n", n=top_b, tie_col="bg")
+    tabs = [t for t in ray.get(top.to_arrow_refs()) if t is not None and len(t)]
+    bi = {}
+    if tabs:
+        t = pa.concat_tables(tabs)
+        bi = dict(zip(t["bg"].to_pylist(), t["n"].to_pylist()))
+
+    uni = ray.get(uni_ref)
+    vocab = uni["counts"]
+    marker_set = pa.array([w + "\x1f" for w in vocab], pa.string())
+
+    def pref_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["bg"], value_set=marker_set))
+
+    pref_tabs = [
+        t for t in ray.get(
+            counts.map_batches(
+                pref_filter, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t is not None and len(t)
+    ]
+    pref = {}
+    if pref_tabs:
+        t = pa.concat_tables(pref_tabs)
+        pref = {
+            bg[:-1]: n
+            for bg, n in zip(t["bg"].to_pylist(), t["n"].to_pylist())
+        }
+
+    model = {
+        "uni": uni["counts"], "total": uni["total"], "v": uni["v"],
+        "bi": bi, "pref": pref, "lam": lam,
+    }
+    return ray.put(model)
+
+
+def bigram_lm_score(
+    ds, model_ref, *, text_col: str = "text", id_col: str = "doc_id",
+    ndigits: int = 6,
+):
+    """Map-only interpolated-bigram scoring: (id, n_bigrams,
+    bilm_score) = mean over bigram positions of ln(lam * p_bi +
+    (1-lam) * p_uni(w2)). Docs with < 2 words score 0.0 over 0
+    bigrams (nothing to average) — the same empty convention as
+    unigram_lm_score."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        uni, bi, pref = m["uni"], m["bi"], m["pref"]
+        lam = m["lam"]
+        denom_u = float(m["total"] + m["v"] + 1)
+        vp1 = float(m["v"] + 1)
+        n_out = np.zeros(len(batch), dtype=np.int64)
+        s_out = np.zeros(len(batch), dtype=np.float64)
+        for i, text in enumerate(batch[text_col].to_pylist()):
+            words = (text or "").lower().split()
+            if len(words) < 2:
+                continue
+            w1s = words[:-1]
+            w2s = words[1:]
+            cb = np.fromiter(
+                (bi.get(a + "\x1f" + b, 0) for a, b in zip(w1s, w2s)),
+                dtype=np.float64, count=len(w2s),
+            )
+            cp = np.fromiter(
+                (pref.get(a, 0) for a in w1s),
+                dtype=np.float64, count=len(w1s),
+            )
+            cu = np.fromiter(
+                (uni.get(b, 0) for b in w2s),
+                dtype=np.float64, count=len(w2s),
+            )
+            p = (
+                lam * (cb + 1.0) / (cp + vp1)
+                + (1.0 - lam) * (cu + 1.0) / denom_u
+            )
+            n_out[i] = len(w2s)
+            s_out[i] = round(float(np.mean(np.log(p))), ndigits)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bigrams": pa.array(n_out),
+                "bilm_score": pa.array(s_out),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
