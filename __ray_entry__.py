@@ -4346,6 +4346,32 @@ def _q_knn_ivf(sf_dir: str):
     return top[["query_id", "rank", "vec_id"]]
 
 
+_RECALL_NQ = 20
+
+
+def _q_embeddings_ivf_recall(sf_dir: str):
+    """ANN index-quality gate: recall@10 of pivot-mode IVF
+    (n_cells=16, nprobe=4) against exact brute-force ground truth on
+    a sampled query set — the standard eval recipe (ground truth is
+    O(N x Q) but Q is tiny and the pass is map-only, so it scales;
+    the 200k knn_brute row-cap is the guard against running the
+    BASELINE as a production query, not against this eval use)."""
+    import pandas as _pd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = _knn_queries(sf_dir, n=_RECALL_NQ)
+    truth = knn_brute(ds, q, k=10)
+    approx = knn_ivf_pivot(ds, q, k=10, n_cells=16, nprobe=4)
+    hit = truth[["query_id", "vec_id"]].merge(
+        approx[["query_id", "vec_id"]], on=["query_id", "vec_id"]
+    ).groupby("query_id").size()
+    out = _pd.DataFrame({"query_id": _pd.array(range(_RECALL_NQ), "int64")})
+    out["recall_at_10"] = (
+        out["query_id"].map(hit).fillna(0).astype("float64") / 10.0
+    )
+    return out
+
+
 def _q_embedding_dup_pairs(sf_dir: str):
     # threshold 0.4: the synthetic embeddings carry no true near-dups
     # (max off-diagonal cosine ~0.51), so a 0.9+ cut would be vacuous.
@@ -5759,6 +5785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # queries go first of all.
         "docs_allpairs_jaccard": _q_docs_allpairs_jaccard,
         "docs_bigram_lm": _q_docs_bigram_lm,
+        "embeddings_ivf_recall": _q_embeddings_ivf_recall,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -10062,6 +10089,85 @@ def _oracle_sql_static() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # recall@10 of pivot-IVF vs brute ground truth: both index
+        # derivations are the knn_brute / knn_ivf oracles verbatim,
+        # widened to the 20-query eval set and joined per query
+        "embeddings_ivf_recall": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT {_RECALL_NQ}
+            ), bs AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe::DOUBLE[],
+                                              e.embedding::DOUBLE[])
+                         AS cosine
+                FROM q CROSS JOIN embeddings e
+            ), bt AS (
+                SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC
+                           ) AS rnk
+                    FROM bs
+                ) WHERE rnk <= 10
+            ), pivots AS (
+                SELECT vec_id, embedding,
+                       row_number() OVER (
+                           ORDER BY (vec_id::HUGEINT * 11400714819323198485)
+                                        % 18446744073709551616::HUGEINT,
+                                    vec_id
+                       ) AS prank
+                FROM embeddings
+                QUALIFY prank <= 16
+            ), assign AS (
+                SELECT e.vec_id, p.prank AS cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        e.embedding::DOUBLE[],
+                                        p.embedding::DOUBLE[]) DESC,
+                                    p.prank ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN pivots p
+                QUALIFY rn = 1
+            ), qcells AS (
+                SELECT q.query_id, p.prank AS cell,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                                        q.qe::DOUBLE[],
+                                        p.embedding::DOUBLE[]) DESC,
+                                    p.prank ASC
+                       ) AS rn
+                FROM q CROSS JOIN pivots p
+                QUALIFY rn <= 4
+            ), ivs AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe::DOUBLE[],
+                                              e.embedding::DOUBLE[])
+                         AS cosine
+                FROM q
+                JOIN qcells c ON c.query_id = q.query_id
+                JOIN assign a ON a.cell = c.cell
+                JOIN embeddings e ON e.vec_id = a.vec_id
+            ), it AS (
+                SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC
+                           ) AS rnk
+                    FROM ivs
+                ) WHERE rnk <= 10
+            )
+            SELECT bt.query_id,
+                   (count(it.vec_id) / 10.0) AS recall_at_10
+            FROM bt
+            LEFT JOIN it ON it.query_id = bt.query_id
+                        AND it.vec_id = bt.vec_id
+            GROUP BY bt.query_id
         """,
         # robots-path oracle: BFS over the subgraph robots permits —
         # show pages are Disallowed, so they are discovered (one FAILED

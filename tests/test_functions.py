@@ -2836,3 +2836,29 @@ def test_bigram_lm_matches_sequential_reference(ray_session):
             s += math.log(lam * pbi + (1 - lam) * puni)
         assert out.loc[i, "n_bigrams"] == len(ws) - 1
         assert out.loc[i, "bilm_score"] == round(s / (len(ws) - 1), 6)
+
+
+def test_ivf_recall_full_probe_is_one(ray_session):
+    # probing every cell makes IVF scan the whole corpus, so recall@k
+    # vs brute ground truth must be exactly 1.0 for every query
+    rng = np.random.RandomState(3)
+    emb = rng.randn(120, 16)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(120)]
+    )
+    q = emb[:5]
+    truth = knn_brute(ds, q, k=10)
+    from webcollector_ray.functions.similarity import knn_ivf_pivot
+
+    full = knn_ivf_pivot(ds, q, k=10, n_cells=8, nprobe=8)
+    t = truth[["query_id", "vec_id"]]
+    a = full[["query_id", "vec_id"]]
+    hit = t.merge(a, on=["query_id", "vec_id"]).groupby("query_id").size()
+    assert (hit == 10).all() and len(hit) == 5
+    # partial probe: recall in [0, 1] and ivf output is a subset of
+    # rank-consistent per-query top lists
+    part = knn_ivf_pivot(ds, q, k=10, n_cells=8, nprobe=2)
+    hit2 = t.merge(
+        part[["query_id", "vec_id"]], on=["query_id", "vec_id"]
+    ).groupby("query_id").size()
+    assert hit2.le(10).all()
