@@ -372,6 +372,46 @@ _BILM_TOP_B = 4096
 _BILM_LAM = 0.7
 
 
+def _q_docs_difficulty_buckets(sf_dir: str):
+    """Curriculum bucketing: rank every doc by unigram-LM score
+    (ascending = most out-of-distribution first) and cut the rank
+    order into 10 equal-count deciles — the curriculum-ordering step
+    of a training-data pipeline. Exact integers end to end: LM score
+    is the 6-digit-rounded lm.py recipe, the global rank is
+    ranking.global_rank (range-partitioned row_number, no full sort),
+    and bucket = (rnk-1)*10 // N + 1."""
+    from webcollector_ray.functions.lm import (
+        train_unigram_lm,
+        unigram_lm_score,
+    )
+    from webcollector_ray.functions.ranking import global_rank
+
+    ds = _docs(sf_dir)
+    model_ref, _total = train_unigram_lm(ds, top_v=_LM_TOP_V)
+    scored = unigram_lm_score(ds, model_ref).select_columns(
+        ["doc_id", "lm_score"]
+    )
+    n_docs = ds.count()
+    ranked = global_rank(
+        scored,
+        order_cols=[("lm_score", "ascending"), ("doc_id", "ascending")],
+        rank_col="rnk",
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        rnk = batch["rnk"].to_numpy(zero_copy_only=False)
+        b = (rnk - 1) * 10 // n_docs + 1
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "rnk": batch["rnk"],
+                "bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
 def _q_docs_bigram_lm(sf_dir: str):
     """Interpolated bigram-LM quality score (Jelinek-Mercer mixture,
     Chen & Goodman 1999): one word-pair exchange trains bigram +
@@ -5786,6 +5826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_allpairs_jaccard": _q_docs_allpairs_jaccard,
         "docs_bigram_lm": _q_docs_bigram_lm,
         "embeddings_ivf_recall": _q_embeddings_ivf_recall,
+        "docs_difficulty_buckets": _q_docs_difficulty_buckets,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -8470,6 +8511,19 @@ def _oracle_sql_static() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "docs_lm_score": _LM_SQL + "SELECT doc_id, n_tokens, lm_score FROM lm",
+        "docs_difficulty_buckets": _LM_SQL + """,
+            r AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY lm_score ASC, doc_id ASC
+                       ) AS rnk
+                FROM lm
+            )
+            SELECT doc_id, rnk::BIGINT AS rnk,
+                   ((rnk - 1) * 10 // (SELECT count(*) FROM lm)
+                    + 1)::BIGINT AS bucket
+            FROM r
+        """,
         # interpolated bigram LM re-derived end to end: bigram + prefix
         # censuses, top-B bigrams (ties (w1, w2) == the engine's
         # "w1<US>w2" string order, US < any \S char), prefix counts

@@ -2862,3 +2862,17 @@ def test_ivf_recall_full_probe_is_one(ray_session):
         part[["query_id", "vec_id"]], on=["query_id", "vec_id"]
     ).groupby("query_id").size()
     assert hit2.le(10).all()
+
+
+def test_difficulty_buckets_equal_deciles(ray_session):
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["docs_difficulty_buckets"](
+        "/root/testdata/sf0.001"
+    ).to_pandas()
+    n = len(out)
+    # rank is a permutation of 1..N and buckets are equal-count deciles
+    assert sorted(out["rnk"]) == list(range(1, n + 1))
+    sizes = out.groupby("bucket").size()
+    assert set(sizes.index) == set(range(1, 11))
+    assert sizes.max() - sizes.min() <= 1
