@@ -1979,7 +1979,17 @@ def allpairs_jaccard_pairs(ds, *, threshold: float = 0.5,
     then distinct pairs and EXACT gram-tuple verification (the same
     kernel as dedup_ngram_verified). A 64-bit gram-hash collision
     (~2^-64 per gram pair) can only merge universe elements; the
-    exact verify re-checks every candidate on true gram tuples."""
+    exact verify re-checks every candidate on true gram tuples.
+
+    Caveat (inherent to ANY exact prefix filter — the method is
+    candidate-sensitive): if the gram UNIVERSE does not scale with
+    the corpus (a toy fixed vocabulary collapses word trigrams to a
+    few thousand distinct grams), prefix groups grow with N and
+    candidate generation turns quadratic; completeness forbids
+    capping them. Webtext trigram universes scale, and
+    tools/probe_allpairs_scale.py pins the realistic shape (2x docs
+    -> ~1.1x wall at 100k docs); for degenerate universes use
+    minhash_dedup_pairs, which trades recall for its bucket cap."""
     from .joins import exchange_reduce
 
     nb = np.uint64(num_buckets)
