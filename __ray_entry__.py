@@ -4472,6 +4472,42 @@ def _q_crawl_bfs(sf_dir: str):
     )
 
 
+def _q_crawl_url_canonical(sf_dir: str):
+    """URL canonicalization census — the reference's key() dedup seam
+    (CrawlDatum.java:239-245) upgraded to an aggressive canonical
+    form: the synthetic web's article URLs decorated with the classic
+    crawl-noise variants (uppercase host + default port + fragment;
+    raw; unsorted query; dot-segment path + sorted query) collapse
+    four spellings into two canonical forms each. Map-only kernel +
+    one bounded groupby census."""
+    from webcollector_ray.urls import canonicalize_full
+
+    spec = _crawl_spec(sf_dir)
+    n_shows = spec.lists_per_site * spec.shows_per_list
+    items = []
+    for s in range(spec.num_sites):
+        for j in range(n_shows):
+            base = f"http://site{s}.test/show-{j}.html"
+            items += [
+                {"url": f"HTTP://SITE{s}.TEST:80/show-{j}.html#sec{j}"},
+                {"url": base},
+                {"url": f"http://site{s}.test/show-{j}.html?b=2&a=1"},
+                {"url":
+                 f"http://site{s}.test/lists/../show-{j}.html?a=1&b=2"},
+            ]
+    ds = rd.from_items(items)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        c = [canonicalize_full(u) for u in batch["url"].to_pylist()]
+        return pa.table({"canonical_url": pa.array(c, pa.string())})
+
+    return (
+        ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("canonical_url")
+        .aggregate(Count(alias_name="n_variants"))
+    )
+
+
 def _q_crawl_host_stats(sf_dir: str):
     """Per-host census of the flagship crawl's final frontier — the
     operational dashboard a crawl operator reads per depth: URL count,
@@ -5827,6 +5863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_lm": _q_docs_bigram_lm,
         "embeddings_ivf_recall": _q_embeddings_ivf_recall,
         "docs_difficulty_buckets": _q_docs_difficulty_buckets,
+        "crawl_url_canonical": _q_crawl_url_canonical,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -9289,6 +9326,35 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM documents d
             WHERE d.doc_id NOT IN
                 (SELECT doc_id FROM clus WHERE cluster <> doc_id)
+        """,
+        # structural oracle (the pagerank-oracle precedent): the messy
+        # variants are constructed, so their canonical groups are known
+        # by construction — 2 spellings per bare form, 2 per queried
+        # form; the canonicalize_full kernel itself is unit-test-pinned
+        "crawl_url_canonical": """
+            WITH params AS (
+                SELECT greatest(2, (SELECT count(*) FROM documents)
+                                   // 100) AS num_sites,
+                       12 AS n_shows
+            ),
+            sites AS (
+                SELECT unnest(range(0, num_sites)) AS site FROM params
+            ),
+            shows AS (
+                SELECT site,
+                       unnest(range(0, (SELECT n_shows FROM params)))
+                         AS j
+                FROM sites
+            )
+            SELECT 'http://site' || site || '.test/show-' || j
+                     || '.html' AS canonical_url,
+                   2::BIGINT AS n_variants
+            FROM shows
+            UNION ALL
+            SELECT 'http://site' || site || '.test/show-' || j
+                     || '.html?a=1&b=2',
+                   2::BIGINT
+            FROM shows
         """,
         "docs_editdist_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -2876,3 +2876,26 @@ def test_difficulty_buckets_equal_deciles(ray_session):
     sizes = out.groupby("bucket").size()
     assert set(sizes.index) == set(range(1, 11))
     assert sizes.max() - sizes.min() <= 1
+
+
+def test_canonicalize_full_kernel():
+    from webcollector_ray.urls import canonicalize_full as cf
+
+    # case + default port + fragment
+    assert cf("HTTP://Ex.COM:80/A/b.html#x") == "http://ex.com/A/b.html"
+    assert cf("https://ex.com:443/") == "https://ex.com/"
+    assert cf("https://ex.com:8443/") == "https://ex.com:8443/"
+    # dot segments (RFC 3986 5.2.4)
+    assert cf("http://e.com/a/./b") == "http://e.com/a/b"
+    assert cf("http://e.com/a/../b") == "http://e.com/b"
+    assert cf("http://e.com/../b") == "http://e.com/b"
+    assert cf("http://e.com/a/b/..") == "http://e.com/a/"
+    assert cf("http://e.com/a/.") == "http://e.com/a/"
+    # query sort keeps duplicate keys, drops empties
+    assert cf("http://e.com/p?b=2&a=1") == "http://e.com/p?a=1&b=2"
+    assert cf("http://e.com/p?a=2&a=1") == "http://e.com/p?a=1&a=2"
+    assert cf("http://e.com/p?&b=1&") == "http://e.com/p?b=1"
+    # empty path, idempotence
+    assert cf("http://e.com") == "http://e.com/"
+    for u in ("HTTP://E.com:80/x/../y?b=1&a=2#z", "http://e.com/p?x=1"):
+        assert cf(cf(u)) == cf(u)

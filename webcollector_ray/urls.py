@@ -130,6 +130,51 @@ def canonicalize(url: str) -> str:
     return urlunsplit((scheme, netloc, path, parts.query, ""))
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 for absolute paths: resolve '.' and '..'
+    segments; '..' never climbs past the root; a trailing '.'/'..'
+    leaves a trailing slash (the RFC's output behavior)."""
+    segs = path.split("/")
+    out: list = []
+    for s in segs:
+        if s == ".":
+            continue
+        if s == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(s)
+    if segs and segs[-1] in (".", "..") and (not out or out[-1] != ""):
+        out.append("")
+    joined = "/".join(out)
+    return joined or "/"
+
+
+def canonicalize_full(url: str) -> str:
+    """Aggressive canonical form for URL-dedup CENSUSES (distinct from
+    `canonicalize`, which stays light because it feeds the seen-filter
+    partitioning): lowercase scheme+host, strip default port, RFC-3986
+    dot-segment removal on the path, SORT query parameters (duplicate
+    keys kept, ordered by the raw 'k=v' string), drop the fragment;
+    empty path -> '/'. Pure per-record scalar (reference §2.7 X-family
+    shape), applied batch-wise in map_batches."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    dp = _DEFAULT_PORTS.get(scheme)
+    if dp and netloc.endswith(dp):
+        netloc = netloc[: -len(dp)]
+    path = _remove_dot_segments(parts.path or "/")
+    query = (
+        "&".join(sorted(q for q in parts.query.split("&") if q))
+        if parts.query else ""
+    )
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
 def md5_hex(s: str) -> str:
     """util/MD5Utils.java:32-46 equivalent."""
     return hashlib.md5(s.encode("utf-8")).hexdigest()
