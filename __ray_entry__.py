@@ -372,6 +372,21 @@ _BILM_TOP_B = 4096
 _BILM_LAM = 0.7
 
 
+def _q_docs_inverted_index(sf_dir: str):
+    """Search-index export round-trip: corpus -> word-sharded posting
+    Parquet (written inside the posting exchange's reduce tasks, one
+    deterministic file per shard) -> full read-back. The shard-pruned
+    lookup path (read_postings) is pinned by pytest."""
+    import tempfile
+
+    from webcollector_ray.sources.invindex import build_inverted_index
+
+    root = tempfile.mkdtemp(prefix="invindex_")
+    manifest = build_inverted_index(_docs(sf_dir), root, num_shards=8)
+    assert int(manifest["n_postings"].sum()) > 0
+    return rd.read_parquet(root)
+
+
 def _q_docs_difficulty_buckets(sf_dir: str):
     """Curriculum bucketing: rank every doc by unigram-LM score
     (ascending = most out-of-distribution first) and cut the rank
@@ -5864,6 +5879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ivf_recall": _q_embeddings_ivf_recall,
         "docs_difficulty_buckets": _q_docs_difficulty_buckets,
         "crawl_url_canonical": _q_crawl_url_canonical,
+        "docs_inverted_index": _q_docs_inverted_index,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -9355,6 +9371,20 @@ def _oracle_sql_static() -> dict[str, str]:
                      || '.html?a=1&b=2',
                    2::BIGINT
             FROM shows
+        """,
+        "docs_inverted_index": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '',
+                                                'g')),
+                           '\s+') AS words
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(words) AS w FROM docs)
+            SELECT w AS word, doc_id, count(*)::BIGINT AS tf
+            FROM tok WHERE w != ''
+            GROUP BY w, doc_id
         """,
         "docs_editdist_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -2899,3 +2899,46 @@ def test_canonicalize_full_kernel():
     assert cf("http://e.com") == "http://e.com/"
     for u in ("HTTP://E.com:80/x/../y?b=1&a=2#z", "http://e.com/p?x=1"):
         assert cf(cf(u)) == cf(u)
+
+
+def test_inverted_index_roundtrip_and_pruned_lookup(ray_session, tmp_path):
+    from collections import Counter
+
+    from webcollector_ray.sources.invindex import (
+        build_inverted_index,
+        read_postings,
+    )
+
+    docs = [(0, "a b a c"), (1, "b b d"), (2, ""), (3, "a d d d")]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    root = str(tmp_path / "idx")
+    manifest = build_inverted_index(ds, root, num_shards=4)
+    # manifest totals == distinct (word, doc) pairs
+    want = Counter()
+    for i, t in docs:
+        for w, f in Counter(t.lower().split()).items():
+            want[(w, i)] = f
+    assert int(manifest["n_postings"].sum()) == len(want)
+    # pruned lookup returns exactly the probed words' postings, sorted
+    got = read_postings(root, ["a", "d", "zz"], num_shards=4).to_pandas()
+    exp = sorted(
+        (w, i, f) for (w, i), f in want.items() if w in ("a", "d")
+    )
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+    # probing nothing / only-missing words returns the empty schema
+    assert len(read_postings(root, [], num_shards=4)) == 0
+    assert len(read_postings(root, ["zz"], num_shards=4)) == 0
+    # lookup must not read shards it doesn't need: drop every shard
+    # file that doesn't hold 'a', then probe 'a' alone
+    import os
+
+    from webcollector_ray.sources.invindex import _shard_of
+
+    keep = int(_shard_of(np.array(["a"], object), 4)[0])
+    for f in os.listdir(root):
+        if f != f"shard={keep:04d}.parquet":
+            os.unlink(os.path.join(root, f))
+    got_a = read_postings(root, ["a"], num_shards=4).to_pandas()
+    assert sorted(map(tuple, got_a.itertuples(index=False))) == sorted(
+        (w, i, f) for (w, i), f in want.items() if w == "a"
+    )
