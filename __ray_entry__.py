@@ -387,6 +387,32 @@ def _q_docs_inverted_index(sf_dir: str):
     return rd.read_parquet(root)
 
 
+_SEARCH_TOP_K = 25
+
+
+def _q_docs_search_bm25(sf_dir: str):
+    """Index-served BM25 retrieval: build the word-sharded index +
+    doclen sidecar, then answer the fixed query from postings alone
+    (pruned shard reads, no corpus scan at query time). Scores are
+    the bm25_scores expression tree verbatim, so they hash-match the
+    scan-side kernel's oracle."""
+    import tempfile
+
+    from webcollector_ray.sources.invindex import (
+        build_doclen_sidecar,
+        build_inverted_index,
+        search_bm25,
+    )
+
+    ds = _docs(sf_dir)
+    root = tempfile.mkdtemp(prefix="invindex_bm25_")
+    build_inverted_index(ds, root, num_shards=8)
+    build_doclen_sidecar(ds, root, num_shards=8)
+    return search_bm25(
+        root, _BM25_TERMS, top_k=_SEARCH_TOP_K, num_shards=8
+    )
+
+
 def _q_docs_difficulty_buckets(sf_dir: str):
     """Curriculum bucketing: rank every doc by unigram-LM score
     (ascending = most out-of-distribution first) and cut the rank
@@ -5880,6 +5906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_difficulty_buckets": _q_docs_difficulty_buckets,
         "crawl_url_canonical": _q_crawl_url_canonical,
         "docs_inverted_index": _q_docs_inverted_index,
+        "docs_search_bm25": _q_docs_search_bm25,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -7590,6 +7617,16 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_pagerank_seeded"] = _crawl_ppr_oracle_sql()
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out["docs_bm25"] = _docs_bm25_oracle_sql()
+    out["docs_search_bm25"] = f"""
+        SELECT doc_id, score FROM (
+            SELECT doc_id, score,
+                   row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC
+                   ) AS rnk
+            FROM ({_docs_bm25_oracle_sql()})
+            WHERE score > 0
+        ) WHERE rnk <= {_SEARCH_TOP_K}
+    """
     out["docs_pmi_bigrams"] = _docs_pmi_oracle_sql()
     out["crawl_degree_hist"] = _crawl_edges_cte() + """,
         od AS (

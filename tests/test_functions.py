@@ -2942,3 +2942,36 @@ def test_inverted_index_roundtrip_and_pruned_lookup(ray_session, tmp_path):
     assert sorted(map(tuple, got_a.itertuples(index=False))) == sorted(
         (w, i, f) for (w, i), f in want.items() if w == "a"
     )
+
+
+def test_search_bm25_matches_scan_kernel(ray_session, tmp_path):
+    from webcollector_ray.functions.textstats import bm25_scores
+    from webcollector_ray.sources.invindex import (
+        build_doclen_sidecar,
+        build_inverted_index,
+        search_bm25,
+    )
+
+    rng = np.random.RandomState(5)
+    vocab = ["table", "query", "join", "scan", "sort", "hash", "page"]
+    rows = [
+        (i, " ".join(rng.choice(vocab, rng.randint(0, 30))))
+        for i in range(80)
+    ]
+    rows.append((80, ""))  # empty doc: counted in N, never a candidate
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in rows])
+    root = str(tmp_path / "idx")
+    build_inverted_index(ds, root, num_shards=4)
+    build_doclen_sidecar(ds, root, num_shards=4)
+    terms = ("table", "join")
+    got = search_bm25(root, terms, top_k=15, num_shards=4)
+
+    scan = bm25_scores(ds, query_terms=terms).to_pandas()
+    scan = scan[scan["score"] > 0].sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(15).reset_index(drop=True)
+    assert got["doc_id"].tolist() == scan["doc_id"].tolist()
+    # bit-identical doubles: same expression tree on both paths
+    assert got["score"].tolist() == scan["score"].tolist()
+    # no-hit probe returns the empty frame
+    assert len(search_bm25(root, ("zzz",), num_shards=4)) == 0

@@ -139,3 +139,157 @@ def read_postings(
     out = pa.concat_tables(parts).to_pandas()
     out = out.sort_values(["word", "doc_id"], kind="mergesort")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _doc_shard_of(ids: np.ndarray, num_shards: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (
+            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(num_shards)
+        ).astype(np.int32)
+
+
+def build_doclen_sidecar(
+    ds, root: str, *, text_col: str = "text", id_col: str = "doc_id",
+    num_shards: int = 32,
+):
+    """Doc-length sidecar + corpus stats for index-served BM25: one
+    map pass emits (doc_id, dl); a doc-hash exchange writes
+    doclen=NNNN.parquet per shard (sorted by doc_id) and returns
+    (n_docs, total_tokens) partials the driver folds into
+    stats.parquet. Empty docs are kept (BM25's N counts them)."""
+    from ..functions.joins import exchange_reduce
+
+    os.makedirs(root, exist_ok=True)
+
+    def lens(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        dl = np.array(
+            [len((t or "").lower().split())
+             for t in batch[text_col].to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "dl": pa.array(dl),
+                "__bucket": pa.array(_doc_shard_of(ids, num_shards)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "shard": pa.array([], pa.int32()),
+            "n_docs": pa.array([], pa.int64()),
+            "total_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, "dl"]).to_pandas().sort_values(
+            id_col, kind="mergesort"
+        )
+        if not len(df):
+            return empty
+        shard = int(
+            _doc_shard_of(
+                df[id_col].to_numpy(np.int64)[:1], num_shards
+            )[0]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            f"{root}/doclen={shard:04d}.parquet",
+        )
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int32()),
+                "n_docs": pa.array([len(df)], pa.int64()),
+                "total_tokens": pa.array(
+                    [int(df["dl"].sum())], pa.int64()
+                ),
+            }
+        )
+
+    parts = exchange_reduce(
+        ds.map_batches(lens, batch_format="pyarrow"),
+        write_shard, empty, num_shards,
+    ).to_pandas()
+    stats = pa.table(
+        {
+            "n_docs": pa.array([int(parts["n_docs"].sum())], pa.int64()),
+            "total_tokens": pa.array(
+                [int(parts["total_tokens"].sum())], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(stats, f"{root}/stats.parquet")
+    return parts.sort_values("shard").reset_index(drop=True)
+
+
+def read_doclens(root: str, doc_ids, *, num_shards: int = 32):
+    """Pruned doc-length lookup: candidate ids hash to their shards,
+    only those doclen files are opened and filtered. Returns a
+    pandas Series doc_id -> dl."""
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if not len(ids):
+        return pd.Series(dtype=np.int64)
+    shards = sorted(set(_doc_shard_of(ids, num_shards).tolist()))
+    parts = []
+    for s in shards:
+        path = f"{root}/doclen={s:04d}.parquet"
+        if not os.path.exists(path):
+            continue
+        parts.append(
+            pq.read_table(
+                path, filters=[("doc_id", "in", ids.tolist())]
+            ).to_pandas()
+        )
+    if not parts:
+        return pd.Series(dtype=np.int64)
+    df = pd.concat(parts)
+    return df.set_index("doc_id")["dl"]
+
+
+def search_bm25(
+    root: str, terms, *, top_k: int = 10, num_shards: int = 32,
+    k1: float = 1.2, b: float = 0.75,
+):
+    """Index-served BM25 top-k: postings of the probe terms (pruned
+    read) + candidate doc lengths (pruned read) + stats.parquet —
+    NEVER a corpus scan. The per-term expression tree is
+    textstats.bm25_scores verbatim (linear idf, mul/div/add only,
+    term-order accumulation), so scores hash-match the scan-side
+    kernel and the SQL oracle; candidates are exactly the docs with a
+    posting for >= 1 term, i.e. the score > 0 set. Returns a pandas
+    DataFrame (doc_id, score), top_k rows by (score desc, doc_id)."""
+    terms = tuple(terms)
+    post = read_postings(root, terms, num_shards=num_shards).to_pandas()
+    stats = pq.read_table(f"{root}/stats.parquet").to_pandas()
+    n_docs = int(stats["n_docs"][0])
+    avgdl = float(stats["total_tokens"][0]) / float(max(1, n_docs))
+    cand = np.unique(post["doc_id"].to_numpy(np.int64))
+    if not len(cand):
+        return pd.DataFrame(
+            {"doc_id": pd.array([], dtype="int64"),
+             "score": pd.array([], dtype="float64")}
+        )
+    dl = (
+        read_doclens(root, cand, num_shards=num_shards)
+        .reindex(cand).to_numpy(np.float64)
+    )
+    dlt = k1 * ((1.0 - b) + b * (dl / avgdl))
+    k1p1 = k1 + 1.0
+    s = np.zeros(len(cand), dtype=np.float64)
+    for t in terms:  # term order = the kernel's accumulation order
+        tp = post[post["word"] == t]
+        df_t = len(tp)
+        idf = float((n_docs - df_t) + 0.5) / float(df_t + 0.5)
+        tf = (
+            tp.set_index("doc_id")["tf"]
+            .reindex(cand).fillna(0).to_numpy(np.float64)
+        )
+        s = s + idf * (tf * k1p1) / (tf + dlt)
+    order = np.lexsort((cand, -s))[:top_k]
+    return pd.DataFrame(
+        {"doc_id": cand[order], "score": s[order]}
+    ).reset_index(drop=True)
