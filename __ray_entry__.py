@@ -413,6 +413,25 @@ def _q_docs_search_bm25(sf_dir: str):
     )
 
 
+def _q_docs_search_and(sf_dir: str):
+    """Conjunctive boolean retrieval from the posting shards: every
+    doc containing ALL query terms, pruned reads only."""
+    import tempfile
+
+    from webcollector_ray.sources.invindex import (
+        build_inverted_index,
+        search_and,
+    )
+
+    import pandas as _pd
+
+    ds = _docs(sf_dir)
+    root = tempfile.mkdtemp(prefix="invindex_and_")
+    build_inverted_index(ds, root, num_shards=8)
+    hits = search_and(root, _BM25_TERMS, num_shards=8)
+    return _pd.DataFrame({"doc_id": _pd.array(hits, dtype="int64")})
+
+
 def _q_docs_difficulty_buckets(sf_dir: str):
     """Curriculum bucketing: rank every doc by unigram-LM score
     (ascending = most out-of-distribution first) and cut the rank
@@ -5907,6 +5926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_canonical": _q_crawl_url_canonical,
         "docs_inverted_index": _q_docs_inverted_index,
         "docs_search_bm25": _q_docs_search_bm25,
+        "docs_search_and": _q_docs_search_and,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -7617,6 +7637,12 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_pagerank_seeded"] = _crawl_ppr_oracle_sql()
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out["docs_bm25"] = _docs_bm25_oracle_sql()
+    _and_clauses = " AND ".join(
+        f"list_contains({_WORDS_EXPR}, '{t}')" for t in _BM25_TERMS
+    )
+    out["docs_search_and"] = f"""
+        SELECT doc_id FROM documents WHERE {_and_clauses}
+    """
     out["docs_search_bm25"] = f"""
         SELECT doc_id, score FROM (
             SELECT doc_id, score,

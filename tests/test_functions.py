@@ -2975,3 +2975,26 @@ def test_search_bm25_matches_scan_kernel(ray_session, tmp_path):
     assert got["score"].tolist() == scan["score"].tolist()
     # no-hit probe returns the empty frame
     assert len(search_bm25(root, ("zzz",), num_shards=4)) == 0
+
+
+def test_search_and_matches_bruteforce(ray_session, tmp_path):
+    from webcollector_ray.sources.invindex import (
+        build_inverted_index,
+        search_and,
+    )
+
+    rng = np.random.RandomState(9)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = [(i, " ".join(rng.choice(vocab, rng.randint(0, 8))))
+            for i in range(60)]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in rows])
+    root = str(tmp_path / "idx")
+    build_inverted_index(ds, root, num_shards=4)
+    for terms in (["a"], ["a", "b"], ["a", "b", "c"], ["zz"],
+                  ["a", "zz"], []):
+        got = search_and(root, terms, num_shards=4).tolist()
+        want = sorted(
+            i for i, t in rows
+            if terms and all(w in t.split() for w in terms)
+        )
+        assert got == want, terms

@@ -293,3 +293,27 @@ def search_bm25(
     return pd.DataFrame(
         {"doc_id": cand[order], "score": s[order]}
     ).reset_index(drop=True)
+
+
+def search_and(root: str, terms, *, num_shards: int = 32) -> np.ndarray:
+    """Conjunctive boolean retrieval: doc_ids containing EVERY probe
+    term, from pruned postings reads alone — intersection starts from
+    the rarest term's postings (classic AND-query evaluation order).
+    Returns a sorted int64 array."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        return np.array([], dtype=np.int64)
+    post = read_postings(root, terms, num_shards=num_shards).to_pandas()
+    lists = []
+    for t in terms:
+        ids = post.loc[post["word"] == t, "doc_id"].to_numpy(np.int64)
+        if not len(ids):
+            return np.array([], dtype=np.int64)
+        lists.append(ids)
+    lists.sort(key=len)
+    acc = lists[0]
+    for ids in lists[1:]:
+        acc = acc[np.isin(acc, ids)]
+        if not len(acc):
+            break
+    return np.sort(acc)
