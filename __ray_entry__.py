@@ -377,17 +377,31 @@ def _q_docs_inverted_index(sf_dir: str):
     Parquet (written inside the posting exchange's reduce tasks, one
     deterministic file per shard) -> full read-back. The shard-pruned
     lookup path (read_postings) is pinned by pytest."""
-    import tempfile
-
     from webcollector_ray.sources.invindex import build_inverted_index
 
-    root = tempfile.mkdtemp(prefix="invindex_")
+    import os
+
+    root = _invindex_root(sf_dir, "rt")
     manifest = build_inverted_index(_docs(sf_dir), root, num_shards=8)
     assert int(manifest["n_postings"].sum()) > 0
-    return rd.read_parquet(root)
+    shard_files = [
+        f"{root}/{f}" for f in sorted(os.listdir(root))
+        if f.startswith("shard=")
+    ]
+    return rd.read_parquet(shard_files)
 
 
 _SEARCH_TOP_K = 25
+
+
+def _invindex_root(sf_dir: str, tag: str) -> str:
+    """Deterministic scratch root per (sf, query): reruns REBUILD in
+    place (build clears stale shards) instead of leaking a fresh
+    mkdtemp directory per invocation."""
+    import hashlib as _hl
+
+    h = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/wcray_invindex_{tag}_{h}"
 
 
 def _q_docs_search_bm25(sf_dir: str):
@@ -396,8 +410,6 @@ def _q_docs_search_bm25(sf_dir: str):
     (pruned shard reads, no corpus scan at query time). Scores are
     the bm25_scores expression tree verbatim, so they hash-match the
     scan-side kernel's oracle."""
-    import tempfile
-
     from webcollector_ray.sources.invindex import (
         build_doclen_sidecar,
         build_inverted_index,
@@ -405,7 +417,7 @@ def _q_docs_search_bm25(sf_dir: str):
     )
 
     ds = _docs(sf_dir)
-    root = tempfile.mkdtemp(prefix="invindex_bm25_")
+    root = _invindex_root(sf_dir, "bm25")
     build_inverted_index(ds, root, num_shards=8)
     build_doclen_sidecar(ds, root, num_shards=8)
     return search_bm25(
@@ -416,20 +428,16 @@ def _q_docs_search_bm25(sf_dir: str):
 def _q_docs_search_and(sf_dir: str):
     """Conjunctive boolean retrieval from the posting shards: every
     doc containing ALL query terms, pruned reads only."""
-    import tempfile
-
     from webcollector_ray.sources.invindex import (
         build_inverted_index,
         search_and,
     )
 
-    import pandas as _pd
-
     ds = _docs(sf_dir)
-    root = tempfile.mkdtemp(prefix="invindex_and_")
+    root = _invindex_root(sf_dir, "and")
     build_inverted_index(ds, root, num_shards=8)
     hits = search_and(root, _BM25_TERMS, num_shards=8)
-    return _pd.DataFrame({"doc_id": _pd.array(hits, dtype="int64")})
+    return pd.DataFrame({"doc_id": pd.array(hits, dtype="int64")})
 
 
 def _q_docs_difficulty_buckets(sf_dir: str):
@@ -4456,16 +4464,16 @@ def _q_embeddings_ivf_recall(sf_dir: str):
     O(N x Q) but Q is tiny and the pass is map-only, so it scales;
     the 200k knn_brute row-cap is the guard against running the
     BASELINE as a production query, not against this eval use)."""
-    import pandas as _pd
-
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     q = _knn_queries(sf_dir, n=_RECALL_NQ)
-    truth = knn_brute(ds, q, k=10)
+    # max_rows lifted: ground truth on a sampled query set IS the
+    # sanctioned at-scale use of the brute pass (docstring above)
+    truth = knn_brute(ds, q, k=10, max_rows=10_000_000)
     approx = knn_ivf_pivot(ds, q, k=10, n_cells=16, nprobe=4)
     hit = truth[["query_id", "vec_id"]].merge(
         approx[["query_id", "vec_id"]], on=["query_id", "vec_id"]
     ).groupby("query_id").size()
-    out = _pd.DataFrame({"query_id": _pd.array(range(_RECALL_NQ), "int64")})
+    out = pd.DataFrame({"query_id": pd.array(range(_RECALL_NQ), "int64")})
     out["recall_at_10"] = (
         out["query_id"].map(hit).fillna(0).astype("float64") / 10.0
     )

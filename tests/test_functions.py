@@ -2935,13 +2935,23 @@ def test_inverted_index_roundtrip_and_pruned_lookup(ray_session, tmp_path):
     from webcollector_ray.sources.invindex import _shard_of
 
     keep = int(_shard_of(np.array(["a"], object), 4)[0])
+    dropped = []
     for f in os.listdir(root):
-        if f != f"shard={keep:04d}.parquet":
+        if f.startswith("shard=") and f != f"shard={keep:04d}.parquet":
+            dropped.append(int(f[len("shard="):-len(".parquet")]))
             os.unlink(os.path.join(root, f))
     got_a = read_postings(root, ["a"], num_shards=4).to_pandas()
     assert sorted(map(tuple, got_a.itertuples(index=False))) == sorted(
         (w, i, f) for (w, i), f in want.items() if w == "a"
     )
+    # a manifest-listed shard that is missing on disk must RAISE, not
+    # serve a silently-empty posting list
+    victim = next(
+        w for w in ("b", "d")
+        if int(_shard_of(np.array([w], object), 4)[0]) in dropped
+    )
+    with pytest.raises(FileNotFoundError):
+        read_postings(root, [victim], num_shards=4)
 
 
 def test_search_bm25_matches_scan_kernel(ray_session, tmp_path):

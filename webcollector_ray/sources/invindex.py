@@ -14,6 +14,11 @@ build returns a tiny manifest instead of re-materializing postings.
 No reference equivalent (the reference has no index export); this is
 training-pipeline / search-export surface beside BM25 and TF-IDF,
 which already compute postings in flight but never persist them.
+
+Like every file sink in this engine, `root` must be storage all nodes
+and the driver share (object store / NFS / local disk on one node);
+the build manifest written last makes a lost or partial index raise
+at read time instead of serving silently-empty postings.
 """
 
 from __future__ import annotations
@@ -48,10 +53,18 @@ def build_inverted_index(
     task sorts its shard by (word, doc_id) and writes
     shard=NNNN.parquet directly — postings cross the wire exactly
     once and are never collected. Returns the manifest as a pandas
-    DataFrame (shard, n_words, n_postings), num_shards rows."""
+    DataFrame (shard, n_words, n_postings) — also persisted LAST as
+    root/manifest.parquet, so readers can tell a legitimately-empty
+    shard from a lost/partial build (a crashed build leaves no
+    manifest and every read raises). Rebuilding into an existing root
+    first clears stale shard files, so a smaller rebuild can never
+    serve the previous corpus's postings."""
     from ..functions.joins import exchange_reduce
 
     os.makedirs(root, exist_ok=True)
+    for f in os.listdir(root):
+        if f.startswith("shard=") or f == "manifest.parquet":
+            os.unlink(os.path.join(root, f))
 
     def postings(batch: pa.Table) -> pa.Table:
         ids, words, tfs = [], [], []
@@ -106,8 +119,12 @@ def build_inverted_index(
     manifest = exchange_reduce(
         ds.map_batches(postings, batch_format="pyarrow"),
         write_shard, empty, num_shards,
-    ).to_pandas()
-    return manifest.sort_values("shard").reset_index(drop=True)
+    ).to_pandas().sort_values("shard").reset_index(drop=True)
+    pq.write_table(
+        pa.Table.from_pandas(manifest, preserve_index=False),
+        f"{root}/manifest.parquet",
+    )
+    return manifest
 
 
 def read_postings(
@@ -115,8 +132,12 @@ def read_postings(
 ) -> pa.Table:
     """Pruned lookup: probe words hash to their shards, ONLY those
     shard files are opened, and the parquet read filters to the probe
-    set — rows (word, doc_id, tf) sorted by (word, doc_id)."""
-    wl = sorted(set(words))
+    set — rows (word, doc_id, tf) sorted by (word, doc_id). Probe
+    words are lowercased (the index stores lower().split() tokens).
+    A shard listed in the build manifest but missing on disk raises
+    instead of silently serving an empty result; no manifest at all
+    means the build never completed — also an error."""
+    wl = sorted({(w or "").lower() for w in words})
     if not wl:
         return pa.table(
             {
@@ -125,12 +146,25 @@ def read_postings(
                 "tf": pa.array([], pa.int64()),
             }
         )
+    mpath = f"{root}/manifest.parquet"
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"{mpath} missing — the index build never completed"
+        )
+    built = set(
+        pq.read_table(mpath, columns=["shard"])["shard"].to_pylist()
+    )
     shards = sorted(set(_shard_of(wl, num_shards).tolist()))
     parts = []
     for s in shards:
         path = f"{root}/shard={s:04d}.parquet"
         if not os.path.exists(path):
-            continue  # no postings landed in this shard
+            if s in built:
+                raise FileNotFoundError(
+                    f"{path} listed in the build manifest but missing "
+                    "— lost or partially-copied index"
+                )
+            continue  # legitimately empty: no postings hashed here
         parts.append(
             pq.read_table(path, filters=[("word", "in", wl)])
         )
@@ -157,10 +191,14 @@ def build_doclen_sidecar(
     map pass emits (doc_id, dl); a doc-hash exchange writes
     doclen=NNNN.parquet per shard (sorted by doc_id) and returns
     (n_docs, total_tokens) partials the driver folds into
-    stats.parquet. Empty docs are kept (BM25's N counts them)."""
+    stats.parquet. Empty docs are kept (BM25's N counts them).
+    Rebuilds clear stale doclen/stats files first."""
     from ..functions.joins import exchange_reduce
 
     os.makedirs(root, exist_ok=True)
+    for f in os.listdir(root):
+        if f.startswith("doclen=") or f == "stats.parquet":
+            os.unlink(os.path.join(root, f))
 
     def lens(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
@@ -261,8 +299,9 @@ def search_bm25(
     term-order accumulation), so scores hash-match the scan-side
     kernel and the SQL oracle; candidates are exactly the docs with a
     posting for >= 1 term, i.e. the score > 0 set. Returns a pandas
-    DataFrame (doc_id, score), top_k rows by (score desc, doc_id)."""
-    terms = tuple(terms)
+    DataFrame (doc_id, score), top_k rows by (score desc, doc_id).
+    Probe terms are lowercased (the index stores lowercased tokens)."""
+    terms = tuple((t or "").lower() for t in terms)
     post = read_postings(root, terms, num_shards=num_shards).to_pandas()
     stats = pq.read_table(f"{root}/stats.parquet").to_pandas()
     n_docs = int(stats["n_docs"][0])
@@ -299,8 +338,8 @@ def search_and(root: str, terms, *, num_shards: int = 32) -> np.ndarray:
     """Conjunctive boolean retrieval: doc_ids containing EVERY probe
     term, from pruned postings reads alone — intersection starts from
     the rarest term's postings (classic AND-query evaluation order).
-    Returns a sorted int64 array."""
-    terms = list(dict.fromkeys(terms))
+    Returns a sorted int64 array. Probe terms are lowercased."""
+    terms = list(dict.fromkeys((t or "").lower() for t in terms))
     if not terms:
         return np.array([], dtype=np.int64)
     post = read_postings(root, terms, num_shards=num_shards).to_pandas()
