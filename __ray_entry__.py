@@ -440,6 +440,24 @@ def _q_docs_search_and(sf_dir: str):
     return pd.DataFrame({"doc_id": pd.array(hits, dtype="int64")})
 
 
+_PHRASE = ("hash", "join")
+
+
+def _q_docs_search_phrase(sf_dir: str):
+    """Exact phrase retrieval over the positional index: docs where
+    the phrase terms occur at consecutive positions + match counts.
+    Pruned postings reads only at query time."""
+    from webcollector_ray.sources.invindex import (
+        build_inverted_index,
+        search_phrase,
+    )
+
+    ds = _docs(sf_dir)
+    root = _invindex_root(sf_dir, "phrase")
+    build_inverted_index(ds, root, num_shards=8, positions=True)
+    return search_phrase(root, _PHRASE, num_shards=8)
+
+
 def _q_docs_difficulty_buckets(sf_dir: str):
     """Curriculum bucketing: rank every doc by unigram-LM score
     (ascending = most out-of-distribution first) and cut the rank
@@ -5935,6 +5953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": _q_docs_inverted_index,
         "docs_search_bm25": _q_docs_search_bm25,
         "docs_search_and": _q_docs_search_and,
+        "docs_search_phrase": _q_docs_search_phrase,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -7645,6 +7664,21 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_pagerank_seeded"] = _crawl_ppr_oracle_sql()
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out["docs_bm25"] = _docs_bm25_oracle_sql()
+    out["docs_search_phrase"] = rf"""
+        WITH docs AS (
+            SELECT doc_id, {_WORDS_EXPR} AS words FROM documents
+        ),
+        wpos AS (
+            SELECT doc_id, unnest(words) AS w,
+                   unnest(range(1, len(words) + 1)) AS i
+            FROM docs
+        )
+        SELECT a.doc_id, count(*)::BIGINT AS n_matches
+        FROM wpos a JOIN wpos b
+          ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        WHERE a.w = '{_PHRASE[0]}' AND b.w = '{_PHRASE[1]}'
+        GROUP BY a.doc_id
+    """
     _and_clauses = " AND ".join(
         f"list_contains({_WORDS_EXPR}, '{t}')" for t in _BM25_TERMS
     )

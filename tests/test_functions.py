@@ -3008,3 +3008,42 @@ def test_search_and_matches_bruteforce(ray_session, tmp_path):
             if terms and all(w in t.split() for w in terms)
         )
         assert got == want, terms
+
+
+def test_search_phrase_matches_bruteforce(ray_session, tmp_path):
+    from webcollector_ray.sources.invindex import (
+        build_inverted_index,
+        search_phrase,
+    )
+
+    rng = np.random.RandomState(13)
+    vocab = ["a", "b", "c", "d"]
+    rows = [(i, " ".join(rng.choice(vocab, rng.randint(0, 12))))
+            for i in range(70)]
+    rows.append((70, "a b a b a b"))  # overlapping matches
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in rows])
+    root = str(tmp_path / "idx")
+    build_inverted_index(ds, root, num_shards=4, positions=True)
+
+    def brute(phrase):
+        out = {}
+        for i, t in rows:
+            ws = t.split()
+            n = sum(
+                1 for j in range(len(ws) - len(phrase) + 1)
+                if ws[j:j + len(phrase)] == list(phrase)
+            )
+            if n:
+                out[i] = n
+        return out
+
+    for phrase in (("a", "b"), ("b", "a"), ("a", "b", "a"),
+                   ("c", "c"), ("zz", "a"), ()):
+        got = search_phrase(root, phrase, num_shards=4)
+        want = brute(phrase) if phrase else {}
+        assert dict(zip(got["doc_id"], got["n_matches"])) == want, phrase
+    # tf-only index refuses phrase queries instead of guessing
+    root2 = str(tmp_path / "idx2")
+    build_inverted_index(ds, root2, num_shards=4)
+    with pytest.raises(ValueError):
+        search_phrase(root2, ("a", "b"), num_shards=4)

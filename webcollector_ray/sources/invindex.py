@@ -44,7 +44,7 @@ def _shard_of(words, num_shards: int) -> np.ndarray:
 
 def build_inverted_index(
     ds, root: str, *, text_col: str = "text", id_col: str = "doc_id",
-    num_shards: int = 32,
+    num_shards: int = 32, positions: bool = False,
 ):
     """Corpus -> word-sharded posting-list Parquet under `root`.
 
@@ -58,7 +58,11 @@ def build_inverted_index(
     shard from a lost/partial build (a crashed build leaves no
     manifest and every read raises). Rebuilding into an existing root
     first clears stale shard files, so a smaller rebuild can never
-    serve the previous corpus's postings."""
+    serve the previous corpus's postings.
+
+    `positions=True` adds a `pos` list<int32> column (1-based token
+    positions per posting) — the positional index phrase search
+    needs; tf stays == len(pos)."""
     from ..functions.joins import exchange_reduce
 
     os.makedirs(root, exist_ok=True)
@@ -67,22 +71,34 @@ def build_inverted_index(
             os.unlink(os.path.join(root, f))
 
     def postings(batch: pa.Table) -> pa.Table:
-        ids, words, tfs = [], [], []
+        ids, words, tfs, poss = [], [], [], []
         for i, t in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()
         ):
-            for w, f in Counter((t or "").lower().split()).items():
-                ids.append(i)
-                words.append(w)
-                tfs.append(f)
-        return pa.table(
-            {
-                "word": pa.array(words, pa.string()),
-                id_col: pa.array(ids, pa.int64()),
-                "tf": pa.array(tfs, pa.int64()),
-                "__bucket": pa.array(_shard_of(words, num_shards)),
-            }
-        )
+            toks = (t or "").lower().split()
+            if positions:
+                by_w: dict = {}
+                for j, w in enumerate(toks, start=1):
+                    by_w.setdefault(w, []).append(j)
+                for w, pl in by_w.items():
+                    ids.append(i)
+                    words.append(w)
+                    tfs.append(len(pl))
+                    poss.append(pl)
+            else:
+                for w, f in Counter(toks).items():
+                    ids.append(i)
+                    words.append(w)
+                    tfs.append(f)
+        cols = {
+            "word": pa.array(words, pa.string()),
+            id_col: pa.array(ids, pa.int64()),
+            "tf": pa.array(tfs, pa.int64()),
+        }
+        if positions:
+            cols["pos"] = pa.array(poss, pa.list_(pa.int32()))
+        cols["__bucket"] = pa.array(_shard_of(words, num_shards))
+        return pa.table(cols)
 
     empty = pa.table(
         {
@@ -93,12 +109,20 @@ def build_inverted_index(
     )
 
     def write_shard(t: pa.Table) -> pa.Table:
-        df = t.select(["word", id_col, "tf"]).to_pandas()
-        df = (
-            df.groupby(["word", id_col], sort=False, as_index=False)["tf"]
-            .sum()  # merge partials of the same (word, doc) across blocks
-            .sort_values(["word", id_col], kind="mergesort")
-        )
+        keep = ["word", id_col, "tf"] + (["pos"] if positions else [])
+        df = t.select(keep).to_pandas()
+        if positions:
+            # (word, doc) rows are unique by construction (each doc
+            # lives in exactly one input block), so no partial-merge
+            df = df.sort_values(["word", id_col], kind="mergesort")
+        else:
+            df = (
+                df.groupby(
+                    ["word", id_col], sort=False, as_index=False
+                )["tf"]
+                .sum()  # safety net: merge same-(word,doc) partials
+                .sort_values(["word", id_col], kind="mergesort")
+            )
         if not len(df):
             return empty
         shard = int(
@@ -356,3 +380,51 @@ def search_and(root: str, terms, *, num_shards: int = 32) -> np.ndarray:
         if not len(acc):
             break
     return np.sort(acc)
+
+
+def search_phrase(root: str, phrase, *, num_shards: int = 32):
+    """Exact phrase retrieval over a POSITIONAL index
+    (build_inverted_index(..., positions=True)): docs where the terms
+    occur at consecutive positions, with the match count per doc —
+    the classic positional-postings intersection (Manning/Raghavan/
+    Schuetze IR ch.2). Pruned postings reads only; candidates are the
+    AND set, verified per doc by vectorized position-offset
+    intersection. Returns a pandas DataFrame (doc_id, n_matches)
+    sorted by doc_id. Probe terms are lowercased."""
+    terms = [(t or "").lower() for t in phrase]
+    if not terms:
+        return pd.DataFrame(
+            {"doc_id": pd.array([], dtype="int64"),
+             "n_matches": pd.array([], dtype="int64")}
+        )
+    post = read_postings(root, terms, num_shards=num_shards).to_pandas()
+    if "pos" not in post.columns:
+        raise ValueError(
+            "search_phrase needs a positional index — rebuild with "
+            "build_inverted_index(..., positions=True)"
+        )
+    per_term = []
+    for t in terms:
+        tp = post[post["word"] == t]
+        if not len(tp):
+            return search_phrase(root, [], num_shards=num_shards)
+        per_term.append(
+            dict(zip(tp["doc_id"].to_numpy(np.int64), tp["pos"]))
+        )
+    cand = set(per_term[0])
+    for m in per_term[1:]:
+        cand &= set(m)
+    out_d, out_n = [], []
+    for d in sorted(cand):
+        acc = np.asarray(per_term[0][d], dtype=np.int64)
+        for off, m in enumerate(per_term[1:], start=1):
+            acc = acc[np.isin(acc + off, np.asarray(m[d], np.int64))]
+            if not len(acc):
+                break
+        if len(acc):
+            out_d.append(d)
+            out_n.append(len(acc))
+    return pd.DataFrame(
+        {"doc_id": pd.array(out_d, dtype="int64"),
+         "n_matches": pd.array(out_n, dtype="int64")}
+    )
