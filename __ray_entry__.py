@@ -458,6 +458,24 @@ def _q_docs_search_phrase(sf_dir: str):
     return search_phrase(root, _PHRASE, num_shards=8)
 
 
+def _q_orders_profile(sf_dir: str):
+    """Table-health profiling census over the orders table's int and
+    string columns: rows, nulls, EXACT distinct, min/max — scalar
+    stats fold with no shuffle; distinct through one (column, value)
+    exchange."""
+    from webcollector_ray.functions.profile import profile_columns
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"],
+    )
+    return profile_columns(
+        ds, ["o_orderkey", "o_custkey", "o_orderstatus",
+             "o_orderpriority"]
+    )
+
+
 def _q_docs_difficulty_buckets(sf_dir: str):
     """Curriculum bucketing: rank every doc by unigram-LM score
     (ascending = most out-of-distribution first) and cut the rank
@@ -5954,6 +5972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search_bm25": _q_docs_search_bm25,
         "docs_search_and": _q_docs_search_and,
         "docs_search_phrase": _q_docs_search_phrase,
+        "orders_profile": _q_orders_profile,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -7664,6 +7683,32 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_pagerank_seeded"] = _crawl_ppr_oracle_sql()
     out["lang_id_counts"] = _lang_id_oracle_sql()
     out["docs_bm25"] = _docs_bm25_oracle_sql()
+    out["orders_profile"] = """
+            SELECT 'o_orderkey' AS "column", count(*)::BIGINT AS n_rows,
+                   (count(*) - count(o_orderkey))::BIGINT AS n_nulls,
+                   count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders UNION ALL 
+            SELECT 'o_custkey' AS "column", count(*)::BIGINT AS n_rows,
+                   (count(*) - count(o_custkey))::BIGINT AS n_nulls,
+                   count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+                   CAST(min(o_custkey) AS VARCHAR) AS min_value,
+                   CAST(max(o_custkey) AS VARCHAR) AS max_value
+            FROM orders UNION ALL 
+            SELECT 'o_orderstatus' AS "column", count(*)::BIGINT AS n_rows,
+                   (count(*) - count(o_orderstatus))::BIGINT AS n_nulls,
+                   count(DISTINCT o_orderstatus)::BIGINT AS n_distinct,
+                   CAST(min(o_orderstatus) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderstatus) AS VARCHAR) AS max_value
+            FROM orders UNION ALL 
+            SELECT 'o_orderpriority' AS "column", count(*)::BIGINT AS n_rows,
+                   (count(*) - count(o_orderpriority))::BIGINT AS n_nulls,
+                   count(DISTINCT o_orderpriority)::BIGINT AS n_distinct,
+                   CAST(min(o_orderpriority) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderpriority) AS VARCHAR) AS max_value
+            FROM orders
+    """
     out["docs_search_phrase"] = rf"""
         WITH docs AS (
             SELECT doc_id, {_WORDS_EXPR} AS words FROM documents

@@ -3047,3 +3047,30 @@ def test_search_phrase_matches_bruteforce(ray_session, tmp_path):
     build_inverted_index(ds, root2, num_shards=4)
     with pytest.raises(ValueError):
         search_phrase(root2, ("a", "b"), num_shards=4)
+
+
+def test_profile_columns_with_nulls(ray_session):
+    from webcollector_ray.functions.profile import profile_columns
+
+    rows = [
+        {"k": 5, "s": "b"}, {"k": None, "s": None}, {"k": 10, "s": "a"},
+        {"k": 5, "s": "a"}, {"k": -3, "s": None},
+    ]
+    ds = rd.from_items(rows, override_num_blocks=3)
+    out = (
+        profile_columns(ds, ["k", "s"], num_buckets=4)
+        .to_pandas().set_index("column")
+    )
+    assert out.loc["k"].tolist() == [5, 1, 3, "-3", "10"]
+    assert out.loc["s"].tolist() == [5, 2, 2, "a", "b"]
+    # all-null (but typed) column: NULL min/max, distinct 0
+    ds2 = rd.from_arrow(
+        pa.table({"x": pa.array([None, None], pa.int64())})
+    )
+    o2 = profile_columns(ds2, ["x"]).to_pandas().set_index("column")
+    assert o2.loc["x", "n_rows"] == 2 and o2.loc["x", "n_nulls"] == 2
+    assert o2.loc["x", "n_distinct"] == 0
+    assert o2.loc["x", "min_value"] is None or o2["min_value"].isna().all()
+    # float columns rejected loudly (renderings not cross-engine safe)
+    with pytest.raises(ValueError):
+        profile_columns(rd.from_items([{"f": 1.5}]), ["f"])
