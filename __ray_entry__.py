@@ -476,6 +476,65 @@ def _q_orders_profile(sf_dir: str):
     )
 
 
+_TEXTRANK_WINDOW = 2
+_TEXTRANK_TOP = 20
+
+
+def _q_vocab_textrank(sf_dir: str):
+    """TextRank keywords (Mihalcea & Tarau, EMNLP 2004): integer
+    fixed-point PageRank over the corpus word co-occurrence graph
+    (distinct unweighted edges within a +-2 token window, both
+    directions, no self-loops), top-20 words by rank. Pure
+    composition: the windowed-pair map + one pair-dedupe exchange
+    feed graph.pagerank_fixed unchanged."""
+    from webcollector_ray.functions.graph import pagerank_fixed
+    from webcollector_ray.functions.joins import exchange_reduce
+    from webcollector_ray.functions.ranking import global_top_n
+
+    nb = 32
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for t in batch["text"].to_pylist():
+            toks = (t or "").lower().split()
+            for i in range(len(toks)):
+                for j in range(i + 1,
+                               min(i + 1 + _TEXTRANK_WINDOW, len(toks))):
+                    if toks[i] != toks[j]:
+                        src.append(toks[i]); dst.append(toks[j])
+                        src.append(toks[j]); dst.append(toks[i])
+        df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+        key = (df["src"] + "\x1f" + df["dst"]).to_numpy(object)
+        b = (
+            pd.util.hash_array(key, categorize=False) % np.uint64(nb)
+        ).astype(np.int32) if len(df) else np.zeros(0, np.int32)
+        return pa.Table.from_pandas(
+            df.assign(__bucket=b), preserve_index=False
+        )
+
+    e_empty = pa.table(
+        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+    )
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        df = t.select(["src", "dst"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = exchange_reduce(
+        _docs(sf_dir).map_batches(edge_rows, batch_format="pyarrow"),
+        dedupe, e_empty, nb,
+    )
+    ranks = pagerank_fixed(edges, iters=_PR_ITERS)
+    top = global_top_n(
+        ranks, order_col="pr_fp", n=_TEXTRANK_TOP, tie_col="url"
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"word": batch["url"], "tr_fp": batch["pr_fp"]})
+
+    return top.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_docs_difficulty_buckets(sf_dir: str):
     """Curriculum bucketing: rank every doc by unigram-LM score
     (ascending = most out-of-distribution first) and cut the rank
@@ -5973,6 +6032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search_and": _q_docs_search_and,
         "docs_search_phrase": _q_docs_search_phrase,
         "orders_profile": _q_orders_profile,
+        "vocab_textrank": _q_vocab_textrank,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -6954,6 +7014,64 @@ def _crawl_anchor_texts_oracle_sql() -> str:
         SELECT target_url, anchor_text, count(*)::BIGINT AS n
         FROM anchors GROUP BY target_url, anchor_text
     """
+
+
+def _vocab_textrank_oracle_sql() -> str:
+    """TextRank re-derived end to end: the co-occurrence edge set is
+    rebuilt from token positions (distinct, +-window, both directions,
+    no self-loops) and the _PR_ITERS damped iterations are unrolled
+    as chained CTEs with the same integer floor arithmetic as
+    graph.pagerank_fixed (r // outdeg, base + 85*s // 100)."""
+    from webcollector_ray.functions.graph import SCALE
+
+    sql = rf"""
+        WITH docs AS (
+            SELECT doc_id, {_WORDS_EXPR} AS words FROM documents
+        ),
+        wpos AS (
+            SELECT doc_id, unnest(words) AS w,
+                   unnest(range(1, len(words) + 1)) AS i
+            FROM docs
+        ),
+        fwd AS (
+            SELECT DISTINCT a.w AS src, b.w AS dst
+            FROM wpos a JOIN wpos b
+              ON b.doc_id = a.doc_id AND b.i > a.i
+             AND b.i - a.i <= {_TEXTRANK_WINDOW}
+            WHERE a.w != b.w AND a.w != '' AND b.w != ''
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM fwd
+            UNION SELECT dst, src FROM fwd
+        ),
+        deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+        nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+        consts AS (
+            SELECT ({SCALE} // c) AS r0v,
+                   (15 * ({SCALE} // c)) // 100 AS base
+            FROM (SELECT count(*)::BIGINT AS c FROM nodes)
+        ),
+        r0 AS (SELECT v, (SELECT r0v FROM consts) AS r FROM nodes)"""
+    for it in range(1, _PR_ITERS + 1):
+        sql += f""",
+        s{it} AS (
+            SELECT e.dst AS v, sum(r{it - 1}.r // deg.d)::BIGINT AS s
+            FROM edges e
+            JOIN r{it - 1} ON r{it - 1}.v = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ),
+        r{it} AS (
+            SELECT n.v,
+                   ((SELECT base FROM consts)
+                    + (85 * coalesce(s{it}.s, 0)) // 100)::BIGINT AS r
+            FROM nodes n LEFT JOIN s{it} ON s{it}.v = n.v
+        )"""
+    sql += f"""
+        SELECT v AS word, r::BIGINT AS tr_fp FROM r{_PR_ITERS}
+        ORDER BY r DESC, v ASC LIMIT {_TEXTRANK_TOP}
+    """
+    return sql
 
 
 def _crawl_pagerank_oracle_sql() -> str:
@@ -8366,6 +8484,7 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_extract"] = _crawl_extract_oracle_sql()
     out["crawl_anchor_texts"] = _crawl_anchor_texts_oracle_sql()
     out["crawl_pagerank"] = _crawl_pagerank_oracle_sql()
+    out["vocab_textrank"] = _vocab_textrank_oracle_sql()
     out["crawl_hits"] = _crawl_hits_oracle_sql()
     out["embeddings_projected"] = _rp_oracle_sql()
     out.update(_media_oracle_sqls())
