@@ -483,47 +483,14 @@ _TEXTRANK_TOP = 20
 def _q_vocab_textrank(sf_dir: str):
     """TextRank keywords (Mihalcea & Tarau, EMNLP 2004): integer
     fixed-point PageRank over the corpus word co-occurrence graph
-    (distinct unweighted edges within a +-2 token window, both
-    directions, no self-loops), top-20 words by rank. Pure
-    composition: the windowed-pair map + one pair-dedupe exchange
-    feed graph.pagerank_fixed unchanged."""
+    (textstats.cooccurrence_edges: distinct unweighted edges within
+    a +-2 token window, both directions, no self-loops), top-20 words
+    by rank. Pure composition of existing primitives."""
     from webcollector_ray.functions.graph import pagerank_fixed
-    from webcollector_ray.functions.joins import exchange_reduce
     from webcollector_ray.functions.ranking import global_top_n
+    from webcollector_ray.functions.textstats import cooccurrence_edges
 
-    nb = 32
-
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        src, dst = [], []
-        for t in batch["text"].to_pylist():
-            toks = (t or "").lower().split()
-            for i in range(len(toks)):
-                for j in range(i + 1,
-                               min(i + 1 + _TEXTRANK_WINDOW, len(toks))):
-                    if toks[i] != toks[j]:
-                        src.append(toks[i]); dst.append(toks[j])
-                        src.append(toks[j]); dst.append(toks[i])
-        df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
-        key = (df["src"] + "\x1f" + df["dst"]).to_numpy(object)
-        b = (
-            pd.util.hash_array(key, categorize=False) % np.uint64(nb)
-        ).astype(np.int32) if len(df) else np.zeros(0, np.int32)
-        return pa.Table.from_pandas(
-            df.assign(__bucket=b), preserve_index=False
-        )
-
-    e_empty = pa.table(
-        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
-    )
-
-    def dedupe(t: pa.Table) -> pa.Table:
-        df = t.select(["src", "dst"]).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    edges = exchange_reduce(
-        _docs(sf_dir).map_batches(edge_rows, batch_format="pyarrow"),
-        dedupe, e_empty, nb,
-    )
+    edges = cooccurrence_edges(_docs(sf_dir), window=_TEXTRANK_WINDOW)
     ranks = pagerank_fixed(edges, iters=_PR_ITERS)
     top = global_top_n(
         ranks, order_col="pr_fp", n=_TEXTRANK_TOP, tie_col="url"

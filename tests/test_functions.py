@@ -2895,6 +2895,10 @@ def test_canonicalize_full_kernel():
     assert cf("http://e.com/p?b=2&a=1") == "http://e.com/p?a=1&b=2"
     assert cf("http://e.com/p?a=2&a=1") == "http://e.com/p?a=1&a=2"
     assert cf("http://e.com/p?&b=1&") == "http://e.com/p?b=1"
+    # relative (schemeless) crawl-noise strings resolve too
+    assert cf("x/../y") == "x/y".replace("x/", "")  # == "y"
+    assert cf("../y") == "../y"
+    assert cf("a/b/../../c") == "c"
     # empty path, idempotence
     assert cf("http://e.com") == "http://e.com/"
     for u in ("HTTP://E.com:80/x/../y?b=1&a=2#z", "http://e.com/p?x=1"):
@@ -3074,3 +3078,63 @@ def test_profile_columns_with_nulls(ray_session):
     # float columns rejected loudly (renderings not cross-engine safe)
     with pytest.raises(ValueError):
         profile_columns(rd.from_items([{"f": 1.5}]), ["f"])
+
+
+def test_invindex_hardening(ray_session, tmp_path):
+    import os
+
+    from webcollector_ray.sources.invindex import (
+        _doc_shard_of,
+        build_doclen_sidecar,
+        build_inverted_index,
+        read_doclens,
+        search_bm25,
+        search_phrase,
+    )
+
+    rows = [(i, f"w{i % 5} w{(i + 1) % 5}") for i in range(40)]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in rows])
+    root = str(tmp_path / "idx")
+    build_inverted_index(ds, root, num_shards=4, positions=True)
+    build_doclen_sidecar(ds, root, num_shards=4)
+    # phrase probe whose terms all miss: empty frame, NOT a spurious
+    # "needs positional index" error
+    got = search_phrase(root, ("zz", "qq"), num_shards=4)
+    assert len(got) == 0 and list(got.columns) == ["doc_id", "n_matches"]
+    # a manifest-listed doclen shard missing on disk raises
+    ids = np.arange(40, dtype=np.int64)
+    present = sorted(set(_doc_shard_of(ids, 4).tolist()))
+    victim = present[0]
+    os.unlink(os.path.join(root, f"doclen={victim:04d}.parquet"))
+    with pytest.raises(FileNotFoundError):
+        read_doclens(root, ids.tolist(), num_shards=4)
+    with pytest.raises(FileNotFoundError):
+        search_bm25(root, ("w0",), num_shards=4)
+
+
+def test_invindex_custom_id_col(ray_session, tmp_path):
+    from webcollector_ray.sources.invindex import (
+        build_doclen_sidecar,
+        build_inverted_index,
+        search_and,
+        search_bm25,
+        search_phrase,
+    )
+
+    rows = [(i, "alpha beta alpha") for i in range(6)]
+    ds = rd.from_items([{"page_id": i, "text": t} for i, t in rows])
+    root = str(tmp_path / "idx")
+    build_inverted_index(ds, root, num_shards=4, id_col="page_id",
+                         positions=True)
+    build_doclen_sidecar(ds, root, num_shards=4, id_col="page_id")
+    assert search_and(
+        root, ("alpha", "beta"), num_shards=4, id_col="page_id"
+    ).tolist() == list(range(6))
+    got = search_bm25(root, ("alpha",), top_k=3, num_shards=4,
+                      id_col="page_id")
+    assert list(got.columns) == ["page_id", "score"] and len(got) == 3
+    ph = search_phrase(root, ("alpha", "beta"), num_shards=4,
+                       id_col="page_id")
+    assert dict(zip(ph["page_id"], ph["n_matches"])) == {
+        i: 1 for i in range(6)
+    }

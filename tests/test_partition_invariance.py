@@ -212,63 +212,27 @@ def test_bfs_landmarks_exact_and_partition_invariant(ray_session):
 
 
 def test_textrank_partition_invariant(ray_session):
-    import __ray_entry__ as entrymod
-
-    # the query reads parquet (fixed layout); invariance is pinned at
-    # the operator level instead: same corpus through different block
-    # layouts must give identical edges -> identical ranks
+    # drives the SAME code path as the vocab_textrank query:
+    # textstats.cooccurrence_edges -> graph.pagerank_fixed
     import pandas as pd
     import pyarrow.parquet as pq
+
+    from webcollector_ray.functions.graph import pagerank_fixed
+    from webcollector_ray.functions.textstats import cooccurrence_edges
 
     t = pq.read_table(
         "/root/testdata/sf0.001/documents.parquet",
         columns=["doc_id", "text"],
     )
-    from webcollector_ray.functions.graph import pagerank_fixed
-    from webcollector_ray.functions.joins import exchange_reduce
 
-    def run(nblocks):
+    def run(nblocks, nb):
         ds = rd.from_arrow(t).repartition(nblocks)
-        qfn = entrymod._q_vocab_textrank
-        # drive the same edge construction the query uses, then ranks
-        import numpy as np
-        import pyarrow as pa
-
-        def edge_rows(batch):
-            src, dst = [], []
-            for txt in batch["text"].to_pylist():
-                toks = (txt or "").lower().split()
-                for i in range(len(toks)):
-                    for j in range(i + 1, min(i + 3, len(toks))):
-                        if toks[i] != toks[j]:
-                            src.append(toks[i]); dst.append(toks[j])
-                            src.append(toks[j]); dst.append(toks[i])
-            df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
-            key = (df["src"] + "|" + df["dst"]).to_numpy(object)
-            b = (
-                pd.util.hash_array(key, categorize=False)
-                % np.uint64(8)
-            ).astype(np.int32) if len(df) else np.zeros(0, np.int32)
-            return pa.Table.from_pandas(
-                df.assign(__bucket=b), preserve_index=False
-            )
-
-        e_empty = pa.table(
-            {"src": pa.array([], pa.string()),
-             "dst": pa.array([], pa.string())}
-        )
-        edges = exchange_reduce(
-            ds.map_batches(edge_rows, batch_format="pyarrow"),
-            lambda tt: pa.Table.from_pandas(
-                tt.select(["src", "dst"]).to_pandas().drop_duplicates(),
-                preserve_index=False,
-            ),
-            e_empty, 8,
-        )
+        edges = cooccurrence_edges(ds, window=2, num_buckets=nb)
         out = pagerank_fixed(edges, iters=3).to_pandas()
-        return out.sort_values(["pr_fp", "url"],
-                               ascending=[False, True]).head(20)
+        return out.sort_values(
+            ["pr_fp", "url"], ascending=[False, True]
+        ).head(20).reset_index(drop=True)
 
-    a = run(2).reset_index(drop=True)
-    b = run(7).reset_index(drop=True)
+    a = run(2, 8)
+    b = run(7, 16)
     assert a.equals(b)

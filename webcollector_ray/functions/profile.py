@@ -144,26 +144,43 @@ def profile_columns(ds, columns, *, num_buckets: int = 16):
     scalars = ds.map_batches(scalar_partial, batch_format="pyarrow")
 
     def fold(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        nd_part = df[df["kind"] == "nd"]
-        sc = df[df["kind"] == "sc"]
+        # plain-list fold over the tiny partial table: pandas would
+        # coerce the nullable min_i/max_i int64 columns to float64
+        # (the nd-tagged rows pad them with NULLs) and silently round
+        # values above 2^53 — to_pylist keeps exact Python ints
+        kind = t["kind"].to_pylist()
+        coln = t["column"].to_pylist()
+        n_rows_l = t["n_rows"].to_pylist()
+        n_nulls_l = t["n_nulls"].to_pylist()
+        min_i_l = t["min_i"].to_pylist()
+        max_i_l = t["max_i"].to_pylist()
+        min_s_l = t["min_s"].to_pylist()
+        max_s_l = t["max_s"].to_pylist()
         out = []
         for c in columns:
-            g = sc[sc["column"] == c]
-            ndv = int(nd_part[nd_part["column"] == c]["n_rows"].sum())
+            sc_idx = [j for j, (k, cc) in enumerate(zip(kind, coln))
+                      if k == "sc" and cc == c]
+            ndv = sum(
+                n_rows_l[j] for j, (k, cc) in enumerate(zip(kind, coln))
+                if k == "nd" and cc == c
+            )
             if c in int_cols:
-                mins = g["min_i"].dropna()
-                maxs = g["max_i"].dropna()
-                mn = str(int(mins.min())) if len(mins) else None
-                mx = str(int(maxs.max())) if len(maxs) else None
+                mins = [min_i_l[j] for j in sc_idx
+                        if min_i_l[j] is not None]
+                maxs = [max_i_l[j] for j in sc_idx
+                        if max_i_l[j] is not None]
+                mn = str(min(mins)) if mins else None
+                mx = str(max(maxs)) if maxs else None
             else:
-                mins = g["min_s"].dropna()
-                maxs = g["max_s"].dropna()
-                mn = mins.min() if len(mins) else None
-                mx = maxs.max() if len(maxs) else None
+                mins = [min_s_l[j] for j in sc_idx
+                        if min_s_l[j] is not None]
+                maxs = [max_s_l[j] for j in sc_idx
+                        if max_s_l[j] is not None]
+                mn = min(mins) if mins else None
+                mx = max(maxs) if maxs else None
             out.append(
-                (c, int(g["n_rows"].sum()), int(g["n_nulls"].sum()),
-                 ndv, mn, mx)
+                (c, sum(n_rows_l[j] for j in sc_idx),
+                 sum(n_nulls_l[j] for j in sc_idx), int(ndv), mn, mx)
             )
         cols = list(zip(*out)) if out else [[]] * 6
         return pa.table(

@@ -1567,3 +1567,51 @@ def bpe_encode_token_counts(ds, merges_tbl, *, text_col: str = "text",
         j.map_batches(doc_partial, batch_format="pyarrow"),
         doc_sum, empty, num_buckets,
     )
+
+
+def cooccurrence_edges(
+    ds, *, window: int = 2, text_col: str = "text",
+    num_buckets: int = 32,
+):
+    """Distinct unweighted word co-occurrence edges within a
+    +-`window` token span, both directions, no self-loops — the
+    TextRank graph (Mihalcea & Tarau 2004). Per-batch pair emission
+    with a local dedupe, then ONE pair-hash exchange for the global
+    distinct; output columns (src, dst) feed graph.pagerank_fixed
+    unchanged."""
+    import pyarrow as _pa
+
+    from .joins import exchange_reduce
+
+    def edge_rows(batch: _pa.Table) -> _pa.Table:
+        src, dst = [], []
+        for t in batch[text_col].to_pylist():
+            toks = (t or "").lower().split()
+            for i in range(len(toks)):
+                for j in range(i + 1, min(i + 1 + window, len(toks))):
+                    if toks[i] != toks[j]:
+                        src.append(toks[i]); dst.append(toks[j])
+                        src.append(toks[j]); dst.append(toks[i])
+        df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+        key = (df["src"] + "\x1f" + df["dst"]).to_numpy(object)
+        b = (
+            pd.util.hash_array(key, categorize=False)
+            % np.uint64(num_buckets)
+        ).astype(np.int32) if len(df) else np.zeros(0, np.int32)
+        return _pa.Table.from_pandas(
+            df.assign(__bucket=b), preserve_index=False
+        )
+
+    e_empty = _pa.table(
+        {"src": _pa.array([], _pa.string()),
+         "dst": _pa.array([], _pa.string())}
+    )
+
+    def dedupe(t: _pa.Table) -> _pa.Table:
+        df = t.select(["src", "dst"]).to_pandas().drop_duplicates()
+        return _pa.Table.from_pandas(df, preserve_index=False)
+
+    return exchange_reduce(
+        ds.map_batches(edge_rows, batch_format="pyarrow"),
+        dedupe, e_empty, num_buckets,
+    )

@@ -152,7 +152,7 @@ def build_inverted_index(
 
 
 def read_postings(
-    root: str, words, *, num_shards: int = 32
+    root: str, words, *, num_shards: int = 32, id_col: str = "doc_id"
 ) -> pa.Table:
     """Pruned lookup: probe words hash to their shards, ONLY those
     shard files are opened, and the parquet read filters to the probe
@@ -166,7 +166,7 @@ def read_postings(
         return pa.table(
             {
                 "word": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
                 "tf": pa.array([], pa.int64()),
             }
         )
@@ -193,9 +193,10 @@ def read_postings(
             pq.read_table(path, filters=[("word", "in", wl)])
         )
     if not parts:
-        return read_postings(root, [], num_shards=num_shards)
+        return read_postings(root, [], num_shards=num_shards,
+                             id_col=id_col)
     out = pa.concat_tables(parts).to_pandas()
-    out = out.sort_values(["word", "doc_id"], kind="mergesort")
+    out = out.sort_values(["word", id_col], kind="mergesort")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -221,7 +222,8 @@ def build_doclen_sidecar(
 
     os.makedirs(root, exist_ok=True)
     for f in os.listdir(root):
-        if f.startswith("doclen=") or f == "stats.parquet":
+        if f.startswith("doclen=") or f in ("stats.parquet",
+                                            "doclen_manifest.parquet"):
             os.unlink(os.path.join(root, f))
 
     def lens(batch: pa.Table) -> pa.Table:
@@ -275,7 +277,11 @@ def build_doclen_sidecar(
     parts = exchange_reduce(
         ds.map_batches(lens, batch_format="pyarrow"),
         write_shard, empty, num_shards,
-    ).to_pandas()
+    ).to_pandas().sort_values("shard").reset_index(drop=True)
+    pq.write_table(
+        pa.Table.from_pandas(parts, preserve_index=False),
+        f"{root}/doclen_manifest.parquet",
+    )
     stats = pa.table(
         {
             "n_docs": pa.array([int(parts["n_docs"].sum())], pa.int64()),
@@ -285,36 +291,50 @@ def build_doclen_sidecar(
         }
     )
     pq.write_table(stats, f"{root}/stats.parquet")
-    return parts.sort_values("shard").reset_index(drop=True)
+    return parts
 
 
-def read_doclens(root: str, doc_ids, *, num_shards: int = 32):
+def read_doclens(root: str, doc_ids, *, num_shards: int = 32,
+                 id_col: str = "doc_id"):
     """Pruned doc-length lookup: candidate ids hash to their shards,
     only those doclen files are opened and filtered. Returns a
     pandas Series doc_id -> dl."""
     ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
     if not len(ids):
         return pd.Series(dtype=np.int64)
+    mpath = f"{root}/doclen_manifest.parquet"
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"{mpath} missing — the doclen sidecar build never completed"
+        )
+    built = set(
+        pq.read_table(mpath, columns=["shard"])["shard"].to_pylist()
+    )
     shards = sorted(set(_doc_shard_of(ids, num_shards).tolist()))
     parts = []
     for s in shards:
         path = f"{root}/doclen={s:04d}.parquet"
         if not os.path.exists(path):
+            if s in built:
+                raise FileNotFoundError(
+                    f"{path} listed in the doclen manifest but missing "
+                    "— lost or partially-copied sidecar"
+                )
             continue
         parts.append(
             pq.read_table(
-                path, filters=[("doc_id", "in", ids.tolist())]
+                path, filters=[(id_col, "in", ids.tolist())]
             ).to_pandas()
         )
     if not parts:
         return pd.Series(dtype=np.int64)
     df = pd.concat(parts)
-    return df.set_index("doc_id")["dl"]
+    return df.set_index(id_col)["dl"]
 
 
 def search_bm25(
     root: str, terms, *, top_k: int = 10, num_shards: int = 32,
-    k1: float = 1.2, b: float = 0.75,
+    k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
 ):
     """Index-served BM25 top-k: postings of the probe terms (pruned
     read) + candidate doc lengths (pruned read) + stats.parquet —
@@ -326,18 +346,20 @@ def search_bm25(
     DataFrame (doc_id, score), top_k rows by (score desc, doc_id).
     Probe terms are lowercased (the index stores lowercased tokens)."""
     terms = tuple((t or "").lower() for t in terms)
-    post = read_postings(root, terms, num_shards=num_shards).to_pandas()
+    post = read_postings(
+        root, terms, num_shards=num_shards, id_col=id_col
+    ).to_pandas()
     stats = pq.read_table(f"{root}/stats.parquet").to_pandas()
     n_docs = int(stats["n_docs"][0])
     avgdl = float(stats["total_tokens"][0]) / float(max(1, n_docs))
-    cand = np.unique(post["doc_id"].to_numpy(np.int64))
+    cand = np.unique(post[id_col].to_numpy(np.int64))
     if not len(cand):
         return pd.DataFrame(
-            {"doc_id": pd.array([], dtype="int64"),
+            {id_col: pd.array([], dtype="int64"),
              "score": pd.array([], dtype="float64")}
         )
     dl = (
-        read_doclens(root, cand, num_shards=num_shards)
+        read_doclens(root, cand, num_shards=num_shards, id_col=id_col)
         .reindex(cand).to_numpy(np.float64)
     )
     dlt = k1 * ((1.0 - b) + b * (dl / avgdl))
@@ -348,17 +370,18 @@ def search_bm25(
         df_t = len(tp)
         idf = float((n_docs - df_t) + 0.5) / float(df_t + 0.5)
         tf = (
-            tp.set_index("doc_id")["tf"]
+            tp.set_index(id_col)["tf"]
             .reindex(cand).fillna(0).to_numpy(np.float64)
         )
         s = s + idf * (tf * k1p1) / (tf + dlt)
     order = np.lexsort((cand, -s))[:top_k]
     return pd.DataFrame(
-        {"doc_id": cand[order], "score": s[order]}
+        {id_col: cand[order], "score": s[order]}
     ).reset_index(drop=True)
 
 
-def search_and(root: str, terms, *, num_shards: int = 32) -> np.ndarray:
+def search_and(root: str, terms, *, num_shards: int = 32,
+               id_col: str = "doc_id") -> np.ndarray:
     """Conjunctive boolean retrieval: doc_ids containing EVERY probe
     term, from pruned postings reads alone — intersection starts from
     the rarest term's postings (classic AND-query evaluation order).
@@ -366,10 +389,12 @@ def search_and(root: str, terms, *, num_shards: int = 32) -> np.ndarray:
     terms = list(dict.fromkeys((t or "").lower() for t in terms))
     if not terms:
         return np.array([], dtype=np.int64)
-    post = read_postings(root, terms, num_shards=num_shards).to_pandas()
+    post = read_postings(
+        root, terms, num_shards=num_shards, id_col=id_col
+    ).to_pandas()
     lists = []
     for t in terms:
-        ids = post.loc[post["word"] == t, "doc_id"].to_numpy(np.int64)
+        ids = post.loc[post["word"] == t, id_col].to_numpy(np.int64)
         if not len(ids):
             return np.array([], dtype=np.int64)
         lists.append(ids)
@@ -382,7 +407,8 @@ def search_and(root: str, terms, *, num_shards: int = 32) -> np.ndarray:
     return np.sort(acc)
 
 
-def search_phrase(root: str, phrase, *, num_shards: int = 32):
+def search_phrase(root: str, phrase, *, num_shards: int = 32,
+                  id_col: str = "doc_id"):
     """Exact phrase retrieval over a POSITIONAL index
     (build_inverted_index(..., positions=True)): docs where the terms
     occur at consecutive positions, with the match count per doc —
@@ -394,10 +420,17 @@ def search_phrase(root: str, phrase, *, num_shards: int = 32):
     terms = [(t or "").lower() for t in phrase]
     if not terms:
         return pd.DataFrame(
-            {"doc_id": pd.array([], dtype="int64"),
+            {id_col: pd.array([], dtype="int64"),
              "n_matches": pd.array([], dtype="int64")}
         )
-    post = read_postings(root, terms, num_shards=num_shards).to_pandas()
+    post = read_postings(
+        root, terms, num_shards=num_shards, id_col=id_col
+    ).to_pandas()
+    if not len(post):
+        # no term has postings at all — an empty hit set, regardless
+        # of index flavor (the empty-result schema carries no pos col)
+        return search_phrase(root, [], num_shards=num_shards,
+                             id_col=id_col)
     if "pos" not in post.columns:
         raise ValueError(
             "search_phrase needs a positional index — rebuild with "
@@ -407,9 +440,10 @@ def search_phrase(root: str, phrase, *, num_shards: int = 32):
     for t in terms:
         tp = post[post["word"] == t]
         if not len(tp):
-            return search_phrase(root, [], num_shards=num_shards)
+            return search_phrase(root, [], num_shards=num_shards,
+                                 id_col=id_col)
         per_term.append(
-            dict(zip(tp["doc_id"].to_numpy(np.int64), tp["pos"]))
+            dict(zip(tp[id_col].to_numpy(np.int64), tp["pos"]))
         )
     cand = set(per_term[0])
     for m in per_term[1:]:
@@ -425,6 +459,6 @@ def search_phrase(root: str, phrase, *, num_shards: int = 32):
             out_d.append(d)
             out_n.append(len(acc))
     return pd.DataFrame(
-        {"doc_id": pd.array(out_d, dtype="int64"),
+        {id_col: pd.array(out_d, dtype="int64"),
          "n_matches": pd.array(out_n, dtype="int64")}
     )

@@ -131,23 +131,29 @@ def canonicalize(url: str) -> str:
 
 
 def _remove_dot_segments(path: str) -> str:
-    """RFC 3986 §5.2.4 for absolute paths: resolve '.' and '..'
-    segments; '..' never climbs past the root; a trailing '.'/'..'
-    leaves a trailing slash (the RFC's output behavior)."""
+    """RFC 3986 §5.2.4: resolve '.' and '..' segments. On absolute
+    paths '..' never climbs past the root ('/../y' -> '/y'); on
+    relative paths (schemeless crawl-noise strings) 'x/../y' -> 'y'
+    and unresolvable leading '..' segments are preserved. A trailing
+    '.'/'..' leaves a trailing slash (the RFC's output behavior)."""
     segs = path.split("/")
+    absolute = path.startswith("/")
+    floor = 1 if absolute else 0  # keep the root sentinel '' segment
     out: list = []
     for s in segs:
         if s == ".":
             continue
         if s == "..":
-            if len(out) > 1:
+            if len(out) > floor and out[-1] != "..":
                 out.pop()
+            elif not absolute:
+                out.append("..")  # nothing left to climb: keep it
             continue
         out.append(s)
     if segs and segs[-1] in (".", "..") and (not out or out[-1] != ""):
         out.append("")
     joined = "/".join(out)
-    return joined or "/"
+    return joined or ("/" if absolute else "")
 
 
 def canonicalize_full(url: str) -> str:
