@@ -5451,6 +5451,37 @@ def _q_docs_editdist_clean_corpus(sf_dir: str):
     )
 
 
+def _q_docs_allpairs_clean_corpus(sf_dir: str):
+    """End-to-end EXACT-Jaccard dedup corpus clean: AllPairs prefix-
+    filter pairs (zero recall loss) -> distributed min-label connected
+    components -> keep each cluster's min-id representative ->
+    anti-join the drop set — the fuzzy_clean_corpus composition with
+    the lossless candidate family instead of minhash."""
+    from webcollector_ray.functions.dedup import (
+        allpairs_jaccard_pairs,
+        cluster_pairs_minlabel,
+    )
+    from webcollector_ray.functions.joins import hash_join
+
+    docs = _docs(sf_dir)
+    pairs = allpairs_jaccard_pairs(docs, threshold=0.5).select_columns(
+        ["id_a", "id_b"]
+    )
+    labels = cluster_pairs_minlabel(pairs, id_col="doc_id")
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names:
+            return pa.table({"doc_id": pa.nulls(0, pa.int64())})
+        return batch.filter(
+            pc.not_equal(batch["doc_id"], batch["cluster"])
+        ).select(["doc_id"])
+
+    dropped = labels.map_batches(non_reps, batch_format="pyarrow")
+    return hash_join(
+        docs.select_columns(["doc_id"]), dropped, on="doc_id", how="anti"
+    )
+
+
 def _q_events_kmv_distinct(sf_dir: str):
     """Per-type KMV (bottom-k) distinct-user estimates — the third
     distinct-estimator next to exact and HLL; exact below k distinct,
@@ -6000,6 +6031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search_phrase": _q_docs_search_phrase,
         "orders_profile": _q_orders_profile,
         "vocab_textrank": _q_vocab_textrank,
+        "docs_allpairs_clean_corpus": _q_docs_allpairs_clean_corpus,
         "crawl_kcore": _q_crawl_kcore,
         "crawl_pagerank_seeded": _q_crawl_pagerank_seeded,
         "crawl_assortativity": _q_crawl_assortativity,
@@ -9621,6 +9653,66 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT w AS word, doc_id, count(*)::BIGINT AS tf
             FROM tok WHERE w != ''
             GROUP BY w, doc_id
+        """,
+        "docs_allpairs_clean_corpus": r"""
+            WITH RECURSIVE docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '',
+                                                'g')),
+                           '\s+') AS words
+                FROM documents
+            ),
+            wpos AS (
+                SELECT doc_id, unnest(words) AS w,
+                       unnest(range(1, len(words) + 1)) AS i,
+                       len(words) AS nw
+                FROM docs
+            ),
+            grams AS MATERIALIZED (
+                SELECT DISTINCT a.doc_id,
+                       a.w || chr(31) || b.w || chr(31) || c.w AS g
+                FROM wpos a
+                JOIN wpos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN wpos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+                WHERE a.nw >= 3
+                UNION
+                SELECT doc_id, array_to_string(words, chr(31)) AS g
+                FROM docs WHERE len(words) < 3
+            ),
+            gsize AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ),
+            pr AS MATERIALIZED (
+                SELECT c.id_a, c.id_b FROM (
+                    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                           count(*) AS i
+                    FROM grams x
+                    JOIN grams y ON y.g = x.g AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2
+                ) c
+                JOIN gsize sa ON sa.doc_id = c.id_a
+                JOIN gsize sb ON sb.doc_id = c.id_b
+                WHERE c.i::DOUBLE / (sa.n + sb.n - c.i) >= 0.5
+            ),
+            ed AS MATERIALIZED (
+                SELECT id_a AS x, id_b AS y FROM pr
+                UNION SELECT id_b, id_a FROM pr
+                UNION SELECT id_a, id_a FROM pr
+                UNION SELECT id_b, id_b FROM pr
+            ),
+            reach(x, y) AS (
+                SELECT x, y FROM ed
+                UNION
+                SELECT r.x, ed.y FROM reach r JOIN ed ON r.y = ed.x
+            ),
+            clus AS MATERIALIZED (
+                SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x
+            )
+            SELECT d.doc_id
+            FROM documents d
+            WHERE d.doc_id NOT IN
+                (SELECT doc_id FROM clus WHERE cluster <> doc_id)
         """,
         "docs_editdist_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
